@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.Column
+
+/** Parquet table loaders for the driver-generated TPC-H-ish testdata
+  * (see TESTDATA.md). All queries take the sf dir as a parameter so the
+  * same code runs at sf0.001 (smoke), sf0.01 (oracle) and sf0.1 (bench).
+  *
+  * At 100 TB these reads become partitioned-parquet scans on a cluster —
+  * nothing here assumes single-file inputs: `spark.read.parquet(dir)`
+  * works identically on a directory of thousands of files.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to read
+    * as a timestamp. Read it as a long (legacy conf) and truncate ns → µs
+    * ourselves; the DuckDB oracle mirrors with
+    * `date_trunc('microseconds', ts)`. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
+
+/** Shared numeric conventions that keep Spark results bit-identical to the
+  * DuckDB oracle:
+  *
+  *  - Cross-row sums of doubles are NOT associative, so a parallel Spark
+  *    aggregation and a sequential DuckDB one can differ in the last bits.
+  *    Every money/value sum therefore goes through an exact
+  *    `DecimalType` accumulator and is cast to double only at the end.
+  *    Decimal addition is associative → deterministic at any parallelism,
+  *    which also means the SAME code gives stable results on a
+  *    1000-executor cluster.
+  *  - `events.ts` is nanosecond-precision in parquet; Spark truncates to
+  *    microseconds on read. Oracle SQL mirrors with
+  *    `date_trunc('microseconds', ts)`.
+  */
+object Num {
+  /** Exact sum of a double column: decimal accumulate, double out. */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Raw-column decimal cast for exact arithmetic. NEVER cast a COMPUTED
+    * double to decimal: Spark rounds via the shortest string repr while
+    * DuckDB rounds a scaled multiply, and they disagree in the last ulps.
+    * Cast raw columns first, then compute in exact decimal. */
+  def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Exact `sum(price * (1 - discount))` in decimal, double out. */
+  def revenueSum(price: Column, discount: Column): Column =
+    sum(dec2(price) * (lit(1) - dec2(discount))).cast("double")
+
+  /** Exact average: decimal sum cast to double, then double division —
+    * decimal/decimal division scale rules differ across engines, double
+    * division of identical operands does not. */
+  def davg(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double") / count(c)
+}
