@@ -1,0 +1,256 @@
+package graft.queries
+
+import graft.{Num, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-window, sessionization, dedup and per-key-state analytics —
+  * the batch re-expression of the reference's stateful streaming operators
+  * (SURVEY.md §2.5 A5–A8, §2.3 P8, §2.9 CEP bounce, §2.4 J8). The streaming
+  * forms live in `graft.streaming`; these batch twins are what the DuckDB
+  * oracle can check exactly.
+  *
+  * Determinism at scale: every window function orders by `(ts, event_id)`
+  * — event_id breaks ties so results are stable at any parallelism. All
+  * time arithmetic is integer microseconds (`unix_micros` /
+  * `epoch_us`) so Spark and the oracle agree bit-for-bit.
+  */
+object TimeAnalytics {
+  import Num._
+
+  /** A1/A3 analog (10 s tumbling event-time window — ref
+    * DwsTrafficSourceKeywordPageViewWindow.java:71-81). Streaming twin:
+    * `withWatermark("ts","2 seconds").groupBy(window($"ts","10 seconds"),...)`. */
+  def windowTumble(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "10 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("event_count"), dsum(col("value"), 6).as("total_value"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("event_count"), col("total_value"))
+
+  /** A5 analog (daily independent-visitor count via keyed first-sight
+    * state — ref DwsTradeCartAddUuWindow.java:79-112): distinct users
+    * per day ≡ one emission per (user, day). */
+  def dailyActiveUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(countDistinct(col("user_id")).as("active_users"),
+        count(lit(1)).as("event_count"))
+
+  /** A10 analog (group by toYYYYMMDD/toHour — ref ActivityStatsMapper
+    * .java:16, TrafficVisitorStatsMapper.java:24-30). */
+  def timeBuckets(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(
+        date_format(col("ts"), "yyyyMMdd").cast("long").as("date_id"),
+        hour(col("ts")).cast("long").as("hour_id"))
+      .agg(count(lit(1)).as("event_count"), dsum(col("value"), 6).as("total_value"))
+
+  /** A7 analog (keep-FIRST per key, ValueState marker — ref
+    * DwsTradePaymentSucWindow.java:74-102): earliest event per user by
+    * (ts, event_id). Streaming twin: `dropDuplicates("user_id")`. */
+  def dedupKeepFirst(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("first_type"),
+        col("ts").as("first_ts"))
+  }
+
+  /** A8 analog (keep-LATEST per key with timer — ref
+    * OrderDetailFilterFunction.java:42-81): richest/newest row per key.
+    * Streaming twin: flatMapGroupsWithState emitting the max-ts row. */
+  def dedupKeepLatest(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("ts").as("last_ts"))
+  }
+
+  /** A6 analog (returning-user "回流" detection: gap between consecutive
+    * active days ≥ threshold — ref DwsUserUserLoginWindow.java:83-135 uses
+    * 8 days; 2 here so the synthetic month of data yields matches). */
+  def returningUsers(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("event_date"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_date"))
+    days
+      .withColumn("prev_date", lag(col("event_date"), 1).over(w))
+      .filter(col("prev_date").isNotNull &&
+        datediff(col("event_date"), col("prev_date")) >= 2)
+      .groupBy(col("event_date"))
+      .agg(countDistinct(col("user_id")).as("back_users"))
+  }
+
+  /** CEP-bounce analog (ref DwdTrafficUserJumpDetail.java:62-107):
+    * gap-based sessionization (10 min inactivity), bounce = single-event
+    * session. Streaming twin: flatMapGroupsWithState state machine in
+    * `graft.streaming.Sessionize`. */
+  def sessionizeBounce(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu").asc, col("event_id").asc)
+    val sessions = Tables.events(s, d)
+      .withColumn("tsu", unix_micros(col("ts")))
+      .withColumn("prev_tsu", lag(col("tsu"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_tsu").isNull ||
+          col("tsu") - col("prev_tsu") > 600L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("session_events"),
+        (max(col("tsu")) - min(col("tsu"))).as("session_dur_us"))
+    sessions.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("session_count"),
+        sum(when(col("session_events") === 1, 1L).otherwise(0L)).as("bounce_count"),
+        sum(col("session_dur_us")).as("total_dur_us"))
+  }
+
+  /** P8 analog (is_new visitor repair via first-visit-date keyed state —
+    * ref BaseLogApp.java:69-118): an event is "new" iff its date equals
+    * the user's first-ever active date. */
+  def isNewRepair(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, d)
+      .withColumn("event_date", to_date(col("ts")))
+      .withColumn("first_date", min(col("event_date")).over(w))
+      .groupBy(col("event_date"))
+      .agg(
+        sum(when(col("event_date") === col("first_date"), 1L).otherwise(0L))
+          .as("new_user_events"),
+        sum(when(col("event_date") =!= col("first_date"), 1L).otherwise(0L))
+          .as("old_user_events"))
+  }
+
+  /** P1/§2.7-JSON analog (from_json / map access on the Maxwell `data`
+    * payload — ref DwdTradeOrderDetail.java:34-46): extract a typed field
+    * from the JSON `props` column and aggregate. */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("k_sum"), count(col("k")).as("k_count"),
+        max(col("k")).as("k_max"))
+
+  /** J8 analog (interval join `between(-5s,+5s)` — ref
+    * DataStreamJoinTest.java:48-60): purchases within 5 s after a click
+    * by the same user (1 h window on this sparse synthetic stream; the
+    * reference uses ±5 s on dense streams). Equi-join on user_id + µs
+    * range predicate; at
+    * scale this shuffles once on user_id, range filter applied post-join. */
+  def intervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("tsu", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("tsu").as("c_tsu"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("tsu").as("p_tsu"))
+    clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+        col("p_tsu") >= col("c_tsu") &&
+        col("p_tsu") <= col("c_tsu") + 3600L * 1000000L)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("pair_count"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_window_tumble_10s" -> windowTumble,
+    "q14_daily_active_users" -> dailyActiveUsers,
+    "q15_time_buckets" -> timeBuckets,
+    "q16_dedup_keep_first" -> dedupKeepFirst,
+    "q17_dedup_keep_latest" -> dedupKeepLatest,
+    "q18_returning_users" -> returningUsers,
+    "q19_sessionize_bounce" -> sessionizeBounce,
+    "q20_is_new_repair" -> isNewRepair,
+    "q21_json_extract" -> jsonExtract,
+    "q22_interval_join" -> intervalJoin)
+
+  /** DuckDB twins. `ev` CTE mirrors Spark's ns→µs truncation. */
+  private val evCte =
+    """WITH ev AS (SELECT event_id, date_trunc('microseconds', ts) AS ts,
+      |  user_id, event_type, value, props FROM events)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q13_window_tumble_10s" -> s"""$evCte
+      |SELECT time_bucket(INTERVAL '10 seconds', ts) AS wstart, event_type,
+      |  COUNT(*) AS event_count,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM ev GROUP BY 1, 2""".stripMargin,
+    "q14_daily_active_users" -> s"""$evCte
+      |SELECT CAST(ts AS DATE) AS event_date,
+      |  COUNT(DISTINCT user_id) AS active_users, COUNT(*) AS event_count
+      |FROM ev GROUP BY 1""".stripMargin,
+    "q15_time_buckets" -> s"""$evCte
+      |SELECT CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS date_id,
+      |  CAST(hour(ts) AS BIGINT) AS hour_id,
+      |  COUNT(*) AS event_count,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM ev GROUP BY 1, 2""".stripMargin,
+    "q16_dedup_keep_first" -> s"""$evCte
+      |SELECT user_id, event_type AS first_type, ts AS first_ts
+      |FROM (SELECT *, row_number() OVER
+      |    (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn FROM ev)
+      |WHERE rn = 1""".stripMargin,
+    "q17_dedup_keep_latest" -> s"""$evCte
+      |SELECT user_id, event_type AS last_type, ts AS last_ts
+      |FROM (SELECT *, row_number() OVER
+      |    (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM ev)
+      |WHERE rn = 1""".stripMargin,
+    "q18_returning_users" -> s"""$evCte,
+      |days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS event_date FROM ev),
+      |lagged AS (SELECT user_id, event_date,
+      |  lag(event_date) OVER (PARTITION BY user_id ORDER BY event_date) AS prev_date
+      |  FROM days)
+      |SELECT event_date, COUNT(DISTINCT user_id) AS back_users
+      |FROM lagged
+      |WHERE prev_date IS NOT NULL AND date_diff('day', prev_date, event_date) >= 2
+      |GROUP BY event_date""".stripMargin,
+    "q19_sessionize_bounce" -> s"""$evCte,
+      |base AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM ev),
+      |lagged AS (SELECT *, lag(tsu) OVER
+      |    (PARTITION BY user_id ORDER BY tsu ASC, event_id ASC) AS prev_tsu FROM base),
+      |flagged AS (SELECT *, CASE WHEN prev_tsu IS NULL
+      |    OR tsu - prev_tsu > 600 * 1000000 THEN 1 ELSE 0 END AS new_session FROM lagged),
+      |numbered AS (SELECT *, SUM(new_session) OVER
+      |    (PARTITION BY user_id ORDER BY tsu ASC, event_id ASC
+      |     ROWS UNBOUNDED PRECEDING) AS session_seq FROM flagged),
+      |sessions AS (SELECT user_id, session_seq, COUNT(*) AS session_events,
+      |    MAX(tsu) - MIN(tsu) AS session_dur_us
+      |  FROM numbered GROUP BY user_id, session_seq)
+      |SELECT user_id, COUNT(*) AS session_count,
+      |  CAST(SUM(CASE WHEN session_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounce_count,
+      |  CAST(SUM(session_dur_us) AS BIGINT) AS total_dur_us
+      |FROM sessions GROUP BY user_id""".stripMargin,
+    "q20_is_new_repair" -> s"""$evCte,
+      |base AS (SELECT user_id, CAST(ts AS DATE) AS event_date FROM ev),
+      |firsts AS (SELECT *, MIN(event_date) OVER (PARTITION BY user_id) AS first_date
+      |  FROM base)
+      |SELECT event_date,
+      |  CAST(SUM(CASE WHEN event_date = first_date THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS new_user_events,
+      |  CAST(SUM(CASE WHEN event_date <> first_date THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS old_user_events
+      |FROM firsts GROUP BY event_date""".stripMargin,
+    "q21_json_extract" -> s"""$evCte
+      |SELECT event_type,
+      |  CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+      |  COUNT(json_extract_string(props, '$$.k')) AS k_count,
+      |  CAST(MAX(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS k_max
+      |FROM ev GROUP BY event_type""".stripMargin,
+    "q22_interval_join" -> s"""$evCte,
+      |base AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM ev),
+      |clicks AS (SELECT user_id AS c_user, tsu AS c_tsu FROM base
+      |  WHERE event_type = 'click'),
+      |purchases AS (SELECT user_id AS p_user, tsu AS p_tsu FROM base
+      |  WHERE event_type = 'purchase')
+      |SELECT c_user AS user_id, COUNT(*) AS pair_count
+      |FROM clicks JOIN purchases ON c_user = p_user
+      |  AND p_tsu >= c_tsu AND p_tsu <= c_tsu + CAST(3600000000 AS BIGINT)
+      |GROUP BY c_user""".stripMargin)
+}
