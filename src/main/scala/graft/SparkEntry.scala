@@ -16,11 +16,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-      graft.queries.TimeAnalytics.queries
+      graft.queries.TimeAnalytics.queries ++
+      graft.queries.TextOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
-      graft.queries.TimeAnalytics.oracle
+      graft.queries.TimeAnalytics.oracle ++
+      graft.queries.TextOps.oracle
 }

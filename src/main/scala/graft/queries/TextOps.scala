@@ -1,0 +1,278 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis and deduplication operators for LLM training-data
+  * pipelines over the `documents` table: tokenization, exact dedup,
+  * MinHash signatures + LSH banding, shingle Jaccard, fingerprinting,
+  * quality scoring and heuristic language ID.
+  *
+  * Portability rules (must hash-match DuckDB):
+  *  - all hashing is `md5` of identical strings (hex, lexicographic min —
+  *    both engines agree byte-for-byte);
+  *  - similarity scores are emitted as exact integer pairs
+  *    (intersection, union) rather than rounded doubles;
+  *  - tokenization is a literal single-space split (the corpus is
+  *    space-normalized).
+  *
+  * Scale notes (100 TB): everything is expressed as explode → shuffle on
+  * (word|shingle|bucket) → aggregate, the canonical distributed shape.
+  * MinHash/LSH turns O(n²) near-dup search into per-bucket candidate
+  * generation; the pairwise Jaccard verifier joins only on shared
+  * shingles, never materializing the full cross product.
+  */
+object TextOps {
+
+  private def words(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+
+  /** U1 analog (keyword segmentation UDTF + LATERAL TABLE — ref
+    * SplitFunction.java:12-28): tokenize + explode + frequency count. */
+  def wordCount(s: SparkSession, d: String): DataFrame =
+    words(s, d).groupBy("word")
+      .agg(count(lit(1)).as("word_freq"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+
+  /** Exact dedup via content hash (hash-groupBy): one representative
+    * (min doc_id) per distinct text; dup_count > 1 ⇒ duplicates. */
+  def exactDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("dup_count"))
+
+  /** Document fingerprint: md5 over the sorted token multiset — robust to
+    * word order, the batch analog of a rolling-hash sketch. */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(split(col("text"), " ")))).as("fingerprint"),
+        md5(col("text")).as("content_hash"))
+
+  /** Quality scoring (length / stopword / vocab-diversity signals) per
+    * language — integer counts + int/int divisions only (deterministic). */
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    words(s, d)
+      .groupBy("doc_id", "lang")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("word")).as("n_distinct"),
+        sum(length(col("word"))).as("n_word_chars"),
+        sum(when(col("word").isin("the", "a"), 1L).otherwise(0L)).as("n_stopwords"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("doc_count"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (sum(col("n_word_chars")).cast("double") / sum(col("n_tokens")))
+          .as("avg_word_len"),
+        (sum(col("n_stopwords")).cast("double") / sum(col("n_tokens")))
+          .as("stopword_ratio"),
+        (sum(col("n_distinct")).cast("double") / sum(col("n_tokens")))
+          .as("diversity"))
+
+  /** Token counting, whitespace + a BPE-ish proxy (4-char chunks): the two
+    * budget estimators a training pipeline runs over every document. */
+  def tokenStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        length(col("text")).as("n_chars"),
+        ceil(length(regexp_replace(col("text"), " ", "")).cast("double") / 4)
+          .cast("long").as("bpe_est_tokens"))
+
+  /** Heuristic language ID from marker-token frequencies (n-gram-style
+    * scoring), compared against the labeled `lang` column. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val scored = words(s, d)
+      .groupBy("doc_id", "lang")
+      .agg(
+        sum(when(col("word").isin("the", "a"), 1L).otherwise(0L)).as("en_score"),
+        sum(when(col("word").isin("der", "und"), 1L).otherwise(0L)).as("de_score"),
+        sum(when(col("word").isin("le", "et"), 1L).otherwise(0L)).as("fr_score"),
+        sum(when(col("word").isin("el", "y"), 1L).otherwise(0L)).as("es_score"))
+      .withColumn("guess",
+        when(col("de_score") > col("en_score") && col("de_score") >= col("fr_score")
+          && col("de_score") >= col("es_score"), "de")
+          .when(col("fr_score") > col("en_score") && col("fr_score") >= col("es_score"), "fr")
+          .when(col("es_score") > col("en_score"), "es")
+          .otherwise("en"))
+    scored.groupBy(col("lang"), col("guess"))
+      .agg(count(lit(1)).as("doc_count"))
+  }
+
+  /** MinHash signature: k=4 lexicographic-min md5 values over the token
+    * set, one permutation per seed (shingle→minhash step of MinHash+LSH). */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    words(s, d)
+      .groupBy("doc_id")
+      .agg(
+        min(md5(concat(lit("s1:"), col("word")))).as("mh1"),
+        min(md5(concat(lit("s2:"), col("word")))).as("mh2"),
+        min(md5(concat(lit("s3:"), col("word")))).as("mh3"),
+        min(md5(concat(lit("s4:"), col("word")))).as("mh4"))
+
+  /** LSH banding (band→bucket-join step): 2 bands of 2 minhashes; docs
+    * sharing a band bucket are near-dup candidates. Emits per-bucket
+    * candidate stats — the distributed alternative to O(n²) comparison. */
+  def minhashLshBuckets(s: SparkSession, d: String): DataFrame = {
+    val sigs = minhashSignatures(s, d)
+    val b1 = sigs.select(md5(concat(col("mh1"), col("mh2"))).as("bucket"), col("doc_id"))
+    val b2 = sigs.select(md5(concat(col("mh3"), col("mh4"))).as("bucket"), col("doc_id"))
+    b1.unionByName(b2)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("bucket_size"), min(col("doc_id")).as("min_doc_id"))
+      .groupBy("bucket_size")
+      .agg(count(lit(1)).as("n_buckets"),
+        min(col("min_doc_id")).as("sample_doc_id"))
+  }
+
+  /** N-gram (3-shingle) Jaccard near-dup scoring on a bounded candidate
+    * set (doc_id < 100): emits exact (intersection, union) integers per
+    * pair with ≥2 shared shingles (jaccard = inter/union computed by the
+    * consumer — integers stay engine-exact). At scale the candidate set
+    * comes from [[minhashLshBuckets]] instead of an id range. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val shingles = words(s, d)
+      .filter(col("doc_id") < 100)
+      .withColumn("w2", lead(col("word"), 1).over(w))
+      .withColumn("w3", lead(col("word"), 2).over(w))
+      .filter(col("w3").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("word"), col("w2"), col("w3")).as("shingle"))
+      .distinct()
+    val counts = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val pairs = shingles.as("a")
+      .join(shingles.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter_size"))
+    pairs
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "n_a"), Seq("doc_a"))
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_shingles", "n_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("inter_size"),
+        (col("n_a") + col("n_b") - col("inter_size")).as("union_size"))
+      .filter(col("inter_size") >= 2)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_word_count" -> wordCount,
+    "q24_exact_dedup" -> exactDedup,
+    "q25_fingerprint" -> fingerprint,
+    "q26_text_quality" -> textQuality,
+    "q27_token_stats" -> tokenStats,
+    "q28_lang_id" -> langId,
+    "q29_minhash_signatures" -> minhashSignatures,
+    "q30_minhash_lsh_buckets" -> minhashLshBuckets,
+    "q31_ngram_jaccard" -> ngramJaccard)
+
+  private val wordsCte =
+    """WITH w AS (
+      |  SELECT doc_id, lang,
+      |    unnest(string_split(text, ' ')) AS word,
+      |    unnest(range(0, len(string_split(text, ' ')))) AS pos
+      |  FROM documents)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q23_word_count" -> s"""$wordsCte
+      |SELECT word, COUNT(*) AS word_freq,
+      |  COUNT(DISTINCT doc_id) AS doc_freq
+      |FROM w GROUP BY word""".stripMargin,
+    "q24_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
+        |  COUNT(*) AS dup_count
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q25_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fingerprint,
+        |  md5(text) AS content_hash
+        |FROM documents""".stripMargin,
+    "q26_text_quality" -> s"""$wordsCte,
+      |per_doc AS (
+      |  SELECT doc_id, lang, COUNT(*) AS n_tokens,
+      |    COUNT(DISTINCT word) AS n_distinct,
+      |    CAST(SUM(length(word)) AS BIGINT) AS n_word_chars,
+      |    CAST(SUM(CASE WHEN word IN ('the','a') THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_stopwords
+      |  FROM w GROUP BY doc_id, lang)
+      |SELECT lang, COUNT(*) AS doc_count,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(CAST(SUM(n_word_chars) AS BIGINT) AS DOUBLE)
+      |    / CAST(SUM(n_tokens) AS BIGINT) AS avg_word_len,
+      |  CAST(CAST(SUM(n_stopwords) AS BIGINT) AS DOUBLE)
+      |    / CAST(SUM(n_tokens) AS BIGINT) AS stopword_ratio,
+      |  CAST(CAST(SUM(n_distinct) AS BIGINT) AS DOUBLE)
+      |    / CAST(SUM(n_tokens) AS BIGINT) AS diversity
+      |FROM per_doc GROUP BY lang""".stripMargin,
+    "q27_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(ceil(CAST(length(replace(text, ' ', '')) AS DOUBLE) / 4) AS BIGINT)
+        |    AS bpe_est_tokens
+        |FROM documents""".stripMargin,
+    "q28_lang_id" -> s"""$wordsCte,
+      |scored AS (
+      |  SELECT doc_id, lang,
+      |    CAST(SUM(CASE WHEN word IN ('the','a') THEN 1 ELSE 0 END) AS BIGINT) AS en_score,
+      |    CAST(SUM(CASE WHEN word IN ('der','und') THEN 1 ELSE 0 END) AS BIGINT) AS de_score,
+      |    CAST(SUM(CASE WHEN word IN ('le','et') THEN 1 ELSE 0 END) AS BIGINT) AS fr_score,
+      |    CAST(SUM(CASE WHEN word IN ('el','y') THEN 1 ELSE 0 END) AS BIGINT) AS es_score
+      |  FROM w GROUP BY doc_id, lang),
+      |guessed AS (
+      |  SELECT lang,
+      |    CASE WHEN de_score > en_score AND de_score >= fr_score
+      |           AND de_score >= es_score THEN 'de'
+      |         WHEN fr_score > en_score AND fr_score >= es_score THEN 'fr'
+      |         WHEN es_score > en_score THEN 'es'
+      |         ELSE 'en' END AS guess
+      |  FROM scored)
+      |SELECT lang, guess, COUNT(*) AS doc_count
+      |FROM guessed GROUP BY lang, guess""".stripMargin,
+    "q29_minhash_signatures" -> s"""$wordsCte
+      |SELECT doc_id,
+      |  MIN(md5('s1:' || word)) AS mh1, MIN(md5('s2:' || word)) AS mh2,
+      |  MIN(md5('s3:' || word)) AS mh3, MIN(md5('s4:' || word)) AS mh4
+      |FROM w GROUP BY doc_id""".stripMargin,
+    "q30_minhash_lsh_buckets" -> s"""$wordsCte,
+      |sigs AS (
+      |  SELECT doc_id,
+      |    MIN(md5('s1:' || word)) AS mh1, MIN(md5('s2:' || word)) AS mh2,
+      |    MIN(md5('s3:' || word)) AS mh3, MIN(md5('s4:' || word)) AS mh4
+      |  FROM w GROUP BY doc_id),
+      |bands AS (
+      |  SELECT md5(mh1 || mh2) AS bucket, doc_id FROM sigs
+      |  UNION ALL
+      |  SELECT md5(mh3 || mh4) AS bucket, doc_id FROM sigs),
+      |buckets AS (
+      |  SELECT bucket, COUNT(*) AS bucket_size, MIN(doc_id) AS min_doc_id
+      |  FROM bands GROUP BY bucket)
+      |SELECT bucket_size, COUNT(*) AS n_buckets, MIN(min_doc_id) AS sample_doc_id
+      |FROM buckets GROUP BY bucket_size""".stripMargin,
+    "q31_ngram_jaccard" -> s"""$wordsCte,
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    word || ' ' || lead(word, 1) OVER dw || ' ' || lead(word, 2) OVER dw
+      |      AS shingle
+      |  FROM w WHERE doc_id < 100
+      |  WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+      |sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+      |counts AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh2 GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_size
+      |  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b, inter_size,
+      |  ca.n_shingles + cb.n_shingles - inter_size AS union_size
+      |FROM pairs
+      |JOIN counts ca ON ca.doc_id = doc_a
+      |JOIN counts cb ON cb.doc_id = doc_b
+      |WHERE inter_size >= 2""".stripMargin)
+}
