@@ -17,12 +17,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.TimeAnalytics.queries ++
-      graft.queries.TextOps.queries
+      graft.queries.TextOps.queries ++
+      graft.queries.VectorOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.TimeAnalytics.oracle ++
-      graft.queries.TextOps.oracle
+      graft.queries.TextOps.oracle ++
+      graft.queries.VectorOps.oracle
 }

@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search operators over the `embeddings` table
+  * (`Array[Float]`, 64-dim): brute-force cosine top-k as the baseline and
+  * a random-hyperplane LSH bucketing as the scale path, plus per-cluster
+  * stats and thresholded pair search.
+  *
+  * Exactness: every dot product is a SEQUENTIAL left fold over the array
+  * in doubles — `functions.aggregate(zip_with(...))` in Spark,
+  * `list_sum(list_transform(list_zip(...)))` in the DuckDB oracle — which
+  * agree bit-for-bit (verified; DuckDB's builtin `list_inner_product`
+  * computes in float and does NOT). Array-order folding also means results
+  * are independent of row order / parallelism, unlike a cross-row double
+  * sum.
+  *
+  * Scale notes (100 TB): brute-force top-k broadcasts the query vector and
+  * is one scan + a k-size heap (`ORDER BY ... LIMIT k` → TakeOrdered);
+  * LSH bucketing maps each vector to sign-bit buckets so candidate
+  * search touches only same-bucket vectors (shuffle on bucket, not n²).
+  */
+object VectorOps {
+
+  /** Sequential dot product in doubles (deterministic at any parallelism). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic ±1 hyperplane coefficients derived from md5 — the same
+    * bytes any engine's md5 produces, so the oracle can embed identical
+    * literals. */
+  private[queries] def planeCoeffs(nPlanes: Int, dims: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dims) { (p, j) =>
+      val hex = md.digest(s"plane:$p:dim:$j".getBytes("UTF-8"))
+      md.reset()
+      if ((hex(0) & 0x80) == 0) 1.0 else -1.0
+    }
+  }
+  private val NPlanes = 8
+  private val Dims = 64
+  private val Planes = planeCoeffs(NPlanes, Dims)
+
+  /** Per-cluster stats: count + min/max L2 norm (order-free aggregates of
+    * bit-exact per-row norms). */
+  def embeddingStats(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), col("vec_id"), norm(col("embedding")).as("nrm"),
+        size(col("embedding")).cast("long").as("dims"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), max(col("dims")).as("dims"),
+        min(col("nrm")).as("min_norm"), max(col("nrm")).as("max_norm"))
+
+  /** Brute-force cosine top-k against a query vector (vec_id 0): the
+    * exact-ANN baseline. Broadcasts the single query row; `LIMIT k` plans
+    * as TakeOrdered (per-partition heap + driver merge — no full sort). */
+  def cosineTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        cosine(col("embedding"), col("qemb")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Random-hyperplane LSH (SimHash for embeddings): 8 sign bits → bucket.
+    * The scale path for near-neighbor search — candidates share a bucket. */
+  def annLshBuckets(s: SparkSession, d: String): DataFrame = {
+    val bits = Planes.map { coeffs =>
+      when(dot(col("embedding"), typedlit(coeffs.toSeq)) >= 0, "1").otherwise("0")
+    }
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), concat(bits.toIndexedSeq: _*).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec_id"),
+        countDistinct(col("label")).as("n_labels"))
+  }
+
+  /** Thresholded all-pairs cosine (embedding-cosine near-dup detection):
+    * emits pairs above 0.45 (this synthetic corpus is near-orthogonal;
+    * real near-dup corpora use ~0.9). At scale, restrict pairs to shared
+    * LSH buckets first. */
+  def cosinePairs(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.embeddings(s, d)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = Tables.embeddings(s, d)
+      .select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosine(col("emb_a"), col("emb_b")).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.45)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_embedding_stats" -> embeddingStats,
+    "q33_cosine_topk" -> cosineTopK,
+    "q34_ann_lsh_buckets" -> annLshBuckets,
+    "q35_cosine_pairs" -> cosinePairs)
+
+  // DuckDB oracle twins. The fold shape mirrors Spark exactly.
+  private def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+  private def duckNormSq(a: String): String =
+    s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+  private def duckCos(a: String, b: String): String =
+    s"${duckDot(a, b)} / (sqrt(${duckNormSq(a)}) * sqrt(${duckNormSq(b)}))"
+  private def planeLit(p: Int): String =
+    Planes(p).map(c => if (c > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
+  val oracle: Map[String, String] = Map(
+    "q32_embedding_stats" ->
+      s"""WITH base AS (
+         |  SELECT label, CAST(len(embedding) AS BIGINT) AS dims,
+         |    sqrt(${duckNormSq("embedding")}) AS nrm
+         |  FROM embeddings)
+         |SELECT label, COUNT(*) AS n_vecs, MAX(dims) AS dims,
+         |  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+         |FROM base GROUP BY label""".stripMargin,
+    "q33_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, ${duckCos("embedding", "qemb")} AS cos_sim
+         |FROM embeddings, q WHERE vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q34_ann_lsh_buckets" -> {
+      val bitExprs = (0 until NPlanes).map { p =>
+        s"CASE WHEN ${duckDot("embedding", planeLit(p))} >= 0 THEN '1' ELSE '0' END"
+      }.mkString(" || ")
+      s"""WITH base AS (SELECT vec_id, label, $bitExprs AS bucket FROM embeddings)
+         |SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id,
+         |  COUNT(DISTINCT label) AS n_labels
+         |FROM base GROUP BY bucket""".stripMargin
+    },
+    "q35_cosine_pairs" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${duckCos("a.embedding", "b.embedding")} AS cos_sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.45""".stripMargin)
+}
