@@ -1,0 +1,115 @@
+package graft.streaming
+
+import java.time.{Instant, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Dedup operators — the Spark re-expression of the reference's keyed
+  * ValueState dedup patterns (SURVEY.md §2.5 A5/A7/A8). Each works on both
+  * batch and streaming Datasets.
+  *
+  * All streaming state here is bounded by EVENT-TIME timeouts (watermark
+  * driven) rather than wall-clock timers: deterministic under replay, and
+  * crucially it avoids the processing-time-timeout rebatching loop (a
+  * query with ProcessingTimeTimeout re-runs micro-batches continuously
+  * because the engine must re-check timers — pure overhead at scale).
+  * The reference's TTLs (1 day daily-dedup, 5 s / 2 s upsert-dedup) map
+  * to event-time quiesce windows below.
+  *
+  * Scale: state lives in the state store (RocksDB provider in prod conf);
+  * keys hash-partition across executors.
+  */
+object Dedup {
+
+  private val DateFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd").withZone(ZoneOffset.UTC)
+  private[streaming] def dateOf(tsMs: Long): String =
+    DateFmt.format(Instant.ofEpochMilli(tsMs))
+
+  /** Attach an event-time watermark derived from an epoch-ms long column —
+    * prerequisite for the event-time-timeout operators below. */
+  def withMsWatermark[T](ds: Dataset[T], tsCol: String = "ts",
+      delay: String = "0 seconds"): Dataset[T] = {
+    implicit val enc: Encoder[T] = ds.encoder
+    ds.withColumn("event_time", (col(tsCol) / 1000).cast("timestamp"))
+      .withWatermark("event_time", delay)
+      .as[T]
+  }
+
+  /** A7: keep-FIRST per key (ref DwsTradePaymentSucWindow.java:74-102,
+    * 5 s TTL ValueState marker). Spark keeps first natively; the watermark
+    * bounds state like the reference's TTL. */
+  def keepFirst(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      watermark: String = "5 seconds"): DataFrame =
+    if (df.isStreaming)
+      df.withWatermark(tsCol, watermark).dropDuplicates(keyCols)
+    else df.dropDuplicates(keyCols)
+
+  /** A8: keep-LATEST per key (ref OrderDetailFilterFunction.java:42-81 —
+    * pick the richest row among retraction replays). Buffers the newest
+    * row per key; emits once the key is quiet for `quiesceMs` of EVENT
+    * time (the reference's 2 s wall-clock timer, made deterministic).
+    * Streaming input must carry a watermark ([[withMsWatermark]]).
+    * Batch mode: emits the max-ts row per key directly. */
+  def keepLatest(ds: Dataset[KeyedEvent], quiesceMs: Long = 2000)
+      : Dataset[KeyedEvent] = {
+    import ds.sparkSession.implicits._
+    val streaming = ds.isStreaming // capture OUTSIDE closures: plan is driver-only
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[KeyedEvent, KeyedEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, events, state: GroupState[KeyedEvent]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.iterator
+            state.remove()
+            out
+          } else {
+            val newest = (events ++ state.getOption.iterator)
+              .maxBy(e => (e.ts, e.payload))
+            if (streaming) {
+              state.update(newest)
+              state.setTimeoutTimestamp(
+                math.max(newest.ts + quiesceMs, state.getCurrentWatermarkMs + 1))
+              Iterator.empty
+            } else Iterator.single(newest) // batch: input is complete
+          }
+      }
+  }
+
+  /** A5: daily-dedup ("independent visitor") — emit only the FIRST event
+    * of each key per UTC day (ref DwdTrafficUniqueVisitorDetail
+    * .java:60-109: ValueState[lastDate], 1-day TTL). State = last seen
+    * date; reaped via event-time timeout ~2 days after the last write
+    * (the reference's OnCreateAndWrite TTL analog). */
+  def dailyFirst(ds: Dataset[KeyedEvent]): Dataset[DailyFirst] = {
+    import ds.sparkSession.implicits._
+    val streaming = ds.isStreaming
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[String, DailyFirst](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, events, state: GroupState[String]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var lastDate = state.getOption.getOrElse("")
+            var maxTs = 0L
+            val out = events.toSeq.sortBy(e => (e.ts, e.payload)).flatMap { e =>
+              maxTs = math.max(maxTs, e.ts)
+              val dt = dateOf(e.ts)
+              if (dt != lastDate) {
+                lastDate = dt
+                Some(DailyFirst(key, dt, e.ts))
+              } else None
+            }
+            if (streaming) {
+              state.update(lastDate)
+              state.setTimeoutTimestamp(
+                math.max(maxTs + 2L * 24 * 3600 * 1000,
+                  state.getCurrentWatermarkMs + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,22 @@
+package graft.streaming
+
+/** Typed rows for the stateful streaming operators. Timestamps are epoch
+  * milliseconds (the reference's `ts` convention, FIXTURES.md §1). */
+case class KeyedEvent(key: String, ts: Long, payload: String)
+
+/** A page view for visitor/session analytics (subset of the log-event
+  * page branch; `lastPageId == None` ⇒ session entry). */
+case class PageEvent(mid: String, pageId: String, lastPageId: Option[String],
+    isNew: String, ts: Long)
+
+/** Output of daily-dedup: the first event of `key` on `date`. */
+case class DailyFirst(key: String, date: String, ts: Long)
+
+/** Output of bounce detection: a session-entry event with no qualifying
+  * follow-up (ref DwdTrafficUserJumpDetail semantics). */
+case class Bounce(mid: String, ts: Long)
+
+/** Login activity classification (ref DwsUserUserLoginWindow): `uu` —
+  * first login of the day; `back` — returning after ≥ backDays gap. */
+case class LoginActivity(uid: String, date: String, ts: Long,
+    uu: Boolean, back: Boolean)
