@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Opinionated SparkSession builders for the engine.
+  *
+  * `local()` — test/bench shape (local[N], N shuffle partitions).
+  * `production()` — the 100 TB-shape defaults: AQE (runtime coalescing +
+  * skew-join splitting replaces hand-tuned parallelism), RocksDB state
+  * store for the big streaming dedup/join states (the reference's RocksDB
+  * backend is commented out at e.g. DimApp.java:30-33 — here it's on),
+  * and shuffle sizing meant to be overridden per cluster via --conf.
+  */
+object GraftSession {
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    base(SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString))
+      .getOrCreate()
+
+  def production(): SparkSession =
+    base(SparkSession.builder()
+      // one-partition-per-core scheduling is left to the cluster manager;
+      // shuffle partitions high enough that a 100 TB shuffle stays under
+      // ~256 MB per partition, then AQE coalesces small ones at runtime
+      .config("spark.sql.shuffle.partitions", "4096")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+      .config("spark.sql.files.maxPartitionBytes", (256L << 20).toString))
+      .getOrCreate()
+
+  private def base(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+}

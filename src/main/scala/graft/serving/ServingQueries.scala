@@ -1,0 +1,117 @@
+package graft.serving
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The serving layer — SURVEY.md §2.10: every publisher REST endpoint's
+  * SQL re-expressed as a named Spark query over the engine's `dws_*`
+  * frames (the REST shell is out of scope; the queries are the
+  * capability). All take a `date` (yyyyMMdd int) like the reference's
+  * `#{date}` bind and assume the dws frame carries `stt` (window start).
+  *
+  * Scale: every dws sink table is written partitioned by
+  * `dt = yyyyMMdd(stt)` (see scaladoc on writers) so each of these
+  * queries prunes to one date partition — the same trick ClickHouse's
+  * date partitioning gives the reference.
+  */
+object ServingQueries {
+
+  private def onDate(df: DataFrame, date: Int): DataFrame =
+    df.filter(date_format(col("stt"), "yyyyMMdd").cast("int") === date)
+
+  /** trade/stats (TradeStatsMapper.java:18-36): 4-way UNION ALL of KPI
+    * rows over the trade order window. */
+  def tradeStats(dwsTradeOrder: DataFrame, date: Int): DataFrame = {
+    val base = onDate(dwsTradeOrder, date)
+    def kpi(name: String, c: Column) =
+      base.agg(lit(name).as("type"), coalesce(sum(c), lit(0.0)).as("value"))
+    kpi("order_amount", col("order_origin_total_amount"))
+      .unionByName(kpi("activity_amount", col("order_activity_reduce_amount")))
+      .unionByName(kpi("coupon_amount", col("order_coupon_reduce_amount")))
+      .unionByName(kpi("order_uu_count", col("order_unique_user_count")))
+  }
+
+  /** trade/provinceOrderCt + provinceOrderAmount
+    * (TradeStatsMapper provinces; DwsTradeProvinceOrderWindow sink). */
+  def provinceOrder(dwsProvince: DataFrame, date: Int): DataFrame =
+    onDate(dwsProvince, date)
+      .groupBy(col("province_id"), col("province_name"))
+      .agg(sum(col("order_count")).as("order_count"),
+        sum(col("order_amount")).as("order_amount"))
+
+  /** traffic/{uvCt,svCt,pvPerSession,durPerSession,ujRate} per channel
+    * (TrafficChannelStatsMapper.java:11-48): ratio-of-sums + ORDER BY
+    * metric DESC (O1, A9). */
+  def trafficChannelStats(dwsTrafficChannel: DataFrame, date: Int): DataFrame =
+    onDate(dwsTrafficChannel, date)
+      .groupBy(col("ch"))
+      .agg(
+        sum(col("uv_ct")).as("uv_ct"),
+        sum(col("sv_ct")).as("sv_ct"),
+        (sum(col("pv_ct")).cast("double") / sum(col("sv_ct"))).as("pv_per_session"),
+        (sum(col("dur_sum")).cast("double") / sum(col("sv_ct"))).as("dur_per_session"),
+        (sum(col("uj_ct")).cast("double") / sum(col("sv_ct"))).as("uj_rate"))
+      .orderBy(col("uv_ct").desc)
+
+  /** traffic/keywords (TrafficKeywordsMapper.java:10-20): weighted
+    * multiIf score per keyword. */
+  def keywords(dwsKeyword: DataFrame, date: Int): DataFrame =
+    onDate(dwsKeyword, date)
+      .groupBy(col("keyword"))
+      .agg(sum(col("keyword_count") *
+        when(col("source") === "SEARCH", 10L).otherwise(1L)).as("score"))
+      .orderBy(col("score").desc)
+
+  /** traffic/visitorPerType (TrafficVisitorStatsMapper.java:23-30):
+    * new-vs-returning split via sum(if(is_new...)). */
+  def visitorPerType(dwsTrafficChannel: DataFrame, date: Int): DataFrame =
+    onDate(dwsTrafficChannel, date)
+      .agg(
+        sum(when(col("is_new") === "1", col("uv_ct")).otherwise(0L)).as("new_uv"),
+        sum(when(col("is_new") =!= "1", col("uv_ct")).otherwise(0L)).as("old_uv"),
+        sum(when(col("is_new") === "1", col("sv_ct")).otherwise(0L)).as("new_sv"),
+        sum(when(col("is_new") =!= "1", col("sv_ct")).otherwise(0L)).as("old_sv"))
+
+  /** traffic/visitorPerHr (A10): hourly buckets of uv/pv. */
+  def visitorPerHr(dwsTrafficChannel: DataFrame, date: Int): DataFrame =
+    onDate(dwsTrafficChannel, date)
+      .groupBy(hour(col("stt")).as("hr"))
+      .agg(sum(col("uv_ct")).as("uv_ct"), sum(col("pv_ct")).as("pv_ct"),
+        sum(col("sv_ct")).as("sv_ct"))
+      .orderBy(col("hr"))
+
+  /** commodity/{trademark,category,spu} (CommodityStatsMapper.java:13-98):
+    * order stats ⟗ refund stats per trademark (J10 FULL OUTER). */
+  def commodityTrademarkStats(dwsTmOrder: DataFrame, dwsTmRefund: DataFrame,
+      date: Int): DataFrame = {
+    val o = onDate(dwsTmOrder, date)
+      .groupBy(col("trademark_id"), col("trademark_name"))
+      .agg(sum(col("order_amount")).as("order_amount"),
+        sum(col("order_count")).as("order_count"))
+    val r = onDate(dwsTmRefund, date)
+      .groupBy(col("trademark_id"), col("trademark_name"))
+      .agg(sum(col("refund_amount")).as("refund_amount"),
+        sum(col("refund_count")).as("refund_count"))
+    o.join(r, Seq("trademark_id", "trademark_name"), "full_outer")
+  }
+
+  /** activity/stats (ActivityStatsMapper.java:10-16): subsidy rate =
+    * activity amount / origin amount, grouped by date bucket (A10). */
+  def activityStats(dwsTradeOrder: DataFrame, date: Int): DataFrame =
+    onDate(dwsTradeOrder, date)
+      .groupBy(date_format(col("stt"), "yyyyMMdd").cast("int").as("dt"))
+      .agg((sum(col("order_activity_reduce_amount")).cast("double") /
+        sum(col("order_origin_total_amount"))).as("subsidy_rate"))
+
+  /** user/userChangeCt (UserStatsMapper.java:41-53): 3-way union of user
+    * flow KPIs (back / uu / register). */
+  def userChange(dwsLogin: DataFrame, dwsRegister: DataFrame, date: Int)
+      : DataFrame = {
+    val l = onDate(dwsLogin, date)
+    l.agg(lit("back").as("type"), coalesce(sum(col("back_ct")), lit(0L)).as("value"))
+      .unionByName(l.agg(lit("active").as("type"),
+        coalesce(sum(col("uu_ct")), lit(0L)).as("value")))
+      .unionByName(onDate(dwsRegister, date).agg(lit("register").as("type"),
+        coalesce(sum(col("register_ct")), lit(0L)).as("value")))
+  }
+}
