@@ -1,0 +1,171 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column support for training-data
+  * pipelines: media as opaque `binary` columns with typed metadata, and
+  * the decode / feature-extract / resize / frame-sample stages as
+  * partition-batched operators.
+  *
+  * The actual codecs are STUBBED (this container ships no image/audio
+  * libraries): `StubCodec` derives deterministic fake pixels/samples from
+  * the bytes, so every pipeline stage is fully testable and the Spark
+  * plumbing — schema, partition batching, operator signatures, output
+  * shapes — is real. Swapping in a real codec changes ONE function.
+  *
+  * Scale notes (100 TB of media):
+  *  - rows carry bytes, so `spark.sql.files.maxPartitionBytes` (not row
+  *    count) governs scan partitioning; [[repartitionForDecode]] rebalances
+  *    by byte size before the CPU-heavy decode;
+  *  - decode runs via `mapPartitions` — one codec init per partition, the
+  *    JVM analog of `mapInPandas` batch processing;
+  *  - features are `Array[Float]` columns that flow straight into the
+  *    similarity-search operators (graft.queries.VectorOps).
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  case class MediaRow(media_id: Long, media_type: String, uri: String,
+      bytes: Array[Byte], width: Int, height: Int, duration_ms: Long)
+
+  case class DecodedImage(media_id: Long, width: Int, height: Int,
+      channels: Int, pixels: Array[Byte])
+
+  case class MediaFeatures(media_id: Long, media_type: String,
+      embedding: Array[Float])
+
+  case class VideoFrame(media_id: Long, frame_index: Int, ts_ms: Long,
+      pixels: Array[Byte])
+
+  /** Deterministic fake codec — replace with a real decoder at the ONE
+    * marked point per op. Derivation is a rolling FNV-1a over the bytes,
+    * so outputs are stable across runs/partitionings. */
+  object StubCodec {
+    private def fnv(bytes: Array[Byte], seed: Long): Long = {
+      var h = 0xcbf29ce484222325L ^ seed
+      var i = 0
+      while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+      h
+    }
+
+    /** STUB — real impl: javax.imageio / libjpeg binding. */
+    def decodeImage(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val out = new Array[Byte]((w * h * 3).max(0))
+      var i = 0
+      var acc = fnv(bytes, 0x1337)
+      while (i < out.length) {
+        acc = acc * 6364136223846793005L + 1442695040888963407L
+        out(i) = (acc >>> 56).toByte
+        i += 1
+      }
+      out
+    }
+
+    /** STUB — real impl: a resampling kernel over decoded pixels. */
+    def resize(pixels: Array[Byte], sw: Int, sh: Int, tw: Int, th: Int)
+        : Array[Byte] = {
+      val out = new Array[Byte](tw * th * 3)
+      var y = 0
+      while (y < th) {
+        var x = 0
+        while (x < tw) {
+          val sx = x * sw / tw.max(1)
+          val sy = y * sh / th.max(1)
+          var c = 0
+          while (c < 3) {
+            val si = (sy * sw + sx) * 3 + c
+            out((y * tw + x) * 3 + c) = if (si < pixels.length) pixels(si) else 0
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** STUB — real impl: a vision/audio encoder. Deterministic projection
+      * of the payload into a unit-norm float vector. */
+    def extractFeatures(bytes: Array[Byte], dims: Int): Array[Float] = {
+      val v = new Array[Float](dims)
+      var i = 0
+      while (i < dims) {
+        val h = fnv(bytes, i.toLong * 0x9e3779b97f4a7c15L)
+        v(i) = ((h >> 11).toDouble / (1L << 52).toDouble).toFloat
+        i += 1
+      }
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).max(1e-9)
+      v.map(x => (x / n).toFloat)
+    }
+
+    /** STUB — real impl: container demux + keyframe decode. */
+    def sampleFrame(bytes: Array[Byte], frameIdx: Int, w: Int, h: Int)
+        : Array[Byte] =
+      decodeImage(bytes ++ BigInt(frameIdx).toByteArray, w, h)
+  }
+
+  /** Rebalance by payload size before CPU-heavy stages: target ~`mb` MB of
+    * media bytes per partition regardless of row skew. */
+  def repartitionForDecode(df: DataFrame, mb: Int = 64): DataFrame = {
+    val totalBytes = df.agg(sum(length(col("bytes")))).head().getLong(0).max(1L)
+    val parts = math.max(1, (totalBytes / (mb.toLong << 20)).toInt)
+    df.repartition(parts)
+  }
+
+  /** Decode stage: binary → pixel buffers, one codec init per partition
+    * (mapPartitions ≡ mapInPandas batch shape). */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
+    import media.sparkSession.implicits._
+    media.filter(_.media_type == "image").mapPartitions { rows =>
+      // per-partition codec init would go here
+      rows.map(r => DecodedImage(r.media_id, r.width, r.height, 3,
+        StubCodec.decodeImage(r.bytes, r.width, r.height)))
+    }
+  }
+
+  /** Resize stage over decoded images. */
+  def resizeImages(imgs: Dataset[DecodedImage], tw: Int, th: Int)
+      : Dataset[DecodedImage] = {
+    import imgs.sparkSession.implicits._
+    imgs.mapPartitions(_.map(i => DecodedImage(i.media_id, tw, th, i.channels,
+      StubCodec.resize(i.pixels, i.width, i.height, tw, th))))
+  }
+
+  /** Feature extraction: any media type → unit-norm embedding, ready for
+    * the VectorOps similarity operators. */
+  def extractFeatures(media: Dataset[MediaRow], dims: Int = 64)
+      : Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r => MediaFeatures(r.media_id, r.media_type,
+      StubCodec.extractFeatures(r.bytes, dims))))
+  }
+
+  /** Frame sampling: every video → `n` evenly spaced frames (flatMap —
+    * one input row fans out to n). */
+  def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[VideoFrame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.media_type == "video").flatMap { r =>
+      (0 until n).map { i =>
+        val ts = if (n <= 1) 0L else r.duration_ms * i / (n - 1)
+        VideoFrame(r.media_id, i, ts,
+          StubCodec.sampleFrame(r.bytes, i, r.width, r.height))
+      }
+    }
+  }
+
+  /** Synthetic media table for tests/demos (deterministic from seed). */
+  def syntheticMedia(spark: SparkSession, rows: Int, seed: Long = 42L)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    (0 until rows).map { i =>
+      val mt = Seq("image", "audio", "video")(i % 3)
+      val bytes = new Array[Byte](64 + rnd.nextInt(192))
+      rnd.nextBytes(bytes)
+      MediaRow(i.toLong, mt, s"mem://media/$i", bytes,
+        width = 8 + (i % 4) * 4, height = 8 + (i % 3) * 4,
+        duration_ms = if (mt == "video") 1000L + i else 0L)
+    }.toDS()
+  }
+}
