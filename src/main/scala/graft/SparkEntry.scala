@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.TimeAnalytics.queries ++
       graft.queries.TextOps.queries ++
-      graft.queries.VectorOps.queries
+      graft.queries.VectorOps.queries ++
+      graft.queries.SimHashIvf.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -26,5 +27,6 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
       graft.queries.TimeAnalytics.oracle ++
       graft.queries.TextOps.oracle ++
-      graft.queries.VectorOps.oracle
+      graft.queries.VectorOps.oracle ++
+      graft.queries.SimHashIvf.oracle
 }

@@ -1,0 +1,162 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VecOps.{vec_cosine, vec_dot}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SimHash document fingerprinting and IVF-style coarse-quantized ANN —
+  * the remaining two dedup/similarity family members (beyond exact-hash,
+  * MinHash+LSH, shingle-Jaccard and brute-force cosine).
+  *
+  * Portability: SimHash bit k uses a per-bit salted md5 and takes the
+  * high bit of the first hex char — pure string ops that both engines
+  * evaluate identically, no binary arithmetic. IVF cell assignment is an
+  * argmax over dot products with md5-derived ±1 centroid directions;
+  * dots are bit-exact (see VecDot), so the argmax agrees too.
+  *
+  * Scale notes: SimHash is one explode + one 16-aggregate groupBy —
+  * map-side combinable, one shuffle by doc. IVF turns top-k search from
+  * a full scan into (assign once) + (scan one cell ≈ 1/K of the data);
+  * `nprobe` cells trade recall for cost, and probing all K cells is
+  * exactly brute force (property-tested in VectorOpsSpec).
+  */
+object SimHashIvf {
+
+  private val Bits = 16
+  private val HighHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+
+  /** SimHash: per bit, words vote ±1 by a salted hash bit; the sign of
+    * the tally is the fingerprint bit. Near-dup docs differ in few bits. */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tallies = (0 until Bits).map { k =>
+      sum(when(substring(md5(concat(lit(s"sh$k:"), col("word"))), 1, 1)
+        .isin(HighHex: _*), 1L).otherwise(-1L)).as(s"s$k")
+    }
+    val fp = (0 until Bits).map { k =>
+      when(col(s"s$k") >= 0, lit(1L << k)).otherwise(0L)
+    }.reduce(_ + _)
+    words.groupBy("doc_id")
+      .agg(tallies.head, tallies.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash bucket histogram — dup classes share a fingerprint. */
+  def simhashBuckets(s: SparkSession, d: String): DataFrame =
+    simhash(s, d)
+      .groupBy("simhash")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+      .groupBy("n_docs")
+      .agg(count(lit(1)).as("n_groups"), min(col("min_doc_id")).as("sample_doc_id"))
+
+  // ---- IVF ----
+
+  private val K = 8
+  private[queries] val Centroids: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(K, 64) { (c, j) =>
+      val h = md.digest(s"ivf:$c:dim:$j".getBytes("UTF-8")); md.reset()
+      if ((h(0) & 0x80) == 0) 1.0 else -1.0
+    }
+  }
+
+  private def cellExpr: Column = {
+    val dots = (0 until K).map(c =>
+      vec_dot(col("embedding"), typedlit(Centroids(c).toSeq)))
+    val g = greatest(dots: _*)
+    (0 until K).foldRight(lit(-1)) { (c, acc) =>
+      when(dots(c) === g, lit(c)).otherwise(acc)
+    }
+  }
+
+  /** IVF cell census: coarse-quantizer assignment (argmax dot over K
+    * deterministic centroid directions). */
+  def ivfCells(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), cellExpr.as("cell"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec_id"))
+
+  /** IVF ANN search (nprobe=1): top-10 cosine to query vec 0, scanning
+    * ONLY the query's coarse cell — the 1/K-cost scale path. */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      col("label"), cellExpr.as("cell"))
+    val q = cells.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qemb"), col("cell").as("qcell"))
+    cells.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .filter(col("cell") === col("qcell"))
+      .select(col("vec_id"), col("label"),
+        vec_cosine(col("embedding"), col("qemb")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private def withVecFns(f: (SparkSession, String) => DataFrame)
+      : (SparkSession, String) => DataFrame =
+    (s, d) => { graft.functions.VecOps.register(s); f(s, d) }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_simhash" -> ((s: SparkSession, d: String) => simhash(s, d)),
+    "q37_simhash_buckets" -> ((s: SparkSession, d: String) => simhashBuckets(s, d)),
+    "q38_ivf_cells" -> withVecFns(ivfCells),
+    "q39_ann_ivf" -> withVecFns(annIvf))
+
+  // ---- oracle twins ----
+
+  private def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+  private def duckNormSq(a: String): String =
+    s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+  private def centroidLit(c: Int): String =
+    Centroids(c).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
+  private val simhashCte: String = {
+    val tallies = (0 until Bits).map { k =>
+      s"SUM(CASE WHEN substr(md5('sh$k:' || word), 1, 1) IN " +
+        s"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$k"
+    }.mkString(",\n    ")
+    val fp = (0 until Bits).map(k =>
+      s"(CASE WHEN s$k >= 0 THEN ${1L << k} ELSE 0 END)").mkString(" + ")
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |tallies AS (
+       |  SELECT doc_id,
+       |    $tallies
+       |  FROM w GROUP BY doc_id),
+       |sh AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM tallies)""".stripMargin
+  }
+
+  private val duckCellExpr: String = {
+    val dots = (0 until K).map(c => duckDot("embedding", centroidLit(c)))
+    val g = s"greatest(${dots.mkString(", ")})"
+    (0 until K).foldRight("-1") { (c, acc) =>
+      s"CASE WHEN ${dots(c)} = $g THEN $c ELSE $acc END"
+    }
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q36_simhash" -> s"$simhashCte\nSELECT doc_id, simhash FROM sh",
+    "q37_simhash_buckets" -> s"""$simhashCte,
+      |groups AS (
+      |  SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+      |  FROM sh GROUP BY simhash)
+      |SELECT n_docs, COUNT(*) AS n_groups, MIN(min_doc_id) AS sample_doc_id
+      |FROM groups GROUP BY n_docs""".stripMargin,
+    "q38_ivf_cells" -> s"""WITH assigned AS (
+      |  SELECT vec_id, $duckCellExpr AS cell FROM embeddings)
+      |SELECT cell, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
+      |FROM assigned GROUP BY cell""".stripMargin,
+    "q39_ann_ivf" -> s"""WITH assigned AS (
+      |  SELECT vec_id, label, embedding, $duckCellExpr AS cell FROM embeddings),
+      |q AS (SELECT embedding AS qemb, cell AS qcell FROM assigned WHERE vec_id = 0)
+      |SELECT vec_id, label,
+      |  ${duckDot("embedding", "qemb")} /
+      |    (sqrt(${duckNormSq("embedding")}) * sqrt(${duckNormSq("qemb")})) AS cos_sim
+      |FROM assigned, q
+      |WHERE vec_id <> 0 AND cell = qcell
+      |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)
+}
