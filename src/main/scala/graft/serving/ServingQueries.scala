@@ -114,4 +114,49 @@ object ServingQueries {
       .unionByName(onDate(dwsRegister, date).agg(lit("register").as("type"),
         coalesce(sum(col("register_ct")), lit(0L)).as("value")))
   }
+
+  /** coupon/stats (CouponStatsMapper.java:10-16): coupon subsidy amount +
+    * rate over the trade order window. */
+  def couponStats(dwsTradeOrder: DataFrame, date: Int): DataFrame =
+    onDate(dwsTradeOrder, date)
+      .agg(sum(col("order_coupon_reduce_amount")).as("coupon_reduce_amount"),
+        (sum(col("order_coupon_reduce_amount")).cast("double") /
+          sum(col("order_origin_total_amount"))).as("coupon_subsidy_rate"))
+
+  /** user/uvPerPage (UserStatsMapper.java:12-36): per-page UV stack —
+    * UNION ALL of per-page aggregates (home / good_detail tracked by the
+    * page-view window; others default 0 like the reference). */
+  def uvPerPage(dwsPageView: DataFrame, date: Int): DataFrame = {
+    val base = onDate(dwsPageView, date)
+    base.agg(lit("home").as("page"),
+        coalesce(sum(col("home_uv_ct")), lit(0L)).as("uv_ct"))
+      .unionByName(base.agg(lit("good_detail").as("page"),
+        coalesce(sum(col("good_detail_uv_ct")), lit(0L)).as("uv_ct")))
+  }
+
+  /** user/userTradeCt (UserStatsMapper.java:57-66): 2-way union of trade
+    * user KPIs (order users / pay users). */
+  def userTradeCt(dwsTradeOrder: DataFrame, dwsPayment: DataFrame, date: Int)
+      : DataFrame =
+    onDate(dwsTradeOrder, date)
+      .agg(lit("order").as("type"),
+        coalesce(sum(col("order_unique_user_count")), lit(0L)).as("value"))
+      .unionByName(onDate(dwsPayment, date)
+        .agg(lit("payment").as("type"),
+          coalesce(sum(col("payment_suc_unique_user_count")), lit(0L)).as("value")))
+
+  /** legacy sugar/gmv (SugarController.java:24-58): one-number GMV. */
+  def sugarGmv(dwsTradeOrder: DataFrame, date: Int): DataFrame =
+    onDate(dwsTradeOrder, date)
+      .agg(coalesce(sum(col("order_origin_total_amount")), lit(0.0)).as("gmv"))
+
+  /** legacy sugar/ch (SugarController.java:60-96): UV by channel, top-N
+    * ordered — the reference's dashboard pulls the ordered list. */
+  def sugarChannelUv(dwsTrafficChannel: DataFrame, date: Int, topN: Int = 10)
+      : DataFrame =
+    onDate(dwsTrafficChannel, date)
+      .groupBy(col("ch"))
+      .agg(sum(col("uv_ct")).as("uv_ct"))
+      .orderBy(col("uv_ct").desc)
+      .limit(topN)
 }

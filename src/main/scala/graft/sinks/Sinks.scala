@@ -1,0 +1,73 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** Sink builders (SURVEY.md §2.2 K1–K5). Every streaming writer takes a
+  * checkpoint dir — Structured Streaming's always-on exactly-once
+  * bookkeeping (the reference's checkpoint configs are commented out;
+  * here they are mandatory).
+  */
+object Sinks {
+
+  /** K1: plain Kafka producer (append topic). */
+  def kafka(df: DataFrame, bootstrap: String, topic: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    df.select(to_json(struct(col("*"))).as("value"))
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** K2: upsert-Kafka analog — messages KEYED by the primary key so
+    * log-compacted topics + consumer-side keep-latest (Dedup.keepLatest)
+    * reproduce the reference's changelog semantics
+    * (MyKafkaUtil.getUpsertKafkaDDL, MyKafkaUtil.java:80-89). */
+  def upsertKafka(df: DataFrame, bootstrap: String, topic: String,
+      pkCols: Seq[String], checkpoint: String): DataStreamWriter[Row] =
+    df.select(
+        concat_ws("|", pkCols.map(col): _*).as("key"),
+        to_json(struct(col("*"))).as("value"))
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** K3: the ClickHouse-sink analog — dws_* serving tables as parquet
+    * PARTITIONED BY dt (yyyyMMdd of window start). Every §2.10 serving
+    * query filters on one date, so partition pruning reads exactly one
+    * partition — the same effect as ClickHouse's date partitioning. The
+    * whole micro-batch is one columnar file write (vs the reference's
+    * 5-row JDBC batches). */
+  def dwsParquet(df: DataFrame, path: String, checkpoint: String)
+      : DataStreamWriter[Row] =
+    df.withColumn("dt", date_format(col("stt"), "yyyyMMdd").cast("int"))
+      .writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("dt")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime("10 seconds"))
+
+  /** Batch flavor of K3 for foreachBatch bodies and tests. */
+  def writeDwsBatch(df: DataFrame, path: String): Unit =
+    df.withColumn("dt", date_format(col("stt"), "yyyyMMdd").cast("int"))
+      .write.mode("append").partitionBy("dt").parquet(path)
+
+  /** K4: dimension upsert — per-sink-table overwrite with
+    * keep-latest-per-pk already applied by DimRouter.dimFrames (replaces
+    * the reference's Phoenix `upsert into` + Redis invalidation: an
+    * overwritten snapshot needs no cache invalidation). */
+  def writeDim(frames: Map[String, DataFrame], rootPath: String): Unit =
+    frames.foreach { case (table, frame) =>
+      frame.write.mode("overwrite").parquet(s"$rootPath/$table")
+    }
+
+  /** K5: console debug sink. */
+  def console(df: DataFrame, checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream.format("console")
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+}

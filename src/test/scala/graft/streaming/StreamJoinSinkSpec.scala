@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.sinks.Sinks
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+case class Detail(detail_id: String, order_id: String, amount: Double, ts: Long)
+case class Info(info_order_id: String, user_id: String, its: Long)
+
+/** J1/J2 streaming form (ref DwdTradeOrderDetail.java:183-188): the
+  * stream-stream equi-join with watermark-bounded state, plus the K3
+  * partitioned serving sink with partition pruning. */
+class StreamJoinSinkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("stream-stream inner join matches rows across micro-batches (J1)") {
+    implicit val ctx = spark.sqlContext
+    val details = MemoryStream[Detail]
+    val infos = MemoryStream[Info]
+    val dWm = details.toDS()
+      .withColumn("d_time", (col("ts") / 1000).cast("timestamp"))
+      .withWatermark("d_time", "10 seconds")
+    val iWm = infos.toDS()
+      .withColumn("i_time", (col("its") / 1000).cast("timestamp"))
+      .withWatermark("i_time", "10 seconds")
+    // reference keeps join state 3 days (idle-state retention); here the
+    // time-range constraint bounds it to 60 s of event time
+    val joined = dWm.join(iWm,
+      col("order_id") === col("info_order_id") &&
+        col("i_time") >= col("d_time") - expr("interval 60 seconds") &&
+        col("i_time") <= col("d_time") + expr("interval 60 seconds"))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append).start()
+    try {
+      details.addData(Detail("d1", "o1", 10.0, 1000))
+      q.processAllAvailable()
+      assert(spark.table("ss_join").count() == 0) // info not arrived yet
+      infos.addData(Info("o1", "u1", 2000)) // later batch, within range
+      q.processAllAvailable()
+      assert(spark.table("ss_join").count() == 1) // matched across batches
+      infos.addData(Info("o2", "u2", 3000)) // no matching detail
+      q.processAllAvailable()
+      assert(spark.table("ss_join").count() == 1)
+    } finally q.stop()
+  }
+
+  test("dws parquet sink partitions by dt and serving queries prune (K3)") {
+    val dir = java.nio.file.Files.createTempDirectory("dws").toString
+    val dws = Seq(
+      ("2022-04-29 10:00:00", 5L), ("2022-04-30 11:00:00", 7L))
+      .toDF("stt_s", "uv_ct")
+      .select(to_timestamp(col("stt_s")).as("stt"), col("uv_ct"))
+    Sinks.writeDwsBatch(dws, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.columns.contains("dt"))
+    val pruned = back.filter(col("dt") === 20220429)
+    assert(pruned.count() == 1)
+    // partition pruning visible in the plan: only one dt dir read
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(back.count() == 2)
+  }
+}
