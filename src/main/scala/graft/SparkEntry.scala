@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.TimeAnalytics.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.VectorOps.queries ++
-      graft.queries.SimHashIvf.queries
+      graft.queries.SimHashIvf.queries ++
+      graft.queries.Extended.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -28,5 +29,6 @@ object SparkEntry {
       graft.queries.TimeAnalytics.oracle ++
       graft.queries.TextOps.oracle ++
       graft.queries.VectorOps.oracle ++
-      graft.queries.SimHashIvf.oracle
+      graft.queries.SimHashIvf.oracle ++
+      graft.queries.Extended.oracle
 }

@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.{Num, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extended relational surface beyond the reference's own inventory —
+  * the operators a user of a complete analytics engine expects even
+  * though the reference never needed them: semi/anti joins, right outer
+  * join (completing J9), ROLLUP subtotals, ranking window functions,
+  * frame-bounded moving aggregates, and an as-of join (composed from
+  * built-ins per the preference order — no custom plan node needed).
+  */
+object Extended {
+  import Num._
+
+  /** Semi/anti joins (EXISTS / NOT EXISTS): per market segment, customers
+    * with and without orders. Plans as LeftSemi/LeftAnti — no row
+    * multiplication, and the orders side only ships the join key. */
+  def joinSemiAnti(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select(col("o_custkey"))
+    val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("with_orders"))
+    val without = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("without_orders"))
+    withO.join(without, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("with_orders"), lit(0L)).as("with_orders"),
+        coalesce(col("without_orders"), lit(0L)).as("without_orders"))
+  }
+
+  /** Right outer join (J9 completeness): every customer keeps a row even
+    * with no orders. */
+  def joinRight(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "right")
+      .groupBy("c_mktsegment")
+      .agg(count(col("o_orderkey")).as("order_count"),
+        countDistinct(col("c_custkey")).as("customer_count"))
+
+  /** ROLLUP subtotals: (status, priority) → status → grand total. */
+  def rollupTotals(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(dsum(col("o_totalprice")).as("total_price"),
+        count(lit(1)).as("order_count"))
+
+  /** Top-N per group via ranking window: 3 priciest parts per brand
+    * (deterministic tiebreak on p_partkey). */
+  def topNPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(s, d)
+      .withColumn("rank_in_brand", row_number().over(w))
+      .filter(col("rank_in_brand") <= 3)
+      .select(col("p_brand"), col("rank_in_brand"), col("p_partkey"),
+        col("p_retailprice"))
+  }
+
+  /** Frame-bounded moving aggregate: 4-row moving quantity sum per
+    * supplier in shipdate order. Exact decimal accumulation inside the
+    * frame keeps it engine-exact. */
+  def movingAvg(s: SparkSession, d: String): DataFrame = {
+    val order = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val frame = order.rowsBetween(-3, Window.currentRow)
+    Tables.lineitem(s, d)
+      .filter(col("l_suppkey") <= 2)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(dec2(col("l_quantity"))).over(frame).cast("double").as("moving_qty"),
+        count(lit(1)).over(frame).as("frame_rows"))
+  }
+
+  /** As-of join — composed from built-ins (preference order (a) in the
+    * project brief): for each purchase, the user's latest click at or
+    * before it. Equi-join on user + range filter + max per purchase; at
+    * scale this is one shuffle on user_id (same as a custom sort-merge
+    * as-of node, without the bespoke operator). DuckDB's native ASOF JOIN
+    * is the oracle, proving semantic equivalence. */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("tsu", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("tsu").as("p_tsu"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("tsu").as("c_tsu"))
+    purchases
+      .join(clicks, col("p_user") === col("c_user") && col("c_tsu") <= col("p_tsu"))
+      .groupBy(col("p_id"), col("p_user"), col("p_tsu"))
+      .agg(max(col("c_tsu")).as("asof_click_tsu"))
+      .select(col("p_id").as("event_id"), col("p_user").as("user_id"),
+        col("asof_click_tsu"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_join_semi_anti" -> joinSemiAnti,
+    "q41_join_right" -> joinRight,
+    "q42_rollup_totals" -> rollupTotals,
+    "q43_topn_per_group" -> topNPerGroup,
+    "q44_moving_agg" -> movingAvg,
+    "q45_asof_join" -> asofJoin)
+
+  val oracle: Map[String, String] = Map(
+    "q40_join_semi_anti" ->
+      """WITH w AS (
+        |  SELECT c_mktsegment, COUNT(*) AS with_orders FROM customer
+        |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  GROUP BY c_mktsegment),
+        |wo AS (
+        |  SELECT c_mktsegment, COUNT(*) AS without_orders FROM customer
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  GROUP BY c_mktsegment)
+        |SELECT COALESCE(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+        |  COALESCE(with_orders, 0) AS with_orders,
+        |  COALESCE(without_orders, 0) AS without_orders
+        |FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment""".stripMargin,
+    "q41_join_right" ->
+      """SELECT c_mktsegment, COUNT(o_orderkey) AS order_count,
+        |  COUNT(DISTINCT c_custkey) AS customer_count
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q42_rollup_totals" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  COUNT(*) AS order_count
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q43_topn_per_group" ->
+      """SELECT p_brand, rank_in_brand, p_partkey, p_retailprice FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice, row_number() OVER
+        |    (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+        |    AS rank_in_brand
+        |  FROM part)
+        |WHERE rank_in_brand <= 3""".stripMargin,
+    "q44_moving_agg" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER
+        |    (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_qty,
+        |  COUNT(*) OVER
+        |    (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS frame_rows
+        |FROM lineitem WHERE l_suppkey <= 2""".stripMargin,
+    "q45_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(date_trunc('microseconds', ts)) AS tsu FROM events),
+        |p AS (SELECT event_id, user_id, tsu FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS c_user, tsu AS c_tsu FROM ev
+        |  WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, c.c_tsu AS asof_click_tsu
+        |FROM p ASOF JOIN c ON p.user_id = c.c_user AND p.tsu >= c.c_tsu""".stripMargin)
+}
