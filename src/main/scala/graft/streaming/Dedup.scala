@@ -78,6 +78,36 @@ object Dedup {
       }
   }
 
+  /** Like [[dailyFirst]] but emits the FULL first event (the reference's
+    * UV stream carries the whole log row forward —
+    * DwdTrafficUniqueVisitorDetail.java:118). */
+  def dailyFirstEvents(ds: Dataset[KeyedEvent]): Dataset[KeyedEvent] = {
+    import ds.sparkSession.implicits._
+    val streaming = ds.isStreaming
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[String, KeyedEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, events, state: GroupState[String]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var lastDate = state.getOption.getOrElse("")
+            var maxTs = 0L
+            val out = events.toSeq.sortBy(e => (e.ts, e.payload)).flatMap { e =>
+              maxTs = math.max(maxTs, e.ts)
+              val dt = dateOf(e.ts)
+              if (dt != lastDate) { lastDate = dt; Some(e) } else None
+            }
+            if (streaming) {
+              state.update(lastDate)
+              state.setTimeoutTimestamp(
+                math.max(maxTs + 2L * 24 * 3600 * 1000,
+                  state.getCurrentWatermarkMs + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** A5: daily-dedup ("independent visitor") — emit only the FIRST event
     * of each key per UTC day (ref DwdTrafficUniqueVisitorDetail
     * .java:60-109: ValueState[lastDate], 1-day TTL). State = last seen
