@@ -94,13 +94,39 @@ object Extended {
         col("asof_click_tsu"))
   }
 
+  /** A4 via the custom typed Aggregator (graft.functions.ExactDistinct):
+    * must equal COUNT(DISTINCT ...) exactly — the oracle proves the
+    * partial/merge path correct. */
+  def exactDistinctAgg(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ExactDistinct.exact_distinct
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(exact_distinct(col("o_custkey")).as("distinct_customers"),
+        count(lit(1)).as("order_count"))
+  }
+
+  /** Skew-transparent salted aggregation (graft.operators.Skew): the
+    * two-phase salted plan must produce EXACTLY the plain groupBy result
+    * (decimal sums are associative, so resharding by salt is invisible). */
+  def saltedAgg(s: SparkSession, d: String): DataFrame =
+    graft.operators.Skew.saltedSumCount(
+      Tables.lineitem(s, d),
+      keys = Seq("l_returnflag"),
+      sumCols = Seq("sum_qty" -> dec2(col("l_quantity"))),
+      saltFrom = col("l_orderkey"),
+      salts = 16)
+      .select(col("l_returnflag"), col("sum_qty").cast("double").as("sum_qty"),
+        col("row_count"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_join_semi_anti" -> joinSemiAnti,
     "q41_join_right" -> joinRight,
     "q42_rollup_totals" -> rollupTotals,
     "q43_topn_per_group" -> topNPerGroup,
     "q44_moving_agg" -> movingAvg,
-    "q45_asof_join" -> asofJoin)
+    "q45_asof_join" -> asofJoin,
+    "q46_exact_distinct_agg" -> exactDistinctAgg,
+    "q47_salted_agg" -> saltedAgg)
 
   val oracle: Map[String, String] = Map(
     "q40_join_semi_anti" ->
@@ -149,5 +175,15 @@ object Extended {
         |c AS (SELECT user_id AS c_user, tsu AS c_tsu FROM ev
         |  WHERE event_type = 'click')
         |SELECT p.event_id, p.user_id, c.c_tsu AS asof_click_tsu
-        |FROM p ASOF JOIN c ON p.user_id = c.c_user AND p.tsu >= c.c_tsu""".stripMargin)
+        |FROM p ASOF JOIN c ON p.user_id = c.c_user AND p.tsu >= c.c_tsu""".stripMargin,
+    "q46_exact_distinct_agg" ->
+      """SELECT o_orderstatus,
+        |  COUNT(DISTINCT o_custkey) AS distinct_customers,
+        |  COUNT(*) AS order_count
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q47_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS row_count
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
 }
