@@ -35,7 +35,8 @@ object GraftSession {
       .getOrCreate()
 
   private def base(b: SparkSession.Builder): SparkSession.Builder =
-    b.config("spark.sql.adaptive.enabled", "true")
+    b.withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "zstd")
 }

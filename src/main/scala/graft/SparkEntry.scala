@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.TextOps.queries ++
       graft.queries.VectorOps.queries ++
       graft.queries.SimHashIvf.queries ++
-      graft.queries.Extended.queries
+      graft.queries.Extended.queries ++
+      graft.queries.DataPrep.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.TextOps.oracle ++
       graft.queries.VectorOps.oracle ++
       graft.queries.SimHashIvf.oracle ++
-      graft.queries.Extended.oracle
+      graft.queries.Extended.oracle ++
+      graft.queries.DataPrep.oracle
 }

@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation operators: document chunking, deterministic
+  * sampling, and PII-style masking — the remaining pipeline stages a
+  * 100 TB corpus run needs between dedup and tokenization.
+  *
+  * Portability: chunk boundaries are pure integer arithmetic over the
+  * token array; sampling keys off md5 hex prefixes (uniform, stable,
+  * engine-identical); masking uses regex class `[0-9]+` which Java regex
+  * and RE2 treat identically (DuckDB needs the 'g' flag for global
+  * replace — Spark replaces all matches by default).
+  */
+object DataPrep {
+
+  private val ChunkTokens = 50
+
+  /** Fixed-size token chunking: every document → ⌈n/50⌉ chunks of ≤50
+    * tokens. One row per chunk with an integrity hash — the unit of work
+    * for downstream tokenization/embedding. Scale: explode is linear,
+    * no shuffle until a downstream groupBy. */
+  def docChunks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), ceil(size(col("ws")) / lit(ChunkTokens.toDouble))
+            .cast("int") - 1),
+          i => concat_ws(" ",
+            slice(col("ws"), i * ChunkTokens + 1, lit(ChunkTokens)))))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(split(col("chunk"), " ")).cast("long").as("chunk_tokens"),
+        md5(col("chunk")).as("chunk_hash"))
+
+  /** Deterministic ~1/8 sample: md5(doc_id) first hex char ∈ {0,1}.
+    * Stable across runs/engines/partitionings — the reproducible-split
+    * primitive (train/val splits, A/B corpora). */
+  def deterministicSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  /** PII-style masking: digit runs → '#'. (The corpus has no real PII;
+    * the operator shape — global regex scrub inside codegen — is what a
+    * real pipeline swaps patterns into: emails, phones, SSNs.) */
+  def piiMask(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        regexp_replace(col("props"), "[0-9]+", "#").as("masked_props"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_doc_chunks" -> docChunks,
+    "q49_deterministic_sample" -> deterministicSample,
+    "q50_pii_mask" -> piiMask)
+
+  val oracle: Map[String, String] = Map(
+    "q48_doc_chunks" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |seq AS (
+         |  SELECT doc_id, ws,
+         |    unnest(range(0, CAST(ceil(len(ws) / $ChunkTokens.0) AS BIGINT)))
+         |      AS chunk_idx
+         |  FROM base),
+         |chunks AS (
+         |  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |    array_to_string(list_slice(ws,
+         |      CAST(chunk_idx * $ChunkTokens + 1 AS BIGINT),
+         |      CAST(chunk_idx * $ChunkTokens + $ChunkTokens AS BIGINT)), ' ')
+         |      AS chunk
+         |  FROM seq)
+         |SELECT doc_id, chunk_idx,
+         |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS chunk_tokens,
+         |  md5(chunk) AS chunk_hash
+         |FROM chunks""".stripMargin,
+    "q49_deterministic_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')""".stripMargin,
+    "q50_pii_mask" ->
+      """SELECT event_id,
+        |  regexp_replace(props, '[0-9]+', '#', 'g') AS masked_props
+        |FROM events""".stripMargin)
+}
