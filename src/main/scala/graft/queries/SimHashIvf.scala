@@ -9,9 +9,9 @@ import org.apache.spark.sql.functions._
   * the remaining two dedup/similarity family members (beyond exact-hash,
   * MinHash+LSH, shingle-Jaccard and brute-force cosine).
   *
-  * Portability: SimHash bit k uses a per-bit salted md5 and takes the
-  * high bit of the first hex char — pure string ops that both engines
-  * evaluate identically, no binary arithmetic. IVF cell assignment is an
+  * Portability: SimHash bit k is the high bit of hex char k of one md5
+  * per word — pure string ops that both engines evaluate identically,
+  * no binary arithmetic. IVF cell assignment is an
   * argmax over dot products with md5-derived ±1 centroid directions;
   * dots are bit-exact (see VecDot), so the argmax agrees too.
   *
@@ -26,14 +26,18 @@ object SimHashIvf {
   private val Bits = 16
   private val HighHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
 
-  /** SimHash: per bit, words vote ±1 by a salted hash bit; the sign of
-    * the tally is the fingerprint bit. Near-dup docs differ in few bits. */
+  /** SimHash: per bit, words vote ±1 by a hash bit; the sign of the
+    * tally is the fingerprint bit. Near-dup docs differ in few bits.
+    * ONE md5 per word supplies all 16 bits (the high bit of each hex
+    * char) — same engine-portable string ops, 16x less hashing than a
+    * per-bit salted hash. */
   def simhash(s: SparkSession, d: String): DataFrame = {
     val words = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"), md5(col("word")).as("h"))
     val tallies = (0 until Bits).map { k =>
-      sum(when(substring(md5(concat(lit(s"sh$k:"), col("word"))), 1, 1)
-        .isin(HighHex: _*), 1L).otherwise(-1L)).as(s"s$k")
+      sum(when(substring(col("h"), k + 1, 1).isin(HighHex: _*), 1L)
+        .otherwise(-1L)).as(s"s$k")
     }
     val fp = (0 until Bits).map { k =>
       when(col(s"s$k") >= 0, lit(1L << k)).otherwise(0L)
@@ -116,7 +120,7 @@ object SimHashIvf {
 
   private val simhashCte: String = {
     val tallies = (0 until Bits).map { k =>
-      s"SUM(CASE WHEN substr(md5('sh$k:' || word), 1, 1) IN " +
+      s"SUM(CASE WHEN substr(md5(word), ${k + 1}, 1) IN " +
         s"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$k"
     }.mkString(",\n    ")
     val fp = (0 until Bits).map(k =>
