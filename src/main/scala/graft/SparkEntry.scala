@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.VectorOps.queries ++
       graft.queries.SimHashIvf.queries ++
       graft.queries.Extended.queries ++
-      graft.queries.DataPrep.queries
+      graft.queries.DataPrep.queries ++
+      graft.queries.Extended2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.VectorOps.oracle ++
       graft.queries.SimHashIvf.oracle ++
       graft.queries.Extended.oracle ++
-      graft.queries.DataPrep.oracle
+      graft.queries.DataPrep.oracle ++
+      graft.queries.Extended2.oracle
 }

@@ -187,3 +187,58 @@ object Extended {
         |  COUNT(*) AS row_count
         |FROM lineitem GROUP BY l_returnflag""".stripMargin)
 }
+
+/** Second extension pack: multidimensional subtotals, ordered string
+  * aggregation, and exact percentiles. */
+object Extended2 {
+  import Num._
+
+  /** CUBE: all subtotal combinations over (returnflag, linestatus). */
+  def cubeTotals(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("line_count"))
+
+  /** Ordered string aggregation (group concat) — portable via sorting
+    * before concatenation on both engines. */
+  def stringAgg(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .groupBy("n_regionkey")
+      .agg(concat_ws(",", array_sort(collect_list(col("n_name"))))
+        .as("nations_csv"))
+      .select(col("n_regionkey").cast("long").as("region_key"), col("nations_csv"))
+
+  /** Exact percentiles (median / p90) of order totals per status — both
+    * engines use linear interpolation over the sorted values. */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_cube_totals" -> cubeTotals,
+    "q52_string_agg" -> stringAgg,
+    "q53_percentiles" -> percentiles)
+
+  val oracle: Map[String, String] = Map(
+    "q51_cube_totals" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS line_count
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q52_string_agg" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS region_key,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
+    "q53_percentiles" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.9) AS p90,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin)
+}
