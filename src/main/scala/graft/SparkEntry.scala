@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.SimHashIvf.queries ++
       graft.queries.Extended.queries ++
       graft.queries.DataPrep.queries ++
-      graft.queries.Extended2.queries
+      graft.queries.Extended2.queries ++
+      graft.queries.Extended3.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.SimHashIvf.oracle ++
       graft.queries.Extended.oracle ++
       graft.queries.DataPrep.oracle ++
-      graft.queries.Extended2.oracle
+      graft.queries.Extended2.oracle ++
+      graft.queries.Extended3.oracle
 }

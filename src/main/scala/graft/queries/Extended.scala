@@ -242,3 +242,50 @@ object Extended2 {
         |  MAX(o_totalprice) AS max_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin)
 }
+
+/** Third extension pack: pivot and the native grouped top-k aggregate. */
+object Extended3 {
+
+  /** Pivot (wide KPI tables): events per day × event_type. `coalesce`
+    * because pivot yields null for absent cells where the oracle's
+    * CASE-sum yields 0. */
+  def pivotCounts(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("event_date") +: types.map(t =>
+        coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
+  /** Grouped top-k via the native TypedImperativeAggregate
+    * (graft.functions.TopKBy): bounded heap instead of window sort. */
+  def topkAgg(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TopKBy.register(s)
+    Tables.part(s, d)
+      .groupBy("p_brand")
+      .agg(call_function("topk_by", col("p_retailprice"), col("p_partkey"),
+        lit(3)).as("top_parts"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_pivot_counts" -> pivotCounts,
+    "q55_topk_agg" -> topkAgg)
+
+  val oracle: Map[String, String] = Map(
+    "q54_pivot_counts" ->
+      """WITH ev AS (SELECT date_trunc('microseconds', ts) AS ts, event_type
+        |  FROM events)
+        |SELECT CAST(ts AS DATE) AS event_date,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM ev GROUP BY 1""".stripMargin,
+    "q55_topk_agg" ->
+      """SELECT p_brand,
+        |  (list(p_partkey ORDER BY p_retailprice DESC, p_partkey))[1:3] AS top_parts
+        |FROM part GROUP BY p_brand""".stripMargin)
+}
