@@ -82,6 +82,20 @@ class StatefulOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dailyFirst and keepLatest are invariant under repartitioning") {
+    val rnd = new scala.util.Random(7)
+    val events = (1 to 300).map(i =>
+      ev(s"u${i % 17}", rnd.nextLong(3 * Day), s"p$i"))
+    val base = events.toDS()
+    val shuffled = events.reverse.toDS().repartition(13)
+    def norm(rows: Array[DailyFirst]) = rows.map(r => (r.key, r.date, r.ts)).toSeq.sorted
+    assert(norm(Dedup.dailyFirst(base).collect()) ==
+      norm(Dedup.dailyFirst(shuffled).collect()))
+    def normK(rows: Array[KeyedEvent]) = rows.map(r => (r.key, r.ts, r.payload)).toSeq.sorted
+    assert(normK(Dedup.keepLatest(base).collect()) ==
+      normK(Dedup.keepLatest(shuffled).collect()))
+  }
+
   // ---- VisitorState.repairIsNew (P8) ----
   private def pe(mid: String, isNew: String, ts: Long,
       last: Option[String] = None) = PageEvent(mid, "home", last, isNew, ts)
