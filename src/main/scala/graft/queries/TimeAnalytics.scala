@@ -159,8 +159,22 @@ object TimeAnalytics {
       .agg(count(lit(1)).as("pair_count"))
   }
 
+  /** A2 analog (keyless windowAll — ref DwsUserUserRegisterWindow
+    * .java:68-88): global 10 s tumbling totals. Keyless groupBy(window)
+    * still does parallel partial aggregation — better than Flink's
+    * parallelism-1 windowAll, same results. */
+  def globalWindowTotals(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "10 seconds"))
+      .agg(count(lit(1)).as("event_count"),
+        countDistinct(col("user_id")).as("active_users"),
+        dsum(col("value"), 6).as("total_value"))
+      .select(col("window.start").as("wstart"), col("event_count"),
+        col("active_users"), col("total_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_window_tumble_10s" -> windowTumble,
+    "q56_global_window" -> globalWindowTotals,
     "q14_daily_active_users" -> dailyActiveUsers,
     "q15_time_buckets" -> timeBuckets,
     "q16_dedup_keep_first" -> dedupKeepFirst,
@@ -177,6 +191,12 @@ object TimeAnalytics {
       |  user_id, event_type, value, props FROM events)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q56_global_window" -> s"""$evCte
+      |SELECT time_bucket(INTERVAL '10 seconds', ts) AS wstart,
+      |  COUNT(*) AS event_count,
+      |  COUNT(DISTINCT user_id) AS active_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM ev GROUP BY 1""".stripMargin,
     "q13_window_tumble_10s" -> s"""$evCte
       |SELECT time_bucket(INTERVAL '10 seconds', ts) AS wstart, event_type,
       |  COUNT(*) AS event_count,

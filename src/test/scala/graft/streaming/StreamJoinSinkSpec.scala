@@ -64,3 +64,35 @@ class StreamJoinSinkSpec extends AnyFunSuite {
     assert(back.count() == 2)
   }
 }
+
+/** The production state-store configuration (GraftSession) must actually
+  * run: a stateful streaming query under the RocksDB provider. */
+class RocksDbStateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("dailyFirst runs on the RocksDB state store provider") {
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[KeyedEvent]
+    val q = Dedup.dailyFirst(Dedup.withMsWatermark(mem.toDS()))
+      .writeStream.format("memory").queryName("rocks_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(KeyedEvent("u1", 1000, "a"), KeyedEvent("u1", 2000, "b"))
+      q.processAllAvailable()
+      mem.addData(KeyedEvent("u1", 3000, "c")) // same day, state in RocksDB
+      q.processAllAvailable()
+      assert(spark.table("rocks_out").count() == 1)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
