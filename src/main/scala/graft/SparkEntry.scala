@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.Extended.queries ++
       graft.queries.DataPrep.queries ++
       graft.queries.Extended2.queries ++
-      graft.queries.Extended3.queries
+      graft.queries.Extended3.queries ++
+      graft.queries.Advanced.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.Extended.oracle ++
       graft.queries.DataPrep.oracle ++
       graft.queries.Extended2.oracle ++
-      graft.queries.Extended3.oracle
+      graft.queries.Extended3.oracle ++
+      graft.queries.Advanced.oracle
 }

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Advanced composite operators: connected-components dedup clustering
+  * (the decision step after candidate generation) and a sequential
+  * conversion funnel.
+  */
+object Advanced {
+
+  /** Near-dup clustering: q31's candidate pairs → connected components →
+    * one representative (min doc_id) per cluster. Spark side is iterative
+    * min-label propagation over the edge list — the standard distributed
+    * connected-components loop (alternating small joins; at 100 TB each
+    * iteration is one shuffle on doc_id and the loop is
+    * O(log(component diameter)), with checkpointing between rounds to cut
+    * lineage). The oracle is a recursive CTE computing the same minimum
+    * reachable id — proving the loop equivalent to transitive closure. */
+  /** Edge-count cutoff below which components are solved with union-find
+    * on the driver: after LSH/shingle candidate generation the dup graph
+    * is a vanishing fraction of the corpus, and a bounded collect beats
+    * O(diameter) distributed rounds — the same small-side reasoning as a
+    * broadcast join. Above the cutoff, the distributed loop runs. */
+  private val DriverEdgeCutoff = 100000
+
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = TextOps.ngramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .distinct()
+      .cache()
+    val edgeCount = edges.count()
+    if (edgeCount <= DriverEdgeCutoff) {
+      import s.implicits._
+      val es = edges.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val rows = es.map(_._1).distinct.map(n => (n, find(n))).toSeq
+      return rows.toDF("doc_id", "cluster_rep")
+        .select(col("doc_id"), col("cluster_rep"),
+          (col("doc_id") === col("cluster_rep")).as("is_kept"))
+    }
+    val nodes = edges.select(col("doc_a").as("doc_id")).distinct()
+    // localCheckpoint each round: iterative DataFrame loops otherwise
+    // grow the logical plan exponentially (each iteration embeds the
+    // previous plan twice) — lineage truncation is what makes the loop
+    // O(iterations), and on a cluster it also bounds recovery cost.
+    var labels = nodes.withColumn("label", col("doc_id")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val neighborMin = edges
+        .join(labels, edges("doc_b") === labels("doc_id"))
+        .groupBy(edges("doc_a").as("doc_id"))
+        .agg(min(col("label")).as("nbr_label"))
+      // change flag computed IN the update projection — one join and one
+      // action per iteration instead of two
+      val updated = labels.alias("l")
+        .join(neighborMin.alias("n"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("l.label"), coalesce(col("n.nbr_label"), col("l.label")))
+            .as("label"),
+          (coalesce(col("n.nbr_label"), col("l.label")) < col("l.label"))
+            .as("changed"))
+        .localCheckpoint()
+      converged = updated.filter(col("changed")).isEmpty
+      labels = updated.drop("changed")
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_rep"),
+      (col("doc_id") === col("label")).as("is_kept"))
+  }
+
+  /** Conversion funnel: users whose first purchase follows their first
+    * click within 1 h — pure integer-µs sequencing, grouped by date of
+    * the click. */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d).withColumn("tsu", unix_micros(col("ts")))
+    val firstClick = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("tsu")).as("click_tsu"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsu").as("p_tsu"))
+    firstClick
+      .join(purchases, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("click_tsu"))
+      .agg(
+        max(when(col("p_tsu") >= col("click_tsu") &&
+          col("p_tsu") <= col("click_tsu") + 3600L * 1000000L, 1L)
+          .otherwise(0L)).as("converted"))
+      .groupBy(to_date(timestamp_micros(col("click_tsu"))).as("click_date"))
+      .agg(count(lit(1)).as("clickers"),
+        sum(col("converted")).as("converted_1h"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_dedup_clusters" -> dedupClusters,
+    "q58_funnel" -> funnel)
+
+  // ngramJaccard candidate pairs, re-stated for the recursive oracle
+  private val pairsCte =
+    """WITH RECURSIVE w AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(text, ' ')) AS word,
+      |    unnest(range(0, len(string_split(text, ' ')))) AS pos
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    word || ' ' || lead(word, 1) OVER dw || ' ' || lead(word, 2) OVER dw
+      |      AS shingle
+      |  FROM w WHERE doc_id < 100
+      |  WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+      |sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q57_dedup_clusters" -> s"""$pairsCte,
+      |edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+      |SELECT n.doc_id,
+      |  LEAST(n.doc_id, MIN(r.v)) AS cluster_rep,
+      |  n.doc_id = LEAST(n.doc_id, MIN(r.v)) AS is_kept
+      |FROM nodes n JOIN reach r ON r.u = n.doc_id
+      |GROUP BY n.doc_id""".stripMargin,
+    "q58_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    epoch_us(date_trunc('microseconds', ts)) AS tsu FROM events),
+        |fc AS (SELECT user_id, MIN(tsu) AS click_tsu FROM ev
+        |  WHERE event_type = 'click' GROUP BY user_id),
+        |p AS (SELECT user_id, tsu AS p_tsu FROM ev WHERE event_type = 'purchase'),
+        |per_user AS (
+        |  SELECT fc.user_id, fc.click_tsu,
+        |    MAX(CASE WHEN p.p_tsu >= fc.click_tsu
+        |      AND p.p_tsu <= fc.click_tsu + CAST(3600000000 AS BIGINT)
+        |      THEN 1 ELSE 0 END) AS converted
+        |  FROM fc LEFT JOIN p ON fc.user_id = p.user_id
+        |  GROUP BY fc.user_id, fc.click_tsu)
+        |SELECT CAST(make_timestamp(click_tsu) AS DATE) AS click_date,
+        |  COUNT(*) AS clickers,
+        |  CAST(SUM(converted) AS BIGINT) AS converted_1h
+        |FROM per_user GROUP BY 1""".stripMargin)
+}
