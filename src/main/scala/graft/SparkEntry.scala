@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.DataPrep.queries ++
       graft.queries.Extended2.queries ++
       graft.queries.Extended3.queries ++
-      graft.queries.Advanced.queries
+      graft.queries.Advanced.queries ++
+      graft.queries.WindowKinds.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.queries.DataPrep.oracle ++
       graft.queries.Extended2.oracle ++
       graft.queries.Extended3.oracle ++
-      graft.queries.Advanced.oracle
+      graft.queries.Advanced.oracle ++
+      graft.queries.WindowKinds.oracle
 }

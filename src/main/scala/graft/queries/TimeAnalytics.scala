@@ -274,3 +274,71 @@ object TimeAnalytics {
       |  AND p_tsu >= c_tsu AND p_tsu <= c_tsu + CAST(3600000000 AS BIGINT)
       |GROUP BY c_user""".stripMargin)
 }
+
+/** Sliding + session windows — the two remaining window kinds beyond
+  * tumbling (the reference only uses 10 s tumbling; a complete engine
+  * exposes all three). The session-window oracle reconstructs sessions
+  * from first principles (lag + cumulative sum), proving Spark's native
+  * `session_window` matches the manual state-machine semantics. */
+object WindowKinds {
+  import graft.Num._
+  import org.apache.spark.sql.expressions.{Window => W}
+
+  /** 30 s windows sliding every 10 s: each event lands in 3 windows. */
+  def slidingWindow(s: SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d)
+      .groupBy(window(col("ts"), "30 seconds", "10 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("event_count"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("event_count"))
+
+  /** Native session windows: 10-minute inactivity gap per user. */
+  def sessionWindow(s: SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("session_events"),
+        dsum(col("value"), 6).as("session_value"))
+      .select(col("session_window.start").as("sstart"), col("user_id"),
+        col("session_events"), col("session_value"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_sliding_window" -> slidingWindow,
+    "q60_session_window" -> sessionWindow)
+
+  val oracle: Map[String, String] = Map(
+    // each event contributes to 3 slide-aligned windows: k = 0,1,2
+    "q59_sliding_window" ->
+      """WITH ev AS (SELECT date_trunc('microseconds', ts) AS ts, event_type
+        |  FROM events),
+        |expanded AS (
+        |  SELECT event_type,
+        |    time_bucket(INTERVAL '10 seconds', ts)
+        |      - CAST(unnest([0, 1, 2]) * 10 AS BIGINT) * INTERVAL '1 second'
+        |      AS wstart,
+        |    ts
+        |  FROM ev)
+        |SELECT wstart, event_type, COUNT(*) AS event_count
+        |FROM expanded
+        |WHERE ts >= wstart AND ts < wstart + INTERVAL '30 seconds'
+        |GROUP BY wstart, event_type""".stripMargin,
+    // first-principles sessions: gap > 10 min starts a new session; the
+    // session window starts at its first event
+    "q60_session_window" ->
+      """WITH ev AS (SELECT user_id, event_id, value,
+        |    date_trunc('microseconds', ts) AS ts FROM events),
+        |lagged AS (
+        |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS prev_ts FROM ev),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR ts - prev_ts > INTERVAL '10 minutes' THEN 1 ELSE 0 END
+        |    AS new_session FROM lagged),
+        |numbered AS (
+        |  SELECT *, SUM(new_session) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS session_seq FROM flagged)
+        |SELECT MIN(ts) AS sstart, user_id,
+        |  COUNT(*) AS session_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+        |FROM numbered GROUP BY user_id, session_seq""".stripMargin)
+}
