@@ -41,22 +41,30 @@ object DimRouter {
 
   /** K4: one micro-batch's routed rows → per-dim-table frames with the
     * configured column set and keep-latest-per-pk dedup (replaces the
-    * Phoenix upsert — last write wins). Returns sinkTable → frame; the
-    * caller writes each (e.g. overwrite parquet partition, Delta MERGE). */
+    * Phoenix upsert — last write wins). Binlog order columns
+    * (`_ts/_xid/_xoffset`) are RETAINED so the writer can merge against
+    * previously persisted rows (Sinks.writeDim) — without them an
+    * overwrite would lose every dim row not re-sent in the current batch. */
   def dimFrames(routed: DataFrame, rules: Seq[TableProcess])
-      : Map[String, DataFrame] =
+      : Map[String, DimFrame] =
     rules.map { rule =>
       val cols = rule.sinkColumns.map(c => col("data").getItem(c).as(c))
       val base = routed.filter(col("sink_table") === rule.sinkTable)
-        .select(cols :+ col("ts") :+ col("xid") :+ col("xoffset"): _*)
-      // keep-latest per pk: binlog order = (ts, xid, xoffset)
-      val deduped = base
-        .withColumn("_rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col(rule.sinkPk))
-            .orderBy(col("ts").desc, col("xid").desc, col("xoffset").desc)))
-        .filter(col("_rn") === 1)
-        .drop("_rn", "ts", "xid", "xoffset")
-      rule.sinkTable -> deduped
+        .select(cols :+ col("ts").as("_ts") :+ col("xid").as("_xid") :+
+          col("xoffset").as("_xoffset"): _*)
+      rule.sinkTable -> DimFrame(dedupLatest(base, rule.sinkPk), rule.sinkPk)
     }.toMap
+
+  /** Keep-latest per pk in binlog order (ts, xid, xoffset). */
+  def dedupLatest(df: DataFrame, pk: String): DataFrame =
+    df.withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(pk))
+          .orderBy(col("_ts").desc, col("_xid").desc, col("_xoffset").desc)))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+
+  /** A dim batch frame + the pk the writer merges on. Carries
+    * `_ts/_xid/_xoffset` for cross-batch last-write-wins. */
+  case class DimFrame(frame: DataFrame, pk: String)
 }

@@ -75,7 +75,8 @@ object DwsWindows {
       .select(explode(Tokenize.tokenize(col("page.item"))).as("keyword"),
         (col("ts") / 1000).cast("timestamp").as("event_time"))
       .groupBy(tumble(col("event_time")), col("keyword"))
-      .agg(count(lit(1)).as("keyword_count")))
+      .agg(count(lit(1)).as("keyword_count"))
+      .withColumn("source", lit("SEARCH")))
 
   /** A2 (ref the six windowAll jobs, e.g. DwsUserUserRegisterWindow
     * .java:68-88): keyless tumbling window over flag columns — each
@@ -96,6 +97,16 @@ object DwsWindows {
       .groupBy(tumble(col(tsCol)), col("province_id"))
       .agg(size(collect_set(col("order_id"))).cast("long").as("order_count"),
         sum(col("split_total_amount").cast("decimal(16,2)")).as("order_amount")))
+
+  /** provinceOrderWindow + post-aggregation dim name join — the
+    * reference attaches provinceName AFTER the window agg
+    * (DwsTradeProvinceOrderWindow.java:115-130); serving queries expect
+    * `province_name`. */
+  def provinceOrderWindowNamed(orderDetail: DataFrame, dimProvince: DataFrame,
+      tsCol: String = "event_time"): DataFrame =
+    provinceOrderWindow(orderDetail, tsCol)
+      .join(broadcast(dimProvince.select(col("id").as("province_id"),
+        col("name").as("province_name"))), Seq("province_id"), "left")
 
   /** J6 (ref DwsTradeTrademarkCategoryUserSpuOrderWindow.java:88-199):
     * the 6-deep async dim chain as ONE multi-way broadcast hash join —

@@ -19,10 +19,14 @@ import scala.collection.mutable
   * At extreme cardinality swap to `approx_count_distinct` (HLL++) — the
   * exact form mirrors the reference's semantics.
   */
-object ExactDistinct extends Aggregator[Long, mutable.HashSet[Long], Long] {
+object ExactDistinct
+    extends Aggregator[java.lang.Long, mutable.HashSet[Long], Long] {
   override def zero: mutable.HashSet[Long] = mutable.HashSet.empty
-  override def reduce(b: mutable.HashSet[Long], a: Long): mutable.HashSet[Long] = {
-    b += a; b
+  // boxed input + null skip: COUNT(DISTINCT) ignores nulls, so must we
+  override def reduce(b: mutable.HashSet[Long], a: java.lang.Long)
+      : mutable.HashSet[Long] = {
+    if (a != null) b += a.longValue
+    b
   }
   override def merge(x: mutable.HashSet[Long], y: mutable.HashSet[Long])
       : mutable.HashSet[Long] =

@@ -108,7 +108,8 @@ object Multimodal {
   /** Rebalance by payload size before CPU-heavy stages: target ~`mb` MB of
     * media bytes per partition regardless of row skew. */
   def repartitionForDecode(df: DataFrame, mb: Int = 64): DataFrame = {
-    val totalBytes = df.agg(sum(length(col("bytes")))).head().getLong(0).max(1L)
+    val totalBytes = Option(df.agg(sum(length(col("bytes")))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L).max(1L) // empty frame → sum is null
     val parts = math.max(1, (totalBytes / (mb.toLong << 20)).toInt)
     df.repartition(parts)
   }

@@ -9,14 +9,6 @@ import org.apache.spark.sql.functions._
   */
 object Advanced {
 
-  /** Near-dup clustering: q31's candidate pairs → connected components →
-    * one representative (min doc_id) per cluster. Spark side is iterative
-    * min-label propagation over the edge list — the standard distributed
-    * connected-components loop (alternating small joins; at 100 TB each
-    * iteration is one shuffle on doc_id and the loop is
-    * O(log(component diameter)), with checkpointing between rounds to cut
-    * lineage). The oracle is a recursive CTE computing the same minimum
-    * reachable id — proving the loop equivalent to transitive closure. */
   /** Edge-count cutoff below which components are solved with union-find
     * on the driver: after LSH/shingle candidate generation the dup graph
     * is a vanishing fraction of the corpus, and a bounded collect beats
@@ -24,6 +16,13 @@ object Advanced {
     * broadcast join. Above the cutoff, the distributed loop runs. */
   private val DriverEdgeCutoff = 100000
 
+  /** Near-dup clustering: q31's candidate pairs → connected components →
+    * one representative (min doc_id) per cluster. Spark side is iterative
+    * min-label propagation over the edge list — the standard distributed
+    * connected-components loop (one shuffle on doc_id per round,
+    * localCheckpoint between rounds to cut lineage). The oracle is a
+    * recursive CTE computing the same minimum reachable id — proving the
+    * loop equivalent to transitive closure. */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = TextOps.ngramJaccard(s, d).select(col("doc_a"), col("doc_b"))
     val edges = pairs
@@ -56,7 +55,7 @@ object Advanced {
     var labels = nodes.withColumn("label", col("doc_id")).localCheckpoint()
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    while (!converged && iter < 50) {
       val neighborMin = edges
         .join(labels, edges("doc_b") === labels("doc_id"))
         .groupBy(edges("doc_a").as("doc_id"))
@@ -75,6 +74,11 @@ object Advanced {
       labels = updated.drop("changed")
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $iter rounds — component " +
+          "diameter exceeds the cap; raise the cap or switch to " +
+          "path-doubling propagation")
     labels.select(col("doc_id"), col("label").as("cluster_rep"),
       (col("doc_id") === col("label")).as("is_kept"))
   }

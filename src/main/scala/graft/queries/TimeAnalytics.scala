@@ -292,7 +292,9 @@ object WindowKinds {
       .select(col("window.start").as("wstart"), col("event_type"),
         col("event_count"))
 
-  /** Native session windows: 10-minute inactivity gap per user. */
+  /** Native session windows: 10-minute inactivity gap per user. Session
+    * windows are `[ts, ts+gap)`, so a gap of EXACTLY the duration starts
+    * a new session — the oracle uses `>=` to match. */
   def sessionWindow(s: SparkSession, d: String): DataFrame =
     graft.Tables.events(s, d)
       .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
@@ -331,7 +333,7 @@ object WindowKinds {
         |    AS prev_ts FROM ev),
         |flagged AS (
         |  SELECT *, CASE WHEN prev_ts IS NULL
-        |    OR ts - prev_ts > INTERVAL '10 minutes' THEN 1 ELSE 0 END
+        |    OR ts - prev_ts >= INTERVAL '10 minutes' THEN 1 ELSE 0 END
         |    AS new_session FROM lagged),
         |numbered AS (
         |  SELECT *, SUM(new_session) OVER

@@ -17,7 +17,11 @@ import org.apache.spark.sql.functions._
 object ServingQueries {
 
   private def onDate(df: DataFrame, date: Int): DataFrame =
-    df.filter(date_format(col("stt"), "yyyyMMdd").cast("int") === date)
+    // prefer the dt PARTITION column (Sinks.dwsParquet writes it): that is
+    // what actually prunes to one directory; stt-derived filtering would
+    // scan every partition
+    if (df.columns.contains("dt")) df.filter(col("dt") === date)
+    else df.filter(date_format(col("stt"), "yyyyMMdd").cast("int") === date)
 
   /** trade/stats (TradeStatsMapper.java:18-36): 4-way UNION ALL of KPI
     * rows over the trade order window. */
@@ -84,15 +88,16 @@ object ServingQueries {
     * order stats ⟗ refund stats per trademark (J10 FULL OUTER). */
   def commodityTrademarkStats(dwsTmOrder: DataFrame, dwsTmRefund: DataFrame,
       date: Int): DataFrame = {
+    // column names match DwsJobs.tmCategoryUserSpuOrder / ...Refund output
     val o = onDate(dwsTmOrder, date)
-      .groupBy(col("trademark_id"), col("trademark_name"))
+      .groupBy(col("tm_id"), col("tm_name"))
       .agg(sum(col("order_amount")).as("order_amount"),
         sum(col("order_count")).as("order_count"))
     val r = onDate(dwsTmRefund, date)
-      .groupBy(col("trademark_id"), col("trademark_name"))
+      .groupBy(col("tm_id"), col("tm_name"))
       .agg(sum(col("refund_amount")).as("refund_amount"),
         sum(col("refund_count")).as("refund_count"))
-    o.join(r, Seq("trademark_id", "trademark_name"), "full_outer")
+    o.join(r, Seq("tm_id", "tm_name"), "full_outer")
   }
 
   /** activity/stats (ActivityStatsMapper.java:10-16): subsidy rate =

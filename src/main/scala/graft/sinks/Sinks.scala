@@ -56,13 +56,30 @@ object Sinks {
     df.withColumn("dt", date_format(col("stt"), "yyyyMMdd").cast("int"))
       .write.mode("append").partitionBy("dt").parquet(path)
 
-  /** K4: dimension upsert — per-sink-table overwrite with
-    * keep-latest-per-pk already applied by DimRouter.dimFrames (replaces
-    * the reference's Phoenix `upsert into` + Redis invalidation: an
-    * overwritten snapshot needs no cache invalidation). */
-  def writeDim(frames: Map[String, DataFrame], rootPath: String): Unit =
-    frames.foreach { case (table, frame) =>
-      frame.write.mode("overwrite").parquet(s"$rootPath/$table")
+  /** K4: dimension upsert — MERGE semantics per sink table: union the
+    * batch rows with the previously persisted snapshot, keep-latest per
+    * pk (binlog order carried in `_ts/_xid/_xoffset`), rewrite. A plain
+    * overwrite of the batch frame would delete every dim row not re-sent
+    * in the current batch — the opposite of the Phoenix `upsert into`
+    * this replaces. Tables with no rows in the batch are left untouched.
+    * (With a table format that supports MERGE INTO, this becomes one
+    * statement; parquet needs the read-union-rewrite.) */
+  def writeDim(frames: Map[String, graft.dim.DimRouter.DimFrame],
+      rootPath: String): Unit =
+    frames.foreach { case (table, dimFrame) =>
+      val spark = dimFrame.frame.sparkSession
+      if (!dimFrame.frame.isEmpty) {
+        val path = s"$rootPath/$table"
+        val merged =
+          if (new java.io.File(path).exists()) {
+            val existing = spark.read.parquet(path)
+            graft.dim.DimRouter.dedupLatest(
+              existing.unionByName(dimFrame.frame), dimFrame.pk)
+          } else dimFrame.frame
+        // materialize before overwriting the directory being read
+        val snapshot = merged.localCheckpoint()
+        snapshot.write.mode("overwrite").parquet(path)
+      }
     }
 
   /** K5: console debug sink. */

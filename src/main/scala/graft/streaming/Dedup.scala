@@ -39,13 +39,24 @@ object Dedup {
   }
 
   /** A7: keep-FIRST per key (ref DwsTradePaymentSucWindow.java:74-102,
-    * 5 s TTL ValueState marker). Spark keeps first natively; the watermark
-    * bounds state like the reference's TTL. */
+    * 5 s TTL ValueState marker). Streaming: Spark's dropDuplicates keeps
+    * the first ARRIVAL per key (the reference's semantics — arrival order
+    * is the stream). Batch: arrival order is meaningless and
+    * dropDuplicates would keep an arbitrary row, so the earliest
+    * (tsCol, remaining columns) row is selected deterministically. */
   def keepFirst(df: DataFrame, keyCols: Seq[String], tsCol: String,
       watermark: String = "5 seconds"): DataFrame =
     if (df.isStreaming)
       df.withWatermark(tsCol, watermark).dropDuplicates(keyCols)
-    else df.dropDuplicates(keyCols)
+    else {
+      val tiebreak = (tsCol +: df.columns.toSeq.filterNot { c =>
+        keyCols.contains(c) || c == tsCol
+      }).map(col)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*).orderBy(tiebreak: _*)
+      df.withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+    }
 
   /** A8: keep-LATEST per key (ref OrderDetailFilterFunction.java:42-81 —
     * pick the richest row among retraction replays). Buffers the newest

@@ -58,7 +58,12 @@ object Sessionize {
               pending match {
                 case Some(p) =>
                   state.update(PendingEntry(p))
-                  state.setTimeoutTimestamp(p + windowMs)
+                  // clamp past the watermark: a LATE entry event still
+                  // reaches this function (flatMapGroupsWithState does not
+                  // drop late rows) and an un-clamped timeout ≤ watermark
+                  // kills the query with IllegalArgumentException
+                  state.setTimeoutTimestamp(
+                    math.max(p + windowMs, state.getCurrentWatermarkMs + 1))
                 case None => state.remove()
               }
             } else {

@@ -26,6 +26,19 @@ class DimAppSpec extends AnyFunSuite {
       assert(dim.length == 1) // pk dedup kept the latest
       assert(dim.head.getAs[String]("tm_name") == "acme2")
       assert(!dim.head.schema.fieldNames.contains("noise")) // column pruning
+      // batch 2: a NEW pk plus an update to pk 1 — earlier rows must
+      // survive the write (merge, not overwrite-with-batch)
+      mem.addData(
+        """{"database":"g","table":"base_trademark","type":"insert","ts":4,"xid":4,"xoffset":1,"data":{"id":"2","tm_name":"bolt"},"old":null}""")
+      q.processAllAvailable()
+      // batch 3: unrelated table only — dim_base_trademark untouched
+      mem.addData(
+        """{"database":"g","table":"unrouted","type":"insert","ts":5,"xid":5,"xoffset":1,"data":{"id":"9"},"old":null}""")
+      q.processAllAvailable()
+      val dim2 = spark.read.parquet(s"$out/dim_base_trademark").collect()
+      assert(dim2.length == 2) // pk 1 survived the later batches
+      val byId = dim2.map(r => r.getAs[String]("id") -> r.getAs[String]("tm_name")).toMap
+      assert(byId == Map("1" -> "acme2", "2" -> "bolt"))
     } finally q.stop()
   }
 

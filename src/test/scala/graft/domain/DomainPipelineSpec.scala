@@ -163,11 +163,13 @@ class DomainPipelineSpec extends AnyFunSuite {
     assert(rules.find(_.sinkTable == "dim_user").get.sinkPk == "id")
     val routed = DimRouter.route(topicDb, config)
     val frames = DimRouter.dimFrames(routed, rules)
-    val cart = frames("dim_cart")
-    assert(cart.columns.toSeq == Seq("id", "user_id", "sku_num"))
+    val cart = frames("dim_cart").frame
+    // configured columns + retained binlog-order columns for merge
+    assert(cart.columns.toSeq ==
+      Seq("id", "user_id", "sku_num", "_ts", "_xid", "_xoffset"))
     // 3 cart envelopes for id c1 → keep-latest leaves exactly 1 row
     assert(cart.count() == 1)
-    assert(frames("dim_user").count() == 1)
+    assert(frames("dim_user").frame.count() == 1)
   }
 
   test("DWS: province order window with exact distinct orders (A4)") {

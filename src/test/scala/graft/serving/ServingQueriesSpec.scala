@@ -50,14 +50,14 @@ class ServingQueriesSpec extends AnyFunSuite {
   test("commodityTrademarkStats full outer merges order and refund sides") {
     val orders = Seq(("2022-04-29 10:00:00", "t1", "acme", 100.0, 2L),
       ("2022-04-29 10:00:10", "t2", "bolt", 50.0, 1L))
-      .toDF("stt_s", "trademark_id", "trademark_name", "order_amount", "order_count")
+      .toDF("stt_s", "tm_id", "tm_name", "order_amount", "order_count")
       .withColumn("stt", to_timestamp(col("stt_s"))).drop("stt_s")
     val refunds = Seq(("2022-04-29 11:00:00", "t2", "bolt", 10.0, 1L),
       ("2022-04-29 11:00:10", "t3", "zap", 5.0, 1L))
-      .toDF("stt_s", "trademark_id", "trademark_name", "refund_amount", "refund_count")
+      .toDF("stt_s", "tm_id", "tm_name", "refund_amount", "refund_count")
       .withColumn("stt", to_timestamp(col("stt_s"))).drop("stt_s")
     val got = ServingQueries.commodityTrademarkStats(orders, refunds, D)
-      .collect().map(r => r.getAs[String]("trademark_id") ->
+      .collect().map(r => r.getAs[String]("tm_id") ->
         (Option(r.getAs[Any]("order_amount")), Option(r.getAs[Any]("refund_amount"))))
       .toMap
     assert(got("t1")._2.isEmpty) // orders only
