@@ -1,0 +1,29 @@
+package graft.apps
+
+import graft.sinks.Sinks
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The traffic DWS job as a deployable streaming app: raw `topic_log`
+  * lines → TrafficPipeline.channelWindow → dt-partitioned parquet serving
+  * table (Sinks.dwsParquet). In production the source is
+  * Sources.kafkaLines(...); any lines frame works (the tests drive a
+  * MemoryStream through the same code).
+  */
+object TrafficApp {
+
+  def run(rawLines: DataFrame, outPath: String, checkpoint: String,
+      watermark: String = "2 seconds",
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+    val spark = rawLines.sparkSession
+    // single-query form of the reference's two-job topology — see
+    // TrafficPipeline scaladoc for the tradeoff and the two-query form
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    Sinks.dwsParquet(
+        TrafficPipeline.channelWindow(rawLines, Some(watermark)),
+        outPath, checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+}

@@ -68,3 +68,40 @@ class TrafficPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+/** Deployable-app form: stream → windows → dt-partitioned parquet. */
+class TrafficAppSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val T0 = 1651234560000L
+  private def line(mid: String, pageId: String, last: String, ts: Long): String = {
+    val lastJson = if (last == null) "null" else "\"" + last + "\""
+    s"""{"common":{"ar":"110000","ch":"xiaomi","is_new":"1","mid":"$mid","vc":"v1"},""" +
+      s""""page":{"during_time":1000,"page_id":"$pageId","last_page_id":$lastJson},"ts":$ts}"""
+  }
+
+  test("TrafficApp writes finalized windows to dt-partitioned parquet") {
+    implicit val ctx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("dws_traffic").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_traffic").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = TrafficApp.run(mem.toDF().toDF("value"), out, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem.addData(line("m1", "home", null, T0 + 1000))
+      mem.addData(line("m1", "cart", "home", T0 + 2000))
+      q.processAllAvailable()
+      mem.addData(line("m2", "home", null, T0 + 60000)) // advance watermark
+      q.processAllAvailable()
+      mem.addData(line("m2", "cart", "home", T0 + 120000))
+      q.processAllAvailable()
+      val written = spark.read.parquet(out)
+      assert(written.columns.contains("dt")) // partition column present
+      val w1 = written.orderBy("stt").collect().head
+      assert(w1.getAs[Long]("pv_ct") == 2L)
+      assert(w1.getAs[Long]("uv_ct") == 1L)
+      assert(w1.getAs[Int]("dt") == 20220429)
+    } finally q.stop()
+  }
+}
