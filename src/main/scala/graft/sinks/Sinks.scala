@@ -68,17 +68,33 @@ object Sinks {
       rootPath: String): Unit =
     frames.foreach { case (table, dimFrame) =>
       val spark = dimFrame.frame.sparkSession
-      if (!dimFrame.frame.isEmpty) {
-        val path = s"$rootPath/$table"
+      // checkpoint ONCE: both the emptiness test and the merge read it —
+      // otherwise the dedup window plan executes twice per batch
+      val batch = dimFrame.frame.localCheckpoint()
+      if (!batch.isEmpty) {
+        val path = new org.apache.hadoop.fs.Path(s"$rootPath/$table")
+        // Hadoop FS, not java.io.File: the dim root is HDFS/S3 in
+        // production and a local File check would silently skip the merge
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val merged =
-          if (new java.io.File(path).exists()) {
-            val existing = spark.read.parquet(path)
+          if (fs.exists(path)) {
+            val existing = spark.read.parquet(path.toString)
+            // allowMissingColumns: survives config evolution (sink_columns
+            // changes) and upgrades over older snapshots
             graft.dim.DimRouter.dedupLatest(
-              existing.unionByName(dimFrame.frame), dimFrame.pk)
-          } else dimFrame.frame
-        // materialize before overwriting the directory being read
-        val snapshot = merged.localCheckpoint()
-        snapshot.write.mode("overwrite").parquet(path)
+              existing.unionByName(batch, allowMissingColumns = true),
+              dimFrame.pk)
+          } else batch
+        // write-to-temp + swap: shrinks the non-atomic window of a plain
+        // overwrite (which deletes the old snapshot before writing the
+        // new one) to a pair of renames; a crash leaves either the old or
+        // the tmp snapshot on disk for recovery. A transactional table
+        // format (MERGE INTO) is the real fix when available.
+        val tmp = new org.apache.hadoop.fs.Path(s"$rootPath/.${table}_tmp")
+        fs.delete(tmp, true)
+        merged.localCheckpoint().write.parquet(tmp.toString)
+        fs.delete(path, true)
+        fs.rename(tmp, path)
       }
     }
 

@@ -49,11 +49,17 @@ object Dedup {
     if (df.isStreaming)
       df.withWatermark(tsCol, watermark).dropDuplicates(keyCols)
     else {
-      val tiebreak = (tsCol +: df.columns.toSeq.filterNot { c =>
-        keyCols.contains(c) || c == tsCol
-      }).map(col)
+      // tiebreak on orderable columns only (maps/structs of maps are not
+      // orderable and would fail analysis); nulls last so a null ts never
+      // beats a real timestamp
+      val orderable = df.schema.fields.filter { f =>
+        org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(f.dataType) &&
+          !keyCols.contains(f.name) && f.name != tsCol
+      }.map(f => col(f.name))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keyCols.map(col): _*).orderBy(tiebreak: _*)
+        .partitionBy(keyCols.map(col): _*)
+        .orderBy(col(tsCol).asc_nulls_last +: orderable.toSeq.map(_.asc_nulls_last): _*)
       df.withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
         .filter(col("_rn") === 1).drop("_rn")
     }
