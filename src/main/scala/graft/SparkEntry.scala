@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.Extended2.queries ++
       graft.queries.Extended3.queries ++
       graft.queries.Advanced.queries ++
-      graft.queries.WindowKinds.queries
+      graft.queries.WindowKinds.queries ++
+      graft.queries.CorpusOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.queries.Extended2.oracle ++
       graft.queries.Extended3.oracle ++
       graft.queries.Advanced.oracle ++
-      graft.queries.WindowKinds.oracle
+      graft.queries.WindowKinds.oracle ++
+      graft.queries.CorpusOps.oracle
 }

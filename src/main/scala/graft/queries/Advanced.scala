@@ -109,7 +109,7 @@ object Advanced {
     "q58_funnel" -> funnel)
 
   // ngramJaccard candidate pairs, re-stated for the recursive oracle
-  private val pairsCte =
+  private[queries] val pairsCte =
     """WITH RECURSIVE w AS (
       |  SELECT doc_id,
       |    unnest(string_split(text, ' ')) AS word,
@@ -159,4 +159,65 @@ object Advanced {
         |  COUNT(*) AS clickers,
         |  CAST(SUM(converted) AS BIGINT) AS converted_1h
         |FROM per_user GROUP BY 1""".stripMargin)
+}
+
+/** Corpus materialization: applying the dedup decision and accounting
+  * the surviving token budget — the last two steps of a cleaning run. */
+object CorpusOps {
+
+  /** Cleaned corpus: drop every near-dup cluster member except its
+    * representative (LEFT ANTI against the is_kept=false set), then
+    * summarize per language. The anti-join is the "apply" step of the
+    * whole dedup chain (candidates → clusters → removal). */
+  def cleanCorpus(s: SparkSession, d: String): DataFrame = {
+    val drops = Advanced.dedupClusters(s, d)
+      .filter(!col("is_kept"))
+      .select(col("doc_id"))
+    graft.Tables.documents(s, d)
+      .join(drops, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs_kept"),
+        sum(col("n_chars")).as("chars_kept"))
+  }
+
+  /** Token-budget accounting per (lang, source): whitespace tokens and
+    * the BPE-proxy estimate — what a training-data run reports before
+    * tokenization. */
+  def tokenBudget(s: SparkSession, d: String): DataFrame =
+    graft.Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("ws_tokens"),
+        sum(ceil(length(regexp_replace(col("text"), " ", "")).cast("double") / 4)
+          .cast("long")).as("bpe_est_tokens"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_clean_corpus" -> cleanCorpus,
+    "q62_token_budget" -> tokenBudget)
+
+  val oracle: Map[String, String] = Map(
+    "q61_clean_corpus" -> s"""${Advanced.pairsCte},
+      |edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |reps AS (
+      |  SELECT n.doc_id, LEAST(n.doc_id, MIN(r.v)) AS cluster_rep
+      |  FROM nodes n JOIN reach r ON r.u = n.doc_id GROUP BY n.doc_id),
+      |drops AS (SELECT doc_id FROM reps WHERE doc_id <> cluster_rep)
+      |SELECT lang, COUNT(*) AS docs_kept,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+      |FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+      |GROUP BY lang""".stripMargin,
+    "q62_token_budget" ->
+      """SELECT lang, source, COUNT(*) AS docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(CAST(ceil(CAST(len(replace(text, ' ', '')) AS DOUBLE) / 4)
+        |    AS BIGINT)) AS BIGINT) AS bpe_est_tokens
+        |FROM documents GROUP BY lang, source""".stripMargin)
 }
