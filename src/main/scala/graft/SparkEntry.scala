@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.Extended3.queries ++
       graft.queries.Advanced.queries ++
       graft.queries.WindowKinds.queries ++
-      graft.queries.CorpusOps.queries
+      graft.queries.CorpusOps.queries ++
+      graft.queries.Extended4.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -42,5 +43,6 @@ object SparkEntry {
       graft.queries.Extended3.oracle ++
       graft.queries.Advanced.oracle ++
       graft.queries.WindowKinds.oracle ++
-      graft.queries.CorpusOps.oracle
+      graft.queries.CorpusOps.oracle ++
+      graft.queries.Extended4.oracle
 }

@@ -289,3 +289,33 @@ object Extended3 {
         |  (list(p_partkey ORDER BY p_retailprice DESC, p_partkey))[1:3] AS top_parts
         |FROM part GROUP BY p_brand""".stripMargin)
 }
+
+/** Optimizer-evidence pack: correlated subqueries (Catalyst decorrelates
+  * them into joins — SURVEY.md §4 "subquery decorrelation: free"). */
+object Extended4 {
+
+  /** Parts priced above their brand's average — a correlated scalar
+    * subquery through the SQL API; Catalyst rewrites it to an aggregate
+    * + join, no per-row execution. */
+  def aboveBrandAvg(s: SparkSession, d: String): DataFrame = {
+    graft.Tables.part(s, d).createOrReplaceTempView("part_v")
+    s.sql("""
+      SELECT p_brand, p_partkey, p_retailprice
+      FROM part_v p
+      WHERE p_retailprice > (
+        SELECT CAST(AVG(CAST(p2.p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+        FROM part_v p2 WHERE p2.p_brand = p.p_brand)
+    """)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_scalar_subquery" -> aboveBrandAvg)
+
+  val oracle: Map[String, String] = Map(
+    "q63_scalar_subquery" ->
+      """SELECT p_brand, p_partkey, p_retailprice
+        |FROM part p
+        |WHERE p_retailprice > (
+        |  SELECT CAST(AVG(CAST(p2.p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  FROM part p2 WHERE p2.p_brand = p.p_brand)""".stripMargin)
+}
