@@ -33,6 +33,7 @@ object Advanced {
     if (edgeCount <= DriverEdgeCutoff) {
       import s.implicits._
       val es = edges.as[(Long, Long)].collect()
+      edges.unpersist()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         val p = parent.getOrElse(x, x)
@@ -74,6 +75,7 @@ object Advanced {
       labels = updated.drop("changed")
       iter += 1
     }
+    edges.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $iter rounds — component " +
@@ -127,16 +129,21 @@ object Advanced {
       |  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
-    "q57_dedup_clusters" -> s"""$pairsCte,
-      |edges AS (
+  /** Shared connected-components CTE block (edges → reach) used by both
+    * the q57 and q61 oracles — one copy, one semantics. */
+  private[queries] val ccCte: String =
+    """edges AS (
       |  SELECT doc_a AS u, doc_b AS v FROM pairs
       |  UNION SELECT doc_b, doc_a FROM pairs),
       |nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
       |reach(u, v) AS (
       |  SELECT u, v FROM edges
       |  UNION
-      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q57_dedup_clusters" -> s"""$pairsCte,
+      |$ccCte
       |SELECT n.doc_id,
       |  LEAST(n.doc_id, MIN(r.v)) AS cluster_rep,
       |  n.doc_id = LEAST(n.doc_id, MIN(r.v)) AS is_kept
@@ -197,14 +204,7 @@ object CorpusOps {
 
   val oracle: Map[String, String] = Map(
     "q61_clean_corpus" -> s"""${Advanced.pairsCte},
-      |edges AS (
-      |  SELECT doc_a AS u, doc_b AS v FROM pairs
-      |  UNION SELECT doc_b, doc_a FROM pairs),
-      |nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
-      |reach(u, v) AS (
-      |  SELECT u, v FROM edges
-      |  UNION
-      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |${Advanced.ccCte},
       |reps AS (
       |  SELECT n.doc_id, LEAST(n.doc_id, MIN(r.v)) AS cluster_rep
       |  FROM nodes n JOIN reach r ON r.u = n.doc_id GROUP BY n.doc_id),

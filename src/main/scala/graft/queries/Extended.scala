@@ -296,16 +296,24 @@ object Extended4 {
 
   /** Parts priced above their brand's average — a correlated scalar
     * subquery through the SQL API; Catalyst rewrites it to an aggregate
-    * + join, no per-row execution. */
+    * + join, no per-row execution. The average follows the Num.davg
+    * convention (decimal SUM cast to double, divided by COUNT) so both
+    * engines compute bit-identical thresholds — AVG(DECIMAL) rounds at
+    * different scales across engines. The temp view name is per-dir and
+    * dropped after analysis (sql() resolves eagerly), leaving no shared
+    * session state. */
   def aboveBrandAvg(s: SparkSession, d: String): DataFrame = {
-    graft.Tables.part(s, d).createOrReplaceTempView("part_v")
-    s.sql("""
+    val view = s"part_v_${math.abs(d.hashCode)}"
+    graft.Tables.part(s, d).createOrReplaceTempView(view)
+    try s.sql(s"""
       SELECT p_brand, p_partkey, p_retailprice
-      FROM part_v p
+      FROM $view p
       WHERE p_retailprice > (
-        SELECT CAST(AVG(CAST(p2.p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
-        FROM part_v p2 WHERE p2.p_brand = p.p_brand)
+        SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+          / COUNT(*)
+        FROM $view p2 WHERE p2.p_brand = p.p_brand)
     """)
+    finally s.catalog.dropTempView(view)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -316,6 +324,7 @@ object Extended4 {
       """SELECT p_brand, p_partkey, p_retailprice
         |FROM part p
         |WHERE p_retailprice > (
-        |  SELECT CAST(AVG(CAST(p2.p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    / COUNT(*)
         |  FROM part p2 WHERE p2.p_brand = p.p_brand)""".stripMargin)
 }
