@@ -328,3 +328,60 @@ object Extended4 {
         |    / COUNT(*)
         |  FROM part p2 WHERE p2.p_brand = p.p_brand)""".stripMargin)
 }
+
+/** Null-semantics and fuzzy-matching pack. */
+object Extended5 {
+
+  /** Null handling: nullif-derived nullable column → null-counting
+    * aggregates + a NULL-SAFE self-join (`<=>` ≡ IS NOT DISTINCT FROM)
+    * where the null group matches itself. */
+  def nullSemantics(s: SparkSession, d: String): DataFrame = {
+    val base = graft.Tables.lineitem(s, d)
+      .select(expr("nullif(l_returnflag, 'N')").as("rf"), col("l_linestatus"))
+    val g = base.groupBy("rf")
+      .agg(count(lit(1)).as("n_rows"), count(col("rf")).as("n_nonnull"))
+    val a = g.select(col("rf").as("rf_a"), col("n_rows").as("rows_a"))
+    val b = g.select(col("rf").as("rf_b"), col("n_rows").as("rows_b"))
+    a.join(b, col("rf_a") <=> col("rf_b"))
+      .select(col("rf_a").as("rf"), col("rows_a").as("n_rows"),
+        col("rows_b").as("n_rows_b"))
+  }
+
+  /** Fuzzy self-match on part names via edit distance (entity-resolution
+    * primitive): pairs of near-identical names. Bounded candidate set
+    * (p_partkey < 500); at scale, block on a name prefix/phonetic key
+    * first — same pattern as the LSH candidates for documents. */
+  def fuzzyNameMatch(s: SparkSession, d: String): DataFrame = {
+    val p = graft.Tables.part(s, d).filter(col("p_partkey") < 500)
+      .select(col("p_partkey"), col("p_name"))
+    val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    a.join(b, col("key_a") < col("key_b"))
+      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("edit_dist") <= 3 && col("name_a") =!= col("name_b"))
+      .groupBy(col("edit_dist"))
+      .agg(count(lit(1)).as("pair_count"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_null_semantics" -> nullSemantics,
+    "q65_fuzzy_name_match" -> fuzzyNameMatch)
+
+  val oracle: Map[String, String] = Map(
+    "q64_null_semantics" ->
+      """WITH base AS (
+        |  SELECT nullif(l_returnflag, 'N') AS rf FROM lineitem),
+        |g AS (
+        |  SELECT rf, COUNT(*) AS n_rows, COUNT(rf) AS n_nonnull
+        |  FROM base GROUP BY rf)
+        |SELECT a.rf, a.n_rows, b.n_rows AS n_rows_b
+        |FROM g a JOIN g b ON a.rf IS NOT DISTINCT FROM b.rf""".stripMargin,
+    "q65_fuzzy_name_match" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name FROM part WHERE p_partkey < 500)
+        |SELECT levenshtein(a.p_name, b.p_name) AS edit_dist,
+        |  COUNT(*) AS pair_count
+        |FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3 AND a.p_name <> b.p_name
+        |GROUP BY 1""".stripMargin)
+}
