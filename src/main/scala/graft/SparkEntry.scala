@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.WindowKinds.queries ++
       graft.queries.CorpusOps.queries ++
       graft.queries.Extended4.queries ++
-      graft.queries.Extended5.queries
+      graft.queries.Extended5.queries ++
+      graft.queries.Extended6.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -46,5 +47,6 @@ object SparkEntry {
       graft.queries.WindowKinds.oracle ++
       graft.queries.CorpusOps.oracle ++
       graft.queries.Extended4.oracle ++
-      graft.queries.Extended5.oracle
+      graft.queries.Extended5.oracle ++
+      graft.queries.Extended6.oracle
 }

@@ -385,3 +385,38 @@ object Extended5 {
         |WHERE levenshtein(a.p_name, b.p_name) <= 3 AND a.p_name <> b.p_name
         |GROUP BY 1""".stripMargin)
 }
+
+/** Reshaping pack: unpivot (melt) — the inverse of q54's pivot. */
+object Extended6 {
+
+  /** Wide → long: each order row melts its numeric KPIs into
+    * (metric, value) rows. */
+  def unpivotOrders(s: SparkSession, d: String): DataFrame =
+    graft.Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_custkey").cast("double").as("o_custkey_d"))
+      .unpivot(
+        ids = Array(col("o_orderkey")),
+        values = Array(col("o_totalprice"), col("o_custkey_d")),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"),
+        graft.Num.dsum(col("value")).as("total"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_unpivot" -> unpivotOrders)
+
+  val oracle: Map[String, String] = Map(
+    "q66_unpivot" ->
+      """WITH long AS (
+        |  SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS value
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'o_custkey_d' AS metric,
+        |    CAST(o_custkey AS DOUBLE) AS value
+        |  FROM orders)
+        |SELECT metric, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM long GROUP BY metric""".stripMargin)
+}
