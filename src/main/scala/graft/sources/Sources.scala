@@ -42,6 +42,12 @@ object Sources {
   def lookupTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** P12: the ""-tombstone guard — upsert-kafka deletions arrive as
+    * empty strings (ref OrderDetailFilterFunction.java:26-36); drop them
+    * before JSON parsing. */
+  def nonEmptyLines(lines: DataFrame): DataFrame =
+    lines.filter(length(col("value")) > 0)
+
   /** Test replay source (S8 socket analog): batch lines frame. */
   def lines(spark: SparkSession, rows: Seq[String]): DataFrame = {
     import spark.implicits._

@@ -96,3 +96,26 @@ class RocksDbStateSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Skew.saltedJoin transparency + tombstone guard. */
+class SkewJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("saltedJoin returns exactly the plain join result") {
+    val fact = (1 to 500).map(i => (i.toLong % 7, s"f$i")).toDF("k", "payload")
+    val dim = (0L to 6L).map(k => (k, s"dim$k")).toDF("k", "dim_val")
+    val plain = fact.join(dim, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    val salted = graft.operators.Skew
+      .saltedJoin(fact, dim, "k", saltFrom = col("payload"), salts = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(salted.toSeq == plain.toSeq)
+    assert(salted.length == 500) // every fact row matched exactly once
+  }
+
+  test("nonEmptyLines drops upsert-kafka tombstones (P12)") {
+    val lines = Seq("""{"a":1}""", "", """{"b":2}""", "").toDF("value")
+    assert(graft.sources.Sources.nonEmptyLines(lines).count() == 2)
+  }
+}
