@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.CorpusOps.queries ++
       graft.queries.Extended4.queries ++
       graft.queries.Extended5.queries ++
-      graft.queries.Extended6.queries
+      graft.queries.Extended6.queries ++
+      graft.queries.SimHashPairs.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -48,5 +49,6 @@ object SparkEntry {
       graft.queries.CorpusOps.oracle ++
       graft.queries.Extended4.oracle ++
       graft.queries.Extended5.oracle ++
-      graft.queries.Extended6.oracle
+      graft.queries.Extended6.oracle ++
+      graft.queries.SimHashPairs.oracle
 }

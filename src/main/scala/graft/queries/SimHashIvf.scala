@@ -118,7 +118,7 @@ object SimHashIvf {
   private def centroidLit(c: Int): String =
     Centroids(c).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
 
-  private val simhashCte: String = {
+  private[queries] val simhashCte: String = {
     val tallies = (0 until Bits).map { k =>
       s"SUM(CASE WHEN substr(md5(word), ${k + 1}, 1) IN " +
         s"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$k"
@@ -163,4 +163,36 @@ object SimHashIvf {
       |FROM assigned, q
       |WHERE vec_id <> 0 AND cell = qcell
       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)
+}
+
+/** SimHash near-dup pairing by Hamming distance — the comparison step
+  * that makes SimHash useful beyond exact-fingerprint collisions: docs
+  * whose 16-bit fingerprints differ in ≤ 3 bits are near-dup candidates.
+  * `bit_count(a XOR b)` is exact integer math in both engines. At scale,
+  * block by fingerprint bands first (same trick as MinHash LSH) instead
+  * of the bounded id-range pair set used here. */
+object SimHashPairs {
+
+  def hammingPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = SimHashIvf.simhash(s, d).filter(col("doc_id") < 200)
+    val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= 3)
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("pair_count"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_simhash_hamming" -> hammingPairs)
+
+  val oracle: Map[String, String] = Map(
+    "q67_simhash_hamming" -> s"""${SimHashIvf.simhashCte},
+      |small AS (SELECT doc_id, simhash FROM sh WHERE doc_id < 200)
+      |SELECT bit_count(xor(a.simhash, b.simhash)) AS hamming,
+      |  COUNT(*) AS pair_count
+      |FROM small a JOIN small b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |GROUP BY 1""".stripMargin)
 }
