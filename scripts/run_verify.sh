@@ -1,6 +1,6 @@
 #!/bin/bash
 # Local harness: run graft.Verify directly with java (fast; skips sbt JVM
-# startup). Usage: scripts/run_verify.sh [sfdir] [outdir]
+# startup). Usage: scripts/run_verify.sh [sfdir] [outdir] [name-filter]
 set -e
 cd "$(dirname "$0")/.."
 SF=${1:-/root/testdata/sf0.01}
@@ -15,4 +15,4 @@ rm -rf "$OUT"
 exec java $ADD_OPENS -Xmx8g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Verify "$SF" "$OUT"
+  graft.Verify "$SF" "$OUT" ${3:+"$3"}

@@ -260,13 +260,18 @@ object Extended3 {
   }
 
   /** Grouped top-k via the native TypedImperativeAggregate
-    * (graft.functions.TopKBy): bounded heap instead of window sort. */
+    * (graft.functions.TopKBy): bounded heap instead of window sort. The
+    * aggregate returns an ordered array; we posexplode it to scalar
+    * (p_brand, rank, p_partkey) rows so the result is hash-comparable. */
   def topkAgg(s: SparkSession, d: String): DataFrame = {
     graft.functions.TopKBy.register(s)
     Tables.part(s, d)
       .groupBy("p_brand")
       .agg(call_function("topk_by", col("p_retailprice"), col("p_partkey"),
         lit(3)).as("top_parts"))
+      .select(col("p_brand"), posexplode(col("top_parts")))
+      .select(col("p_brand"), (col("pos") + 1).cast("long").as("rank"),
+        col("col").as("p_partkey"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -285,9 +290,15 @@ object Extended3 {
         |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
         |FROM ev GROUP BY 1""".stripMargin,
     "q55_topk_agg" ->
-      """SELECT p_brand,
-        |  (list(p_partkey ORDER BY p_retailprice DESC, p_partkey))[1:3] AS top_parts
-        |FROM part GROUP BY p_brand""".stripMargin)
+      """WITH t AS (
+        |  SELECT p_brand,
+        |    (list(p_partkey ORDER BY p_retailprice DESC, p_partkey))[1:3]
+        |      AS top_parts
+        |  FROM part GROUP BY p_brand)
+        |SELECT p_brand,
+        |  unnest(range(1, len(top_parts) + 1)) AS rank,
+        |  unnest(top_parts) AS p_partkey
+        |FROM t""".stripMargin)
 }
 
 /** Optimizer-evidence pack: correlated subqueries (Catalyst decorrelates
@@ -348,15 +359,25 @@ object Extended5 {
   }
 
   /** Fuzzy self-match on part names via edit distance (entity-resolution
-    * primitive): pairs of near-identical names. Bounded candidate set
-    * (p_partkey < 500); at scale, block on a name prefix/phonetic key
-    * first — same pattern as the LSH candidates for documents. */
+    * primitive), candidates→verifier wired end to end: block on the
+    * first name token (cheap equi-join key, standard blocking-key entity
+    * resolution — recall model: pairs differing in their first token are
+    * out of scope, exactly like LSH's probabilistic recall), pre-filter
+    * on a length band (edit distance ≤ 3 ⇒ |len(a)−len(b)| ≤ 3), then
+    * verify with levenshtein only within blocks. Plans as a hash/sort
+    * equi-join on the block key — no BroadcastNestedLoopJoin, no bounded
+    * candidate-set crutch, sub-quadratic at scale. */
   def fuzzyNameMatch(s: SparkSession, d: String): DataFrame = {
-    val p = graft.Tables.part(s, d).filter(col("p_partkey") < 500)
-      .select(col("p_partkey"), col("p_name"))
-    val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"))
-    val b = p.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"))
-    a.join(b, col("key_a") < col("key_b"))
+    val p = graft.Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"),
+        split(col("p_name"), " ").getItem(0).as("blk"))
+    val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"),
+      col("blk"))
+    val b = p.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"),
+      col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("key_a") < col("key_b") &&
+        abs(length(col("name_a")) - length(col("name_b"))) <= 3)
       .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("edit_dist") <= 3 && col("name_a") =!= col("name_b"))
       .groupBy(col("edit_dist"))
@@ -378,11 +399,13 @@ object Extended5 {
         |FROM g a JOIN g b ON a.rf IS NOT DISTINCT FROM b.rf""".stripMargin,
     "q65_fuzzy_name_match" ->
       """WITH p AS (
-        |  SELECT p_partkey, p_name FROM part WHERE p_partkey < 500)
+        |  SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk
+        |  FROM part)
         |SELECT levenshtein(a.p_name, b.p_name) AS edit_dist,
         |  COUNT(*) AS pair_count
-        |FROM p a JOIN p b ON a.p_partkey < b.p_partkey
-        |WHERE levenshtein(a.p_name, b.p_name) <= 3 AND a.p_name <> b.p_name
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        |WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
+        |  AND levenshtein(a.p_name, b.p_name) <= 3 AND a.p_name <> b.p_name
         |GROUP BY 1""".stripMargin)
 }
 

@@ -82,23 +82,45 @@ object VectorOps {
         countDistinct(col("label")).as("n_labels"))
   }
 
-  /** Thresholded all-pairs cosine (embedding-cosine near-dup detection):
-    * emits pairs above 0.45 (this synthetic corpus is near-orthogonal;
-    * real near-dup corpora use ~0.9). Vectors are L2-normalized ONCE per
-    * row, so each pair costs a single dot product. At scale, restrict
-    * pairs to shared LSH buckets first. */
+  /** Thresholded cosine pair detection (embedding-cosine near-dup),
+    * candidates→verifier wired end to end: the 8 hyperplane sign bits
+    * (same planes as q34) split into 4 bands of 2 bits, and a pair is a
+    * candidate iff it agrees on ALL bits of AT LEAST one band — the
+    * classic OR-amplified LSH. Candidates equi-join on (band, value) —
+    * one shuffle, sub-quadratic, no BroadcastNestedLoopJoin — then the
+    * verifier computes the exact dot on L2-normalized vectors (done once
+    * per row). Recall model: P[band agrees] = (1−θ/π)², amplified over 4
+    * bands ≈ 0.89 at cos 0.45 and ≈ 0.995 at the 0.9 a real near-dup
+    * corpus would use; the oracle applies the identical band condition
+    * so the check is exact. Threshold 0.45 because this synthetic corpus
+    * is near-orthogonal. */
   def cosinePairs(s: SparkSession, d: String): DataFrame = {
-    def normalized(df: DataFrame, idAs: String, embAs: String): DataFrame = {
-      val nrm = vec_norm(col("embedding"))
-      df.select(col("vec_id").as(idAs),
-        transform(col("embedding"), x => x.cast("double") / nrm).as(embAs))
+    val bits = Planes.map { coeffs =>
+      when(vec_dot(col("embedding"), typedlit(coeffs.toSeq)) >= 0, "1").otherwise("0")
     }
-    val a = normalized(Tables.embeddings(s, d), "vec_a", "na")
-    val b = normalized(Tables.embeddings(s, d), "vec_b", "nb")
-    a.join(b, col("vec_a") < col("vec_b"))
+    val nrm = vec_norm(col("embedding"))
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), concat(bits.toIndexedSeq: _*).as("bucket"),
+        transform(col("embedding"), x => x.cast("double") / nrm).as("ne"))
+    val bandCols = (0 until 4).map { i =>
+      struct(lit(i).as("band"), substring(col("bucket"), i * 2 + 1, 2).as("bval"))
+    }
+    val banded = base
+      .select(col("vec_id"), col("ne"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("ne"),
+        col("bb.band").as("band"), col("bb.bval").as("bval"))
+    val a = banded.select(col("band"), col("bval"),
+      col("vec_id").as("vec_a"), col("ne").as("na"))
+    val b = banded.select(col("band"), col("bval"),
+      col("vec_id").as("vec_b"), col("ne").as("nb"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         vec_dot(col("na"), col("nb")).as("cos_sim"))
       .filter(col("cos_sim") >= 0.45)
+      // the dot fold is deterministic, so multi-band duplicates are
+      // bit-identical rows — distinct dedups them exactly
+      .distinct()
   }
 
   private def withVecFns(f: (SparkSession, String) => DataFrame)
@@ -144,14 +166,22 @@ object VectorOps {
          |  COUNT(DISTINCT label) AS n_labels
          |FROM base GROUP BY bucket""".stripMargin
     },
-    "q35_cosine_pairs" ->
+    "q35_cosine_pairs" -> {
+      val bitExprs = (0 until NPlanes).map { p =>
+        s"CASE WHEN ${duckDot("embedding", planeLit(p))} >= 0 THEN '1' ELSE '0' END"
+      }.mkString(" || ")
+      val bandOr = (0 until 4).map { i =>
+        s"substr(a.bucket, ${i * 2 + 1}, 2) = substr(b.bucket, ${i * 2 + 1}, 2)"
+      }.mkString(" OR ")
       s"""WITH nrm AS (
-         |  SELECT vec_id,
+         |  SELECT vec_id, $bitExprs AS bucket,
          |    list_transform(embedding,
          |      x -> CAST(x AS DOUBLE) / sqrt(${duckNormSq("embedding")})) AS ne
          |  FROM embeddings)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  ${duckDot("a.ne", "b.ne")} AS cos_sim
          |FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
-         |WHERE ${duckDot("a.ne", "b.ne")} >= 0.45""".stripMargin)
+         |  AND ($bandOr)
+         |WHERE ${duckDot("a.ne", "b.ne")} >= 0.45""".stripMargin
+    })
 }

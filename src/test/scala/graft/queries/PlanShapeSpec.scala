@@ -1,0 +1,30 @@
+package graft.queries
+
+import graft.{SparkEntry, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions for the scale-critical queries: the
+  * candidates→verifier rewires (q35/q65/q67) must plan as equi-joins —
+  * any BroadcastNestedLoopJoin or CartesianProduct would mean the
+  * all-pairs shape crept back — and q55 must still execute through the
+  * native TopKBy aggregate after the posexplode reshape. */
+class PlanShapeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val d = "/root/testdata/sf0.001"
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+
+  for (q <- Seq("q35_cosine_pairs", "q65_fuzzy_name_match", "q67_simhash_hamming")) {
+    test(s"$q plans with no nested-loop/cartesian join") {
+      val plan = planOf(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+      assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    }
+  }
+
+  test("q55_topk_agg keeps the TopKBy aggregate in the plan") {
+    val plan = planOf("q55_topk_agg").toLowerCase
+    assert(plan.contains("topk"), plan.take(4000))
+  }
+}
