@@ -30,7 +30,8 @@ object SparkEntry {
       graft.queries.Extended4.queries ++
       graft.queries.Extended5.queries ++
       graft.queries.Extended6.queries ++
-      graft.queries.SimHashPairs.queries
+      graft.queries.SimHashPairs.queries ++
+      graft.serving.ServingPack.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -50,5 +51,6 @@ object SparkEntry {
       graft.queries.Extended4.oracle ++
       graft.queries.Extended5.oracle ++
       graft.queries.Extended6.oracle ++
-      graft.queries.SimHashPairs.oracle
+      graft.queries.SimHashPairs.oracle ++
+      graft.serving.ServingPack.oracle
 }

@@ -79,7 +79,7 @@ object ServingQueries {
   /** traffic/visitorPerHr (A10): hourly buckets of uv/pv. */
   def visitorPerHr(dwsTrafficChannel: DataFrame, date: Int): DataFrame =
     onDate(dwsTrafficChannel, date)
-      .groupBy(hour(col("stt")).as("hr"))
+      .groupBy(hour(col("stt")).cast("long").as("hr"))
       .agg(sum(col("uv_ct")).as("uv_ct"), sum(col("pv_ct")).as("pv_ct"),
         sum(col("sv_ct")).as("sv_ct"))
       .orderBy(col("hr"))

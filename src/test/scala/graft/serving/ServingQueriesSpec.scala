@@ -44,7 +44,7 @@ class ServingQueriesSpec extends AnyFunSuite {
       ("2022-04-29 10:00:00", Map[String, Any]("uv_ct" -> 1, "pv_ct" -> 2, "sv_ct" -> 1)),
       ("2022-04-29 11:00:00", Map[String, Any]("uv_ct" -> 3, "pv_ct" -> 4, "sv_ct" -> 2))))
     val got = ServingQueries.visitorPerHr(base, D).collect()
-    assert(got.map(_.getAs[Int]("hr")).toSeq == Seq(10, 11))
+    assert(got.map(_.getAs[Long]("hr")).toSeq == Seq(10L, 11L))
   }
 
   test("commodityTrademarkStats full outer merges order and refund sides") {
