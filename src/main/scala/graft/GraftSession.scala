@@ -38,5 +38,8 @@ object GraftSession {
     b.withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // TIMESTAMP(NANOS) parquet (events table) reads as long; Tables.events
+      // truncates ns→µs. Set here once so table loaders stay side-effect-free
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.compression.codec", "zstd")
 }

@@ -25,14 +25,13 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to read
-    * as a timestamp. Read it as a long (legacy conf) and truncate ns → µs
-    * ourselves; the DuckDB oracle mirrors with
-    * `date_trunc('microseconds', ts)`. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * as a timestamp. The session must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (GraftSession.base and
+    * every harness builder do); here we only truncate ns → µs. The DuckDB
+    * oracle mirrors with `date_trunc('microseconds', ts)`. */
+  def events(s: SparkSession, d: String): DataFrame =
     load(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

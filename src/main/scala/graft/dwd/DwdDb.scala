@@ -73,6 +73,21 @@ object DwdDb {
       .drop("order_id_i", "act_detail_id", "cou_detail_id", "dic_code")
   }
 
+  /** dwd_trade_order_add (ref DwdTradeOrderAdd.java:23-67): the
+    * order-placement fact — `type='insert'` rows of the order-detail wide
+    * changelog, re-projected. The reference's wide topic is a changelog
+    * carrying `type`/`old`; our orderDetail frame is built from
+    * insert-type envelopes only, so order-add is a pure projection of it
+    * (the filter the reference applies is already folded in upstream). */
+  def orderAdd(topicDb: DataFrame, baseDic: DataFrame): DataFrame =
+    orderDetail(topicDb, baseDic)
+      .select("detail_id", "order_id", "sku_id", "sku_name", "create_time",
+        "source_id", "source_type", "source_type_name", "sku_num",
+        "split_original_amount", "split_total_amount",
+        "split_activity_amount", "split_coupon_amount",
+        "user_id", "province_id", "activity_id", "activity_rule_id",
+        "coupon_id", "ts")
+
   /** dwd_trade_cancel_detail (ref DwdTradeCancelDetail.java:70-76, P5):
     * order_status transition to 1003. */
   def cancelDetail(topicDb: DataFrame): DataFrame =
@@ -82,10 +97,14 @@ object DwdDb {
       .select(d("id"), d("user_id"), d("province_id"), d("operate_time"), col("ts"))
 
   /** dwd_trade_pay_detail_suc (ref DwdTradePayDetailSuc.java:91-134):
-    * payment_status → 1602 (P5) + dic lookup for payment_type (J3). */
+    * payment_status → 1602 (P5) + dic lookup for payment_type (J3). The
+    * `old['payment_status'] is not null` guard (ref :101-102) emits only
+    * on the actual transition — a later update touching another column
+    * of an already-paid row must NOT re-emit the payment fact. */
   def payDetailSuc(topicDb: DataFrame, baseDic: DataFrame): DataFrame =
     tableEvents(topicDb, "payment_info", "update")
-      .filter(col("data").getItem("payment_status") === "1602")
+      .filter(col("data").getItem("payment_status") === "1602" &&
+        col("old").getItem("payment_status").isNotNull)
       .select(d("id"), d("order_id"), d("user_id"), d("payment_type"),
         d("callback_time"), col("ts"))
       .join(broadcast(baseDic.select(col("dic_code"), col("dic_name"))),

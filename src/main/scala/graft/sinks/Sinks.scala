@@ -76,6 +76,11 @@ object Sinks {
         // Hadoop FS, not java.io.File: the dim root is HDFS/S3 in
         // production and a local File check would silently skip the merge
         val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val tmp = new org.apache.hadoop.fs.Path(s"$rootPath/.${table}_tmp")
+        val old = new org.apache.hadoop.fs.Path(s"$rootPath/.${table}_old")
+        // crash recovery: a previous swap may have parked the live
+        // snapshot at `old` and died before promoting `tmp` — restore it
+        if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
         val merged =
           if (fs.exists(path)) {
             val existing = spark.read.parquet(path.toString)
@@ -85,16 +90,19 @@ object Sinks {
               existing.unionByName(batch, allowMissingColumns = true),
               dimFrame.pk)
           } else batch
-        // write-to-temp + swap: shrinks the non-atomic window of a plain
-        // overwrite (which deletes the old snapshot before writing the
-        // new one) to a pair of renames; a crash leaves either the old or
-        // the tmp snapshot on disk for recovery. A transactional table
+        // write-to-temp, park-old, promote, then delete old: at every
+        // point a complete snapshot exists on disk (`path`, or `old`+`tmp`
+        // after the park), so a crash never loses the dimension — unlike
+        // delete-then-rename, whose window between delete and rename had
+        // no live copy. The localCheckpoint materializes the merged frame
+        // BEFORE the old snapshot is touched. A transactional table
         // format (MERGE INTO) is the real fix when available.
-        val tmp = new org.apache.hadoop.fs.Path(s"$rootPath/.${table}_tmp")
         fs.delete(tmp, true)
         merged.localCheckpoint().write.parquet(tmp.toString)
-        fs.delete(path, true)
+        fs.delete(old, true)
+        if (fs.exists(path)) fs.rename(path, old)
         fs.rename(tmp, path)
+        fs.delete(old, true)
       }
     }
 

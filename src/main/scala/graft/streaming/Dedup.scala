@@ -39,15 +39,19 @@ object Dedup {
   }
 
   /** A7: keep-FIRST per key (ref DwsTradePaymentSucWindow.java:74-102,
-    * 5 s TTL ValueState marker). Streaming: Spark's dropDuplicates keeps
-    * the first ARRIVAL per key (the reference's semantics — arrival order
-    * is the stream). Batch: arrival order is meaningless and
-    * dropDuplicates would keep an arbitrary row, so the earliest
-    * (tsCol, remaining columns) row is selected deterministically. */
+    * 5 s TTL ValueState marker). Streaming: dropDuplicatesWithinWatermark
+    * keeps the first ARRIVAL per key AND evicts the key's marker once the
+    * watermark passes — bounded state, matching the reference's 5 s TTL
+    * (a duplicate arriving after the TTL re-emits there too). Plain
+    * dropDuplicates(keys) would never evict (the event-time column is not
+    * part of the dedup key), growing state forever. Batch: arrival order
+    * is meaningless and dropDuplicates would keep an arbitrary row, so
+    * the earliest (tsCol, remaining columns) row is selected
+    * deterministically. */
   def keepFirst(df: DataFrame, keyCols: Seq[String], tsCol: String,
       watermark: String = "5 seconds"): DataFrame =
     if (df.isStreaming)
-      df.withWatermark(tsCol, watermark).dropDuplicates(keyCols)
+      df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
     else {
       // tiebreak on orderable columns only (maps/structs of maps are not
       // orderable and would fail analysis); nulls last so a null ts never

@@ -64,6 +64,12 @@ class DomainPipelineSpec extends AnyFunSuite {
       "user_id" -> "u1", "payment_type" -> "1102",
       "payment_status" -> "1602", "callback_time" -> "2020-06-14 10:05:00"),
       Map("payment_status" -> "1601")),
+    // later update to the already-paid row (callback touched, status
+    // unchanged) — must NOT re-emit a payment-success fact
+    env("payment_info", "update", Map("id" -> "pay1", "order_id" -> "o1",
+      "user_id" -> "u1", "payment_type" -> "1102",
+      "payment_status" -> "1602", "callback_time" -> "2020-06-14 10:05:00"),
+      Map("callback_content" -> "retry")),
     // coupon lifecycle
     env("coupon_use", "insert", Map("id" -> "cu1", "coupon_id" -> "cp1",
       "user_id" -> "u1", "get_time" -> "2020-06-14 09:00:00")),
@@ -122,10 +128,20 @@ class DomainPipelineSpec extends AnyFunSuite {
     assert(got.map(_.getAs[String]("id")).toSeq == Seq("o2"))
   }
 
-  test("payDetailSuc: 1602 filter + payment_type dic name (P5, J3)") {
+  test("payDetailSuc: 1602 transition only, not already-paid updates (P5, J3)") {
     val got = DwdDb.payDetailSuc(topicDb, baseDic).collect()
-    assert(got.length == 1)
+    assert(got.length == 1) // the callback-retry update is suppressed
     assert(got.head.getAs[String]("payment_type_name") == "wechat")
+  }
+
+  test("orderAdd: insert-type projection of the order-detail wide row") {
+    val got = DwdDb.orderAdd(topicDb, baseDic).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[String]("detail_id") == "d1")
+    assert(r.getAs[String]("user_id") == "u1")
+    assert(r.getAs[String]("source_type_name") == "user_query")
+    assert(!got.head.schema.fieldNames.contains("order_id_i"))
   }
 
   test("orderRefund: refund join + double-aliased dic (P6, J4, J5)") {

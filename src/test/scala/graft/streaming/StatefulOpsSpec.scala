@@ -18,6 +18,32 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(Dedup.keepFirst(df, Seq("key"), "ts").count() == 2)
   }
 
+  test("keepFirst (streaming) suppresses in-TTL dups, evicts state at the " +
+      "watermark so a post-TTL duplicate re-emits (5 s ValueState TTL analog)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[KeyedEvent]
+    // no pre-applied watermark: keepFirst owns it (a second withWatermark
+    // on the same column would be a disallowed redefinition)
+    val in = mem.toDS().toDF()
+      .withColumn("event_time",
+        (org.apache.spark.sql.functions.col("ts") / 1000).cast("timestamp"))
+    val q = Dedup.keepFirst(in, Seq("key"), "event_time", "5 seconds")
+      .writeStream.format("memory").queryName("kf_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(ev("a", 1000, "first"), ev("a", 2000, "dup"))
+      q.processAllAvailable()
+      assert(spark.table("kf_out").count() == 1) // in-TTL dup suppressed
+      mem.addData(ev("zz", 3600000, "tick")) // watermark → ~1 h, evicts a
+      q.processAllAvailable()
+      mem.addData(ev("a", 7200000, "post-ttl"))
+      q.processAllAvailable()
+      val as = spark.table("kf_out").as[KeyedEvent].collect()
+        .filter(_.key == "a").map(_.payload).toSet
+      assert(as == Set("first", "post-ttl")) // state was evicted, re-emits
+    } finally q.stop()
+  }
+
   // ---- Dedup.keepLatest (A8) ----
   test("keepLatest emits the max-ts row per key (batch)") {
     val ds = Seq(ev("a", 1, "old"), ev("a", 9, "new"), ev("b", 3, "only")).toDS()
