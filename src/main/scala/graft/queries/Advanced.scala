@@ -106,9 +106,31 @@ object Advanced {
         sum(col("converted")).as("converted_1h"))
   }
 
+  /** q58 recomputed THROUGH the streaming CEP operator
+    * (graft.streaming.Sessionize.funnel) run in batch mode: events map to
+    * (key, ms-timestamp, step), the N-step state machine emits one
+    * outcome per clicker, and outcomes aggregate to the q58 shape. The
+    * oracle is the independent SQL formulation at the same ms precision —
+    * hard evidence the operator's first-match semantics equals the
+    * declarative funnel (for 2 steps they provably coincide). */
+  def funnelOperator(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id").cast("string").as("key"),
+        expr("unix_micros(ts) div 1000").as("ts"),
+        when(col("event_type") === "click", 0).otherwise(1).as("step"))
+      .as[graft.streaming.FunnelEvent]
+    graft.streaming.Sessionize.funnel(ev, 2, Seq(3600000L)).toDF()
+      .groupBy(to_date(timestamp_millis(col("anchorTs"))).as("click_date"))
+      .agg(count(lit(1)).as("clickers"),
+        sum(when(col("completed"), 1L).otherwise(0L)).as("converted_1h"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_dedup_clusters" -> dedupClusters,
-    "q58_funnel" -> funnel)
+    "q58_funnel" -> funnel,
+    "q82_funnel_operator" -> funnelOperator)
 
   // ngramJaccard candidate pairs, re-stated for the recursive oracle
   private[queries] val pairsCte =
@@ -163,6 +185,24 @@ object Advanced {
         |  FROM fc LEFT JOIN p ON fc.user_id = p.user_id
         |  GROUP BY fc.user_id, fc.click_tsu)
         |SELECT CAST(make_timestamp(click_tsu) AS DATE) AS click_date,
+        |  COUNT(*) AS clickers,
+        |  CAST(SUM(converted) AS BIGINT) AS converted_1h
+        |FROM per_user GROUP BY 1""".stripMargin,
+    "q82_funnel_operator" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    epoch_us(date_trunc('microseconds', ts)) // 1000 AS tsm
+        |  FROM events),
+        |fc AS (SELECT user_id, MIN(tsm) AS c FROM ev
+        |  WHERE event_type = 'click' GROUP BY user_id),
+        |p AS (SELECT user_id, tsm AS p_tsm FROM ev
+        |  WHERE event_type = 'purchase'),
+        |per_user AS (
+        |  SELECT fc.user_id, fc.c,
+        |    MAX(CASE WHEN p.p_tsm >= fc.c
+        |      AND p.p_tsm <= fc.c + 3600000 THEN 1 ELSE 0 END) AS converted
+        |  FROM fc LEFT JOIN p ON fc.user_id = p.user_id
+        |  GROUP BY fc.user_id, fc.c)
+        |SELECT CAST(make_timestamp(c * 1000) AS DATE) AS click_date,
         |  COUNT(*) AS clickers,
         |  CAST(SUM(converted) AS BIGINT) AS converted_1h
         |FROM per_user GROUP BY 1""".stripMargin)

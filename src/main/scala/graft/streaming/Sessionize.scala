@@ -22,6 +22,89 @@ object Sessionize {
 
   case class PendingEntry(ts: Long)
 
+  case class FunnelState(anchorTs: Long, stepsReached: Int, lastStepTs: Long,
+      done: Boolean)
+
+  /** N-step ordered funnel with per-step gap timeouts — the general CEP
+    * capability class the 2-event bounce pattern below instantiates
+    * (`followedBy` contiguity: intermediate events neither advance nor
+    * reset the pattern, unlike the bounce's strict `next`).
+    *
+    * Semantics, per key: the FIRST step-0 event anchors the pattern; step
+    * k advances it iff it is the next expected step and arrives within
+    * `timeoutsMs(k-1)` of step k-1 (inclusive, ties resolved
+    * step-0-first). Exactly ONE outcome is emitted per anchored key:
+    * `completed=true` the moment the last step lands, or
+    * `completed=false` when the current gap expires (event-driven in
+    * batch/later micro-batches, watermark-timeout-driven in streaming).
+    * Keys that never reach step 0 emit nothing.
+    *
+    * Batch ≡ streaming: end-of-input plays the timeout role in batch, so
+    * a streaming replay of the same events produces the same outcomes
+    * (property-tested against the q58 SQL funnel). Bounded state: after
+    * its outcome a key holds only a tombstone (blocking a re-anchor that
+    * batch's global-first-anchor semantics would not have) which is
+    * reaped `tombstoneMs` past the key's last activity. */
+  def funnel(ds: Dataset[FunnelEvent], nSteps: Int, timeoutsMs: Seq[Long],
+      tombstoneMs: Long = 7L * 24 * 3600 * 1000): Dataset[FunnelOutcome] = {
+    require(nSteps >= 2 && timeoutsMs.length == nSteps - 1,
+      s"need one gap timeout per transition: ${nSteps - 1}")
+    import ds.sparkSession.implicits._
+    val streaming = ds.isStreaming
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[FunnelState, FunnelOutcome](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, events, state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            if (!st.done) {
+              // gap expired mid-pattern: fail the key, tombstone it
+              state.update(st.copy(done = true))
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs + tombstoneMs)
+              Iterator.single(
+                FunnelOutcome(key, st.anchorTs, completed = false,
+                  st.lastStepTs, st.stepsReached))
+            } else { state.remove(); Iterator.empty }
+          } else {
+            var st = state.getOption.orNull
+            val out = Seq.newBuilder[FunnelOutcome]
+            events.toSeq.sortBy(e => (e.ts, e.step)).foreach { e =>
+              if (st == null) {
+                if (e.step == 0) st = FunnelState(e.ts, 1, e.ts, done = false)
+              } else if (!st.done) {
+                if (e.ts - st.lastStepTs > timeoutsMs(st.stepsReached - 1)) {
+                  // ANY later event past the deadline proves expiry
+                  out += FunnelOutcome(key, st.anchorTs, completed = false,
+                    st.lastStepTs, st.stepsReached)
+                  st = st.copy(done = true)
+                } else if (e.step == st.stepsReached && e.ts >= st.lastStepTs) {
+                  st = FunnelState(st.anchorTs, st.stepsReached + 1, e.ts,
+                    done = st.stepsReached + 1 == nSteps)
+                  if (st.done)
+                    out += FunnelOutcome(key, st.anchorTs, completed = true,
+                      e.ts, nSteps)
+                }
+              }
+            }
+            if (streaming) {
+              if (st != null) {
+                state.update(st)
+                val deadline =
+                  if (st.done) st.lastStepTs + tombstoneMs
+                  else st.lastStepTs + timeoutsMs(st.stepsReached - 1)
+                state.setTimeoutTimestamp(
+                  math.max(deadline, state.getCurrentWatermarkMs + 1))
+              }
+            } else if (st != null && !st.done) {
+              // end-of-input ≡ timeout
+              out += FunnelOutcome(key, st.anchorTs, completed = false,
+                st.lastStepTs, st.stepsReached)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   def detectBounces(ds: Dataset[PageEvent], windowMs: Long = 10000)
       : Dataset[Bounce] = {
     import ds.sparkSession.implicits._

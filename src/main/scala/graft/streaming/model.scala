@@ -20,3 +20,13 @@ case class Bounce(mid: String, ts: Long)
   * first login of the day; `back` — returning after ≥ backDays gap. */
 case class LoginActivity(uid: String, date: String, ts: Long,
     uu: Boolean, back: Boolean)
+
+/** Input to the N-step funnel: `step` is the 0-based pattern position
+  * this event satisfies (caller maps event types to steps). */
+case class FunnelEvent(key: String, ts: Long, step: Int)
+
+/** One outcome per key that reached step 0: either the pattern completed
+  * (all steps in order, each within its gap timeout) or it expired with
+  * `stepsReached` of them done. `anchorTs` is the step-0 event time. */
+case class FunnelOutcome(key: String, anchorTs: Long, completed: Boolean,
+    lastStepTs: Long, stepsReached: Int)
