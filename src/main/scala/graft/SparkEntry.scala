@@ -31,7 +31,8 @@ object SparkEntry {
       graft.queries.Extended5.queries ++
       graft.queries.Extended6.queries ++
       graft.queries.SimHashPairs.queries ++
-      graft.serving.ServingPack.queries
+      graft.serving.ServingPack.queries ++
+      graft.dwd.DwdPack.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -52,5 +53,6 @@ object SparkEntry {
       graft.queries.Extended5.oracle ++
       graft.queries.Extended6.oracle ++
       graft.queries.SimHashPairs.oracle ++
-      graft.serving.ServingPack.oracle
+      graft.serving.ServingPack.oracle ++
+      graft.dwd.DwdPack.oracle
 }

@@ -359,18 +359,19 @@ object Extended5 {
   }
 
   /** Fuzzy self-match on part names via edit distance (entity-resolution
-    * primitive), candidates→verifier wired end to end: block on the
-    * first name token (cheap equi-join key, standard blocking-key entity
-    * resolution — recall model: pairs differing in their first token are
-    * out of scope, exactly like LSH's probabilistic recall), pre-filter
-    * on a length band (edit distance ≤ 3 ⇒ |len(a)−len(b)| ≤ 3), then
-    * verify with levenshtein only within blocks. Plans as a hash/sort
-    * equi-join on the block key — no BroadcastNestedLoopJoin, no bounded
-    * candidate-set crutch, sub-quadratic at scale. */
+    * primitive), candidates→verifier wired end to end: block on the LAST
+    * name token (the highest-cardinality token in this corpus — block-key
+    * choice is a cardinality decision, exactly like picking LSH band
+    * width; recall model: pairs differing in that token are out of scope,
+    * like LSH's probabilistic recall), pre-filter on a length band (edit
+    * distance ≤ 3 ⇒ |len(a)−len(b)| ≤ 3), then verify with levenshtein
+    * only within blocks. Plans as a hash/sort equi-join on the block
+    * key — no BroadcastNestedLoopJoin, no bounded candidate-set crutch,
+    * sub-quadratic at scale. */
   def fuzzyNameMatch(s: SparkSession, d: String): DataFrame = {
     val p = graft.Tables.part(s, d)
       .select(col("p_partkey"), col("p_name"),
-        split(col("p_name"), " ").getItem(0).as("blk"))
+        element_at(split(col("p_name"), " "), -1).as("blk"))
     val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"),
       col("blk"))
     val b = p.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"),
@@ -399,7 +400,7 @@ object Extended5 {
         |FROM g a JOIN g b ON a.rf IS NOT DISTINCT FROM b.rf""".stripMargin,
     "q65_fuzzy_name_match" ->
       """WITH p AS (
-        |  SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk
+        |  SELECT p_partkey, p_name, string_split(p_name, ' ')[-1] AS blk
         |  FROM part)
         |SELECT levenshtein(a.p_name, b.p_name) AS edit_dist,
         |  COUNT(*) AS pair_count
