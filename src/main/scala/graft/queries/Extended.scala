@@ -359,30 +359,32 @@ object Extended5 {
   }
 
   /** Fuzzy self-match on part names via edit distance (entity-resolution
-    * primitive), candidates→verifier wired end to end: block on the LAST
-    * name token (the highest-cardinality token in this corpus — block-key
-    * choice is a cardinality decision, exactly like picking LSH band
-    * width; recall model: pairs differing in that token are out of scope,
-    * like LSH's probabilistic recall), pre-filter on a length band (edit
-    * distance ≤ 3 ⇒ |len(a)−len(b)| ≤ 3), then verify with levenshtein
-    * only within blocks. Plans as a hash/sort equi-join on the block
-    * key — no BroadcastNestedLoopJoin, no bounded candidate-set crutch,
-    * sub-quadratic at scale. */
+    * primitive) — EXACT all-pairs semantics at sub-quadratic cost via
+    * dedup-then-compare: aggregate rows to DISTINCT names with
+    * multiplicities (the real entity universe is the vocabulary, not the
+    * row count), pair only the distinct names through a LOSSLESS
+    * length-band equi-join (edit ≤ 3 ⇒ |len(a)−len(b)| ≤ 3, so one side
+    * explodes its length ±3 and the join key is exact length — every
+    * qualifying pair survives, no BroadcastNestedLoopJoin), verify with
+    * levenshtein inside blocks, then multiply the multiplicities back
+    * (cnt_a×cnt_b row pairs per name pair). Levenshtein cost scales with
+    * vocabulary², not rows²; at 100 TB a high-cardinality vocabulary
+    * additionally takes a token/phonetic block key on the distinct-name
+    * table — same plan shape, smaller blocks. */
   def fuzzyNameMatch(s: SparkSession, d: String): DataFrame = {
-    val p = graft.Tables.part(s, d)
-      .select(col("p_partkey"), col("p_name"),
-        element_at(split(col("p_name"), " "), -1).as("blk"))
-    val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"),
-      col("blk"))
-    val b = p.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"),
-      col("blk"))
-    a.join(b, Seq("blk"))
-      .filter(col("key_a") < col("key_b") &&
-        abs(length(col("name_a")) - length(col("name_b"))) <= 3)
+    val names = graft.Tables.part(s, d)
+      .groupBy("p_name").agg(count(lit(1)).as("cnt"))
+    val probe = names.select(col("p_name").as("name_b"),
+      col("cnt").as("cnt_b"), length(col("p_name")).as("len_b"))
+    val build = names.select(col("p_name").as("name_a"), col("cnt").as("cnt_a"),
+        explode(sequence(length(col("p_name")) - 3,
+          length(col("p_name")) + 3)).as("len_b"))
+    build.join(probe, Seq("len_b"))
+      .filter(col("name_a") < col("name_b"))
       .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("edit_dist") <= 3 && col("name_a") =!= col("name_b"))
+      .filter(col("edit_dist") <= 3)
       .groupBy(col("edit_dist"))
-      .agg(count(lit(1)).as("pair_count"))
+      .agg(sum(col("cnt_a") * col("cnt_b")).as("pair_count"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -399,14 +401,12 @@ object Extended5 {
         |SELECT a.rf, a.n_rows, b.n_rows AS n_rows_b
         |FROM g a JOIN g b ON a.rf IS NOT DISTINCT FROM b.rf""".stripMargin,
     "q65_fuzzy_name_match" ->
-      """WITH p AS (
-        |  SELECT p_partkey, p_name, string_split(p_name, ' ')[-1] AS blk
-        |  FROM part)
+      """WITH names AS (
+        |  SELECT p_name, COUNT(*) AS cnt FROM part GROUP BY p_name)
         |SELECT levenshtein(a.p_name, b.p_name) AS edit_dist,
-        |  COUNT(*) AS pair_count
-        |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
-        |WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
-        |  AND levenshtein(a.p_name, b.p_name) <= 3 AND a.p_name <> b.p_name
+        |  CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS pair_count
+        |FROM names a JOIN names b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
         |GROUP BY 1""".stripMargin)
 }
 

@@ -25,7 +25,8 @@ object ScaleProbe {
       tables.foreach { t =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val df = spark.read.parquet(s"$src/$t.parquet")
-        val big = if (Seq("lineitem", "events", "documents").contains(t))
+        val big = if (Seq("lineitem", "events", "documents", "embeddings",
+            "part").contains(t))
           (1 to mult).map(_ => df).reduce(_ union _) else df
         big.write.mode("overwrite").parquet(s"$dst/$t.parquet")
       }
