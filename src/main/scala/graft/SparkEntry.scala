@@ -32,7 +32,8 @@ object SparkEntry {
       graft.queries.Extended6.queries ++
       graft.queries.SimHashPairs.queries ++
       graft.serving.ServingPack.queries ++
-      graft.dwd.DwdPack.queries
+      graft.dwd.DwdPack.queries ++
+      graft.queries.SetOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -54,5 +55,6 @@ object SparkEntry {
       graft.queries.Extended6.oracle ++
       graft.queries.SimHashPairs.oracle ++
       graft.serving.ServingPack.oracle ++
-      graft.dwd.DwdPack.oracle
+      graft.dwd.DwdPack.oracle ++
+      graft.queries.SetOps.oracle
 }

@@ -410,6 +410,43 @@ object Extended5 {
         |GROUP BY 1""".stripMargin)
 }
 
+/** Set-operation pack — INTERSECT / EXCEPT (engine completeness: the
+  * reference never needed them, §2.6, but a user of a complete engine
+  * expects them). Both plan as joins (left-semi-ish aggregation), not
+  * row-at-a-time set containers. */
+object SetOps {
+
+  /** Customers with BOTH fulfilled- and open-status orders. */
+  def intersectCustomers(s: SparkSession, d: String): DataFrame = {
+    val o = graft.Tables.orders(s, d)
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val p = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    f.intersect(p)
+  }
+
+  /** Customers with fulfilled orders but NO open orders. */
+  def exceptCustomers(s: SparkSession, d: String): DataFrame = {
+    val o = graft.Tables.orders(s, d)
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val p = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    f.except(p)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_intersect" -> intersectCustomers,
+    "q89_except" -> exceptCustomers)
+
+  val oracle: Map[String, String] = Map(
+    "q88_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+    "q89_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin)
+}
+
 /** Reshaping pack: unpivot (melt) — the inverse of q54's pivot. */
 object Extended6 {
 

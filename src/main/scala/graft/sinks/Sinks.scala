@@ -106,6 +106,21 @@ object Sinks {
       }
     }
 
+  /** Bucketed table writer — the co-located-join primitive for repeated
+    * large-fact joins at 100 TB: both sides bucketed (and sorted) by the
+    * join key into the same bucket count join with ZERO shuffle exchanges
+    * (BucketedJoinSpec asserts the plan). This is the batch analog of
+    * pre-partitioning a Kafka topic by key; use it for fact tables that
+    * are joined on the same key by many downstream queries, where one
+    * write-time shuffle amortizes across every read. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      bucketCol: String, buckets: Int = 32): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
   /** K5: console debug sink. */
   def console(df: DataFrame, checkpoint: String): DataStreamWriter[Row] =
     df.writeStream.format("console")
