@@ -52,10 +52,40 @@ object DataPrep {
       .select(col("event_id"),
         regexp_replace(col("props"), "[0-9]+", "#").as("masked_props"))
 
+  /** Stratified (balanced) sampling: the N "first" docs per language by
+    * a deterministic hash order — the class-balancing primitive for
+    * training mixes (cap the dominant language, keep the tail). Hash
+    * order, not doc_id order, so the per-language pick is unbiased;
+    * row_number over (lang, md5) is engine-portable and reproducible.
+    * Scale: one shuffle on lang; with heavy skew (one language = 90 % of
+    * the corpus) pre-aggregate per-partition top-N first (same bounded-
+    * heap reasoning as TopKBy). */
+  def stratifiedSample(s: SparkSession, d: String, perLang: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= perLang)
+      .select(col("lang"), col("pick").cast("long").as("pick"), col("doc_id"))
+  }
+
+  /** Text normalization: lowercase + whitespace collapse + trim — the
+    * canonical pre-dedup cleanup (exact-hash dedup is only as good as
+    * its normalization). Pure codegen'd string ops, no shuffle. */
+  def normalizeText(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm_text"))
+      .select(col("doc_id"), md5(col("norm_text")).as("norm_hash"),
+        length(col("norm_text")).cast("long").as("norm_len"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_doc_chunks" -> docChunks,
     "q49_deterministic_sample" -> deterministicSample,
-    "q50_pii_mask" -> piiMask)
+    "q50_pii_mask" -> piiMask,
+    "q90_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
+    "q91_normalize_text" -> normalizeText)
 
   val oracle: Map[String, String] = Map(
     "q48_doc_chunks" ->
@@ -83,5 +113,20 @@ object DataPrep {
     "q50_pii_mask" ->
       """SELECT event_id,
         |  regexp_replace(props, '[0-9]+', '#', 'g') AS masked_props
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+    "q90_stratified_sample" ->
+      """SELECT lang, pick, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pick
+        |  FROM documents)
+        |WHERE pick <= 20""".stripMargin,
+    "q91_normalize_text" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, md5(norm_text) AS norm_hash,
+        |  CAST(length(norm_text) AS BIGINT) AS norm_len
+        |FROM n""".stripMargin)
 }
