@@ -99,6 +99,25 @@ object SimHashIvf {
       .limit(10)
   }
 
+  /** One k-means training step for the IVF index: assign every vector to
+    * its current cell (the argmax-dot coarse quantizer), then recompute
+    * per-cell centroids — the assign→update iteration that turns the
+    * seed quantizer into a data-fitted one. Components are quantized to
+    * thousandths (floor(x·1000), exact integer sums) so the cross-row
+    * mean is associative and engine-identical at any parallelism — the
+    * same reasoning as Num.dsum; a production loop would keep the
+    * quantized accumulators and divide once per iteration. One explode +
+    * one shuffle on (cell, dim); at 100 TB this is the textbook
+    * map-side-combinable aggregation. */
+  def kmeansStep(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(cellExpr.as("cell"), posexplode(col("embedding")))
+      .select(col("cell"), col("pos").cast("long").as("dim"),
+        floor(col("col").cast("double") * 1000).as("q"))
+      .groupBy("cell", "dim")
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("q")).cast("double") / count(lit(1))).as("centroid_q"))
+
   private def withVecFns(f: (SparkSession, String) => DataFrame)
       : (SparkSession, String) => DataFrame =
     (s, d) => { graft.functions.VecOps.register(s); f(s, d) }
@@ -107,7 +126,8 @@ object SimHashIvf {
     "q36_simhash" -> ((s: SparkSession, d: String) => simhash(s, d)),
     "q37_simhash_buckets" -> ((s: SparkSession, d: String) => simhashBuckets(s, d)),
     "q38_ivf_cells" -> withVecFns(ivfCells),
-    "q39_ann_ivf" -> withVecFns(annIvf))
+    "q39_ann_ivf" -> withVecFns(annIvf),
+    "q93_kmeans_step" -> withVecFns(kmeansStep))
 
   // ---- oracle twins ----
 
@@ -154,6 +174,17 @@ object SimHashIvf {
       |  SELECT vec_id, $duckCellExpr AS cell FROM embeddings)
       |SELECT cell, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
       |FROM assigned GROUP BY cell""".stripMargin,
+    "q93_kmeans_step" -> s"""WITH assigned AS (
+      |  SELECT vec_id, embedding, $duckCellExpr AS cell FROM embeddings),
+      |ex AS (
+      |  SELECT cell,
+      |    unnest(range(0, len(embedding))) AS dim,
+      |    unnest(list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS q
+      |  FROM assigned)
+      |SELECT cell, CAST(dim AS BIGINT) AS dim, COUNT(*) AS n_vecs,
+      |  CAST(SUM(q) AS DOUBLE) / COUNT(*) AS centroid_q
+      |FROM ex GROUP BY 1, 2""".stripMargin,
     "q39_ann_ivf" -> s"""WITH assigned AS (
       |  SELECT vec_id, label, embedding, $duckCellExpr AS cell FROM embeddings),
       |q AS (SELECT embedding AS qemb, cell AS qcell FROM assigned WHERE vec_id = 0)

@@ -162,10 +162,25 @@ object TextOps {
       .filter(col("inter_size") >= 2)
   }
 
+  /** Rolling window-hash fingerprint (winnowing): hash every 8-char
+    * window of the raw text, keep the lexicographic minimum — the
+    * position-robust fingerprint a rolling-hash sketch produces (an
+    * insertion shifts windows but rarely changes the minimum, unlike
+    * md5(text)). md5 plays the window hash so both engines agree
+    * byte-for-byte; n−7 windows per doc, linear scan, no shuffle. */
+  def rollingFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_min(transform(
+          sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
+          i => md5(col("text").substr(i, lit(8))))).as("roll_min_hash"),
+        (greatest(length(col("text")) - 7, lit(1))).cast("long").as("n_windows"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_word_count" -> wordCount,
     "q24_exact_dedup" -> exactDedup,
     "q25_fingerprint" -> fingerprint,
+    "q92_rolling_fingerprint" -> rollingFingerprint,
     "q26_text_quality" -> textQuality,
     "q27_token_stats" -> tokenStats,
     "q28_lang_id" -> langId,
@@ -193,6 +208,13 @@ object TextOps {
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fingerprint,
         |  md5(text) AS content_hash
+        |FROM documents""".stripMargin,
+    "q92_rolling_fingerprint" ->
+      """SELECT doc_id,
+        |  list_min(list_transform(
+        |    range(1, greatest(length(text) - 7, 1) + 1),
+        |    i -> md5(substr(text, CAST(i AS INT), 8)))) AS roll_min_hash,
+        |  CAST(greatest(length(text) - 7, 1) AS BIGINT) AS n_windows
         |FROM documents""".stripMargin,
     "q26_text_quality" -> s"""$wordsCte,
       |per_doc AS (
