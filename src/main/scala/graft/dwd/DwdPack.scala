@@ -201,12 +201,37 @@ object DwdPack {
   def couponOrderQ(s: SparkSession, d: String): DataFrame =
     DwdDb.couponOrder(couponEnvelopes(s, d))
 
+  // ---- q95: SCD2 dimension history (effective-dated versions) ----
+
+  /** Slowly-changing-dimension history: the keep-latest dim snapshot
+    * (DimRouter/Sinks.writeDim) answers "current value"; this answers
+    * "value as of t". Versions of each dim key (orders replayed as a CDC
+    * stream, ~15 versions per key via o_orderkey % 1000) are ordered by
+    * binlog position and closed with lead(): [valid_from, valid_to),
+    * open current version flagged. One shuffle on the dim key; at
+    * 100 TB this is the standard changelog→history compaction written
+    * per partition-of-key. */
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    val versions = Tables.orders(s, d).select(
+      (col("o_orderkey") % 1000).as("dim_id"),
+      col("o_orderkey").as("version_ts"),
+      col("o_orderstatus").as("status"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dim_id")).orderBy(col("version_ts"))
+    versions
+      .withColumn("valid_to", lead(col("version_ts"), 1).over(w))
+      .select(col("dim_id"), col("version_ts").as("valid_from"),
+        col("valid_to"), col("status"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_dwd_cart_add" -> cartAddQ,
     "q84_dwd_order_detail" -> orderDetailQ,
     "q85_dwd_pay_detail" -> payDetailSucQ,
     "q86_dwd_order_refund" -> orderRefundQ,
-    "q87_dwd_coupon_order" -> couponOrderQ)
+    "q87_dwd_coupon_order" -> couponOrderQ,
+    "q95_scd2_history" -> scd2History)
 
   // ---- DuckDB twins: the same semantics straight off the base tables ----
 
@@ -286,6 +311,15 @@ object DwdPack {
         |LEFT JOIN region rt ON rt.r_regionkey = o_orderkey % 2
         |LEFT JOIN region rr ON rr.r_regionkey = o_orderkey % 5
         |WHERE o_orderkey % 4 = 0""".stripMargin,
+    "q95_scd2_history" ->
+      """SELECT o_orderkey % 1000 AS dim_id,
+        |  o_orderkey AS valid_from,
+        |  lead(o_orderkey) OVER (PARTITION BY o_orderkey % 1000
+        |    ORDER BY o_orderkey) AS valid_to,
+        |  o_orderstatus AS status,
+        |  lead(o_orderkey) OVER (PARTITION BY o_orderkey % 1000
+        |    ORDER BY o_orderkey) IS NULL AS is_current
+        |FROM orders""".stripMargin,
     "q87_dwd_coupon_order" ->
       """SELECT 'cu_' || CAST(o_orderkey AS VARCHAR) AS id,
         |  'cp_' || CAST(o_orderkey % 10 AS VARCHAR) AS coupon_id,

@@ -80,12 +80,28 @@ object DataPrep {
       .select(col("doc_id"), md5(col("norm_text")).as("norm_hash"),
         length(col("norm_text")).cast("long").as("norm_len"))
 
+  /** Binary-column feature extraction — the relational half of the
+    * multimodal pattern (graft.multimodal): treat content as an opaque
+    * BLOB, compute byte-level features (length, content digest, magic
+    * prefix) entirely inside codegen. Here text bytes stand in for
+    * image/audio payloads; the operator shape (binary column + typed
+    * scalar features, no decode on the hot path) is what a real corpus
+    * uses to partition, dedup and route media before any codec runs. */
+  def binaryFeatures(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .select(col("doc_id"),
+        length(col("blob")).cast("long").as("n_bytes"),
+        md5(col("blob")).as("content_md5"),
+        hex(substring(col("blob"), 1, 4)).as("magic_hex"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_doc_chunks" -> docChunks,
     "q49_deterministic_sample" -> deterministicSample,
     "q50_pii_mask" -> piiMask,
     "q90_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
-    "q91_normalize_text" -> normalizeText)
+    "q91_normalize_text" -> normalizeText,
+    "q94_binary_features" -> binaryFeatures)
 
   val oracle: Map[String, String] = Map(
     "q48_doc_chunks" ->
@@ -121,6 +137,12 @@ object DataPrep {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pick
         |  FROM documents)
         |WHERE pick <= 20""".stripMargin,
+    "q94_binary_features" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5,
+        |  hex(CAST(substr(text, 1, 4) AS BLOB)) AS magic_hex
+        |FROM documents""".stripMargin,
     "q91_normalize_text" ->
       """WITH n AS (
         |  SELECT doc_id,
