@@ -111,7 +111,11 @@ object SimHashIvf {
     * map-side-combinable aggregation. */
   def kmeansStep(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
-      .select(cellExpr.as("cell"), posexplode(col("embedding")))
+      // cell in its OWN projection below the Generate: an expression in
+      // the same select as a generator lands in the Project above it and
+      // re-evaluates per GENERATED row — 64× the quantizer cost here
+      .select(col("embedding"), cellExpr.as("cell"))
+      .select(col("cell"), posexplode(col("embedding")))
       .select(col("cell"), col("pos").cast("long").as("dim"),
         floor(col("col").cast("double") * 1000).as("q"))
       .groupBy("cell", "dim")
