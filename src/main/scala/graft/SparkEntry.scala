@@ -33,7 +33,8 @@ object SparkEntry {
       graft.queries.SimHashPairs.queries ++
       graft.serving.ServingPack.queries ++
       graft.dwd.DwdPack.queries ++
-      graft.queries.SetOps.queries
+      graft.queries.SetOps.queries ++
+      graft.queries.Robustness.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -56,5 +57,6 @@ object SparkEntry {
       graft.queries.SimHashPairs.oracle ++
       graft.serving.ServingPack.oracle ++
       graft.dwd.DwdPack.oracle ++
-      graft.queries.SetOps.oracle
+      graft.queries.SetOps.oracle ++
+      graft.queries.Robustness.oracle
 }

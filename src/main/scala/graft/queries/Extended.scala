@@ -274,9 +274,24 @@ object Extended3 {
         col("col").as("p_partkey"))
   }
 
+  /** TopKBy over STRING keys (the generalized native aggregate): top-3
+    * supplier names by account balance per nation. Same bounded-heap
+    * plan; string keys serialize as UTF-8 in the partial buffers. */
+  def topkAggString(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TopKBy.register(s)
+    Tables.supplier(s, d)
+      .groupBy(col("s_nationkey").cast("long").as("nation_key"))
+      .agg(call_function("topk_by", col("s_acctbal"), col("s_name"),
+        lit(3)).as("top_names"))
+      .select(col("nation_key"), posexplode(col("top_names")))
+      .select(col("nation_key"), (col("pos") + 1).cast("long").as("rank"),
+        col("col").as("s_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_pivot_counts" -> pivotCounts,
-    "q55_topk_agg" -> topkAgg)
+    "q55_topk_agg" -> topkAgg,
+    "q96_topk_string" -> topkAggString)
 
   val oracle: Map[String, String] = Map(
     "q54_pivot_counts" ->
@@ -298,6 +313,15 @@ object Extended3 {
         |SELECT p_brand,
         |  unnest(range(1, len(top_parts) + 1)) AS rank,
         |  unnest(top_parts) AS p_partkey
+        |FROM t""".stripMargin,
+    "q96_topk_string" ->
+      """WITH t AS (
+        |  SELECT CAST(s_nationkey AS BIGINT) AS nation_key,
+        |    (list(s_name ORDER BY s_acctbal DESC, s_name))[1:3] AS top_names
+        |  FROM supplier GROUP BY 1)
+        |SELECT nation_key,
+        |  unnest(range(1, len(top_names) + 1)) AS rank,
+        |  unnest(top_names) AS s_name
         |FROM t""".stripMargin)
 }
 
@@ -445,6 +469,40 @@ object SetOps {
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin)
+}
+
+/** Robustness pack: the dirty-data dead-letter path (P1) as a hard
+  * oracle row. JSON is BUILT deterministically (string concat — both
+  * engines produce identical bytes) with every 10th record corrupted;
+  * the PERMISSIVE parse must route exactly those to the dead letter and
+  * lose nothing else. The oracle is rule-based (it knows which rows are
+  * corrupt by construction), so the check pins Spark's actual parse
+  * behavior, not a shared parser. */
+object Robustness {
+
+  def deadLetter(s: SparkSession, d: String): DataFrame = {
+    val k = col("o_orderkey")
+    val js = when(k % 10 === 0, lit("{\"bad"))
+      .otherwise(concat(lit("{\"id\":"), k, lit(",\"v\":"), k % 100, lit("}")))
+    graft.Tables.orders(s, d)
+      .select(from_json(js,
+        org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v BIGINT"))
+        .as("r"))
+      .select(col("r.id").isNull.as("is_corrupt"), col("r.v").as("v"))
+      .groupBy("is_corrupt")
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_dead_letter" -> deadLetter)
+
+  val oracle: Map[String, String] = Map(
+    "q97_dead_letter" ->
+      """SELECT (o_orderkey % 10 = 0) AS is_corrupt,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_orderkey % 10 <> 0
+        |    THEN o_orderkey % 100 END) AS BIGINT) AS sum_v
+        |FROM orders GROUP BY 1""".stripMargin)
 }
 
 /** Reshaping pack: unpivot (melt) — the inverse of q54's pivot. */
