@@ -122,6 +122,68 @@ object SimHashIvf {
       .agg(count(lit(1)).as("n_vecs"),
         (sum(col("q")).cast("double") / count(lit(1))).as("centroid_q"))
 
+  /** Full Lloyd's k-means over the embeddings — the IVF index TRAINING
+    * loop kmeansStep is one iteration of. Each iteration: broadcast the
+    * K×dims centroid matrix (tiny — driver-side is the right place for
+    * it), assign every vector to its nearest centroid by squared L2
+    * (one distributed scan), recompute means per cell (one shuffle on
+    * cell), and measure inertia. Returns (centroids, per-iteration
+    * inertia). At 100 TB each iteration is a single
+    * map-side-combinable aggregation; the K×dims collect is O(K·dims),
+    * independent of data size. The assignment kernel is a per-partition
+    * while-loop over a broadcast matrix — the sanctioned RDD case
+    * (genuine imperative numeric kernel with mutable broadcast state,
+    * the same shape MLlib's KMeans uses); everything around it stays
+    * DataFrame. */
+  def kmeansTrain(s: SparkSession, d: String, iterations: Int,
+      kCells: Int = K): (Array[Array[Double]], Seq[Double]) = {
+    import org.apache.spark.sql.Row
+    val data = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding")).cache()
+    try {
+      val dims = data.select(size(col("embedding"))).head().getInt(0)
+      // deterministic seed: the first K vectors by vec_id
+      var centroids: Array[Array[Double]] = data.orderBy("vec_id")
+        .limit(kCells).collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      val inertias = Seq.newBuilder[Double]
+      for (_ <- 1 to iterations) {
+        val bc = s.sparkContext.broadcast(centroids)
+        val assigned = data.select(col("embedding")).rdd.mapPartitions { it =>
+          val cs = bc.value
+          it.map { row =>
+            val v = row.getSeq[Float](0)
+            var best = 0; var bestD = Double.MaxValue
+            var c = 0
+            while (c < cs.length) {
+              var dist = 0.0; var j = 0
+              while (j < cs(c).length) {
+                val diff = v(j) - cs(c)(j); dist += diff * diff; j += 1
+              }
+              if (dist < bestD) { bestD = dist; best = c }
+              c += 1
+            }
+            (best, (v.map(_.toDouble).toArray, 1L, bestD))
+          }
+        }
+        val byCell = assigned.reduceByKey { (a, b) =>
+          val summed = a._1.clone()
+          var j = 0
+          while (j < summed.length) { summed(j) += b._1(j); j += 1 }
+          (summed, a._2 + b._2, a._3 + b._3)
+        }.collect()
+        inertias += byCell.map(_._2._3).sum
+        val next = centroids.map(_.clone())
+        byCell.foreach { case (cell, (sums, n, _)) =>
+          next(cell) = sums.map(_ / n)
+        }
+        centroids = next
+        bc.destroy()
+      }
+      (centroids, inertias.result())
+    } finally data.unpersist()
+  }
+
   private def withVecFns(f: (SparkSession, String) => DataFrame)
       : (SparkSession, String) => DataFrame =
     (s, d) => { graft.functions.VecOps.register(s); f(s, d) }

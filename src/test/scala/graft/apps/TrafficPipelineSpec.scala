@@ -102,6 +102,15 @@ class TrafficAppSpec extends AnyFunSuite {
       assert(w1.getAs[Long]("pv_ct") == 2L)
       assert(w1.getAs[Long]("uv_ct") == 1L)
       assert(w1.getAs[Int]("dt") == 20220429)
+      // close the production loop: the serving layer reads the streamed
+      // dws table directly (dt partition pruning + re-aggregation)
+      val stats = graft.serving.ServingQueries
+        .trafficChannelStats(written, 20220429).collect()
+      assert(stats.length == 1 && stats.head.getAs[String]("ch") == "xiaomi")
+      assert(stats.head.getAs[Long]("uv_ct") >= 1L)
+      val uv = graft.serving.ServingQueries
+        .sugarChannelUv(written, 20220429).head()
+      assert(uv.getAs[String]("ch") == "xiaomi" && uv.getAs[Long]("uv_ct") >= 1L)
     } finally q.stop()
   }
 }
