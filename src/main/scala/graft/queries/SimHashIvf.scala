@@ -122,6 +122,39 @@ object SimHashIvf {
       .agg(count(lit(1)).as("n_vecs"),
         (sum(col("q")).cast("double") / count(lit(1))).as("centroid_q"))
 
+  /** IVF ANN search with nprobe=2 — the standard recall knob: scan the
+    * TWO cells whose centroid directions score highest for the query
+    * (best + runner-up via a masked argmax), trading 2/K of the data
+    * scanned for strictly-no-worse recall than nprobe=1 (property-tested
+    * in MultiProbeSpec). The query row computes both probe cells inside
+    * the plan; the data side still computes only its own cell. */
+  def annIvfMultiProbe(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"), cellExpr.as("cell"))
+    val dots = (0 until K).map(c =>
+      vec_dot(col("embedding"), typedlit(Centroids(c).toSeq)))
+    val best = greatest(dots: _*)
+    val bestIdx = (0 until K).foldRight(lit(-1)) { (c, acc) =>
+      when(dots(c) === best, lit(c)).otherwise(acc)
+    }
+    val masked = (0 until K).map(c =>
+      when(lit(c) === bestIdx, lit(Double.NegativeInfinity)).otherwise(dots(c)))
+    val second = greatest(masked: _*)
+    val secondIdx = (0 until K).foldRight(lit(-1)) { (c, acc) =>
+      when(masked(c) === second, lit(c)).otherwise(acc)
+    }
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qemb"),
+        bestIdx.as("qc1"), secondIdx.as("qc2"))
+    cells.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .filter(col("cell") === col("qc1") || col("cell") === col("qc2"))
+      .select(col("vec_id"), col("label"),
+        vec_cosine(col("embedding"), col("qemb")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Full Lloyd's k-means over the embeddings — the IVF index TRAINING
     * loop kmeansStep is one iteration of. Each iteration: broadcast the
     * K×dims centroid matrix (tiny — driver-side is the right place for
@@ -193,7 +226,8 @@ object SimHashIvf {
     "q37_simhash_buckets" -> ((s: SparkSession, d: String) => simhashBuckets(s, d)),
     "q38_ivf_cells" -> withVecFns(ivfCells),
     "q39_ann_ivf" -> withVecFns(annIvf),
-    "q93_kmeans_step" -> withVecFns(kmeansStep))
+    "q93_kmeans_step" -> withVecFns(kmeansStep),
+    "q98_ann_ivf_nprobe2" -> withVecFns(annIvfMultiProbe))
 
   // ---- oracle twins ----
 
@@ -259,7 +293,33 @@ object SimHashIvf {
       |    (sqrt(${duckNormSq("embedding")}) * sqrt(${duckNormSq("qemb")})) AS cos_sim
       |FROM assigned, q
       |WHERE vec_id <> 0 AND cell = qcell
-      |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)
+      |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q98_ann_ivf_nprobe2" -> {
+      val ds = (0 until K).map(c => duckDot("embedding", centroidLit(c)))
+        .mkString(",\n      ")
+      val maskedList = s"""list_transform(range(0, $K), c -> CASE
+        |        WHEN c = list_position(ds, list_max(ds)) - 1
+        |        THEN CAST('-infinity' AS DOUBLE)
+        |        ELSE ds[CAST(c + 1 AS INT)] END)""".stripMargin
+      s"""WITH qd AS (
+      |  SELECT embedding AS qemb,
+      |    [$ds] AS ds
+      |  FROM embeddings WHERE vec_id = 0),
+      |sel AS (
+      |  SELECT qemb,
+      |    list_position(ds, list_max(ds)) - 1 AS qc1,
+      |    list_position($maskedList,
+      |      list_max($maskedList)) - 1 AS qc2
+      |  FROM qd),
+      |assigned AS (
+      |  SELECT vec_id, label, embedding, $duckCellExpr AS cell FROM embeddings)
+      |SELECT vec_id, label,
+      |  ${duckDot("embedding", "qemb")} /
+      |    (sqrt(${duckNormSq("embedding")}) * sqrt(${duckNormSq("qemb")})) AS cos_sim
+      |FROM assigned, sel
+      |WHERE vec_id <> 0 AND (cell = qc1 OR cell = qc2)
+      |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+    })
 }
 
 /** SimHash near-dup pairing by Hamming distance — the comparison step
