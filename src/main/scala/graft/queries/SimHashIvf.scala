@@ -131,21 +131,29 @@ object SimHashIvf {
   def annIvfMultiProbe(s: SparkSession, d: String): DataFrame = {
     val cells = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), col("label"), cellExpr.as("cell"))
-    val dots = (0 until K).map(c =>
-      vec_dot(col("embedding"), typedlit(Centroids(c).toSeq)))
-    val best = greatest(dots: _*)
-    val bestIdx = (0 until K).foldRight(lit(-1)) { (c, acc) =>
-      when(dots(c) === best, lit(c)).otherwise(acc)
-    }
+    // staged projections: each stage references the previous stage's
+    // ATTRIBUTES, so the 8 dots are computed once instead of being
+    // inlined ~500x into one expression tree (which made codegen itself
+    // the dominant cost). CollapseProject keeps the stages separate
+    // because the aliases are non-cheap and multiply referenced.
+    val dcols = (0 until K).map(c => col(s"d$c"))
+    val q0 = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qemb") +:
+        (0 until K).map(c =>
+          vec_dot(col("embedding"), typedlit(Centroids(c).toSeq)).as(s"d$c")): _*)
+    val best = greatest(dcols: _*)
+    val q1 = q0.select(col("qemb") +: dcols :+
+      (0 until K).foldRight(lit(-1)) { (c, acc) =>
+        when(dcols(c) === best, lit(c)).otherwise(acc)
+      }.as("qc1"): _*)
     val masked = (0 until K).map(c =>
-      when(lit(c) === bestIdx, lit(Double.NegativeInfinity)).otherwise(dots(c)))
+      when(lit(c) === col("qc1"), lit(Double.NegativeInfinity))
+        .otherwise(dcols(c)))
     val second = greatest(masked: _*)
-    val secondIdx = (0 until K).foldRight(lit(-1)) { (c, acc) =>
-      when(masked(c) === second, lit(c)).otherwise(acc)
-    }
-    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
-      .select(col("embedding").as("qemb"),
-        bestIdx.as("qc1"), secondIdx.as("qc2"))
+    val q = q1.select(col("qemb"), col("qc1"),
+      (0 until K).foldRight(lit(-1)) { (c, acc) =>
+        when(masked(c) === second, lit(c)).otherwise(acc)
+      }.as("qc2"))
     cells.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .filter(col("cell") === col("qc1") || col("cell") === col("qc2"))

@@ -176,11 +176,35 @@ object TextOps {
           i => md5(col("text").substr(i, lit(8))))).as("roll_min_hash"),
         (greatest(length(col("text")) - 7, lit(1))).cast("long").as("n_windows"))
 
+  /** Winnowing k-min sketch + candidate pairing: each doc keeps its 5
+    * SMALLEST window hashes (a character-level MinHash — robust to word
+    * reordering and small edits, unlike token shingles), candidates
+    * equi-join on shared sketch hashes, ranked by overlap. The same
+    * bucketed candidates→verifier shape as MinHash-LSH (q30) and SimHash
+    * bands (q67), at the character granularity plagiarism/clone
+    * detection needs. One explode + one shuffle on the hash. */
+  def winnowCandidates(s: SparkSession, d: String): DataFrame = {
+    val sketch = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(slice(array_sort(transform(
+          sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
+          i => md5(col("text").substr(i, lit(8))))), 1, 5)).as("wh"))
+      .distinct() // identical windows at different positions collapse
+    val a = sketch.select(col("doc_id").as("doc_a"), col("wh"))
+    val b = sketch.select(col("doc_id").as("doc_b"), col("wh"))
+    a.join(b, Seq("wh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_windows"))
+      .filter(col("shared_windows") >= 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_word_count" -> wordCount,
     "q24_exact_dedup" -> exactDedup,
     "q25_fingerprint" -> fingerprint,
     "q92_rolling_fingerprint" -> rollingFingerprint,
+    "q99_winnow_candidates" -> winnowCandidates,
     "q26_text_quality" -> textQuality,
     "q27_token_stats" -> tokenStats,
     "q28_lang_id" -> langId,
@@ -216,6 +240,17 @@ object TextOps {
         |    i -> md5(substr(text, CAST(i AS INT), 8)))) AS roll_min_hash,
         |  CAST(greatest(length(text) - 7, 1) AS BIGINT) AS n_windows
         |FROM documents""".stripMargin,
+    "q99_winnow_candidates" ->
+      """WITH sk AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_sort(list_transform(
+        |      range(1, greatest(length(text) - 7, 1) + 1),
+        |      i -> md5(substr(text, CAST(i AS INT), 8))))[1:5]) AS wh
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  COUNT(*) AS shared_windows
+        |FROM sk a JOIN sk b ON a.wh = b.wh AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
     "q26_text_quality" -> s"""$wordsCte,
       |per_doc AS (
       |  SELECT doc_id, lang, COUNT(*) AS n_tokens,
