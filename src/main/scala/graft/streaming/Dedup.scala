@@ -99,6 +99,64 @@ object Dedup {
       }
   }
 
+  /** [[keepLatest]] on the NEW Spark 4 `transformWithState` API
+    * (StatefulProcessor + named ValueStates + explicit event-time
+    * timers) — the forward path for stateful operators: typed state
+    * handles, multiple states per key, timer add/delete instead of the
+    * single flatMapGroupsWithState timeout slot. Semantics are identical
+    * to keepLatest (TransformWithStateSpec proves output equivalence on
+    * the same replay); requires the RocksDB state store provider.
+    * Timers ACCUMULATE on this API (unlike setTimeoutTimestamp, which
+    * replaces), so the previous deadline is tracked and deleted before
+    * registering the new one — otherwise an early timer fires while the
+    * key is still active and emits prematurely. */
+  class KeepLatestProcessor(quiesceMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, KeyedEvent, KeyedEvent] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, TimerValues, ExpiredTimerInfo}
+    import org.apache.spark.sql.{Encoders, streaming}
+
+    @transient private var latest: streaming.ValueState[KeyedEvent] = _
+    @transient private var deadline: streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      latest = getHandle.getValueState[KeyedEvent]("latest",
+        Encoders.product[KeyedEvent], TTLConfig.NONE)
+      deadline = getHandle.getValueState[Long]("deadline",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[KeyedEvent],
+        tv: TimerValues): Iterator[KeyedEvent] = {
+      val newest = (rows ++
+        (if (latest.exists()) Iterator.single(latest.get()) else Iterator.empty))
+        .maxBy(e => (e.ts, e.payload))
+      latest.update(newest)
+      val dl = math.max(newest.ts + quiesceMs, tv.getCurrentWatermarkInMs + 1)
+      if (deadline.exists()) getHandle.deleteTimer(deadline.get())
+      getHandle.registerTimer(dl)
+      deadline.update(dl)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[KeyedEvent] =
+      if (latest.exists()) {
+        val out = latest.get()
+        latest.clear(); deadline.clear()
+        Iterator.single(out)
+      } else Iterator.empty
+  }
+
+  /** Streaming-only transformWithState flavor of [[keepLatest]]. */
+  def keepLatestTws(ds: Dataset[KeyedEvent], quiesceMs: Long = 2000)
+      : Dataset[KeyedEvent] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ds.groupByKey(_.key)
+      .transformWithState(new KeepLatestProcessor(quiesceMs),
+        TimeMode.EventTime(), OutputMode.Append)
+  }
+
   /** Like [[dailyFirst]] but emits the FULL first event (the reference's
     * UV stream carries the whole log row forward —
     * DwdTrafficUniqueVisitorDetail.java:118). */
