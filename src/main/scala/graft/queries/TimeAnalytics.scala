@@ -172,7 +172,37 @@ object TimeAnalytics {
       .select(col("window.start").as("wstart"), col("event_count"),
         col("active_users"), col("total_value"))
 
+  /** Range (interval-containment) join, granule-bucketed — the operator
+    * the preference order resolves by COMPOSITION (brief: "as-of join,
+    * range join"): shipments joined to the 7-day promo windows
+    * containing them. A naive containment predicate plans as a
+    * nested-loop join; instead each interval explodes to its covered DAY
+    * granules and each point maps to its day, so candidates EQUI-join on
+    * the granule and the exact half-open containment filter runs only
+    * within matching days — one shuffle, linear in intervals × span +
+    * points, never points × intervals. Granule width trades explode
+    * factor vs candidate precision (same knob as LSH band width). */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.orders(s, d).filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey").as("promo_id"),
+        col("o_orderdate").as("start_ts"),
+        (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("end_ts"))
+    val granules = iv.select(col("promo_id"), col("start_ts"), col("end_ts"),
+      explode(sequence(to_date(col("start_ts")), to_date(col("end_ts"))))
+        .as("day"))
+    val points = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate"),
+        to_date(col("l_shipdate")).as("day"))
+    points.join(granules, Seq("day"))
+      .filter(col("l_shipdate") >= col("start_ts") &&
+        col("l_shipdate") < col("end_ts"))
+      .groupBy(col("promo_id"))
+      .agg(count(lit(1)).as("n_shipments"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_range_join" -> rangeJoin,
     "q13_window_tumble_10s" -> windowTumble,
     "q56_global_window" -> globalWindowTotals,
     "q14_daily_active_users" -> dailyActiveUsers,
@@ -191,6 +221,16 @@ object TimeAnalytics {
       |  user_id, event_type, value, props FROM events)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q100_range_join" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey AS promo_id, o_orderdate AS start_ts,
+        |    o_orderdate + INTERVAL 7 DAY AS end_ts
+        |  FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT promo_id, COUNT(*) AS n_shipments,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem JOIN iv
+        |  ON l_shipdate >= start_ts AND l_shipdate < end_ts
+        |GROUP BY promo_id""".stripMargin,
     "q56_global_window" -> s"""$evCte
       |SELECT time_bucket(INTERVAL '10 seconds', ts) AS wstart,
       |  COUNT(*) AS event_count,

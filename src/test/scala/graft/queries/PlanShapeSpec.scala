@@ -15,7 +15,8 @@ class PlanShapeSpec extends AnyFunSuite {
   private def planOf(q: String): String =
     SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
 
-  for (q <- Seq("q35_cosine_pairs", "q65_fuzzy_name_match", "q67_simhash_hamming")) {
+  for (q <- Seq("q35_cosine_pairs", "q65_fuzzy_name_match",
+      "q67_simhash_hamming", "q100_range_join")) {
     test(s"$q plans with no nested-loop/cartesian join") {
       val plan = planOf(q)
       assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
