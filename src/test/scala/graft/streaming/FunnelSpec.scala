@@ -111,6 +111,32 @@ class FunnelSpec extends AnyFunSuite {
     assert(got.values.forall(_.anchorTs == 0))
   }
 
+  test("randomized 2-step funnel: outcome ⇔ brute-force chain existence") {
+    // for 2 steps, greedy first-match ≡ "exists a step-1 event in the
+    // window after the first anchor" (the first step-1 at or after the
+    // anchor is in-window iff any is) — check on seeded random replays
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 20) {
+      val events = (1 to 30).map { _ =>
+        FunnelEvent(s"k${rnd.nextInt(5)}", rnd.nextInt(100).toLong, rnd.nextInt(2))
+      }
+      val got = Sessionize.funnel(events.toDS(), 2, Seq(10L))
+        .collect().map(o => o.key -> o).toMap
+      events.groupBy(_.key).foreach { case (k, evs) =>
+        val zeros = evs.filter(_.step == 0).map(_.ts)
+        if (zeros.isEmpty) assert(!got.contains(k))
+        else {
+          val anchor = zeros.min
+          val expect = evs.exists(e =>
+            e.step == 1 && e.ts >= anchor && e.ts - anchor <= 10)
+          assert(got(k).anchorTs == anchor)
+          assert(got(k).completed == expect,
+            s"key $k events ${evs.sortBy(e => (e.ts, e.step))}")
+        }
+      }
+    }
+  }
+
   test("bounce detection remains the 2-event strict-next special case") {
     // regression guard: the funnel generalization must not change
     // detectBounces (entry→entry within 10 s = bounce; navigation = not)
