@@ -343,9 +343,46 @@ object WindowKinds {
       .select(col("session_window.start").as("sstart"), col("user_id"),
         col("session_events"), col("session_value"))
 
+  /** Per-event session LABELING (vs q60's session aggregates): every
+    * event gets its user's session ordinal — lag to flag gap-breaks,
+    * cumulative sum to number them. The labeled stream is what feeds
+    * per-session funnels/attribution downstream; one shuffle on user_id,
+    * in-partition sort (same cost class as any window function). */
+  def sessionLabels(s: SparkSession, d: String): DataFrame = {
+    val byUser = W.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    graft.Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >=
+            600L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(byUser.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .select(col("event_id"), col("user_id"), col("session_seq"))
+  }
+
+  /** Cohort retention: users grouped by FIRST-active date, counted again
+    * at each day offset they return — the product-analytics retention
+    * matrix. Two shuffles (first-seen per user, then cohort × offset);
+    * at scale the first-seen frame is a tiny per-user dim reused across
+    * reports. */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val first = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    ev.join(first, Seq("user_id"))
+      .select(col("user_id"), col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .distinct()
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("active_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_sliding_window" -> slidingWindow,
-    "q60_session_window" -> sessionWindow)
+    "q60_session_window" -> sessionWindow,
+    "q101_session_labels" -> sessionLabels,
+    "q102_cohort_retention" -> cohortRetention)
 
   val oracle: Map[String, String] = Map(
     // each event contributes to 3 slide-aligned windows: k = 0,1,2
@@ -382,5 +419,31 @@ object WindowKinds {
         |SELECT MIN(ts) AS sstart, user_id,
         |  COUNT(*) AS session_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
-        |FROM numbered GROUP BY user_id, session_seq""".stripMargin)
+        |FROM numbered GROUP BY user_id, session_seq""".stripMargin,
+    "q101_session_labels" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |    date_trunc('microseconds', ts) AS ts FROM events),
+        |lagged AS (
+        |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS prev_ts FROM ev),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR ts - prev_ts >= INTERVAL '10 minutes' THEN 1 ELSE 0 END
+        |    AS new_session FROM lagged)
+        |SELECT event_id, user_id,
+        |  CAST(SUM(new_session) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |FROM flagged""".stripMargin,
+    "q102_cohort_retention" ->
+      """WITH ev AS (SELECT user_id,
+        |    CAST(date_trunc('microseconds', ts) AS DATE) AS day FROM events),
+        |first AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY 1),
+        |offsets AS (
+        |  SELECT DISTINCT ev.user_id, cohort_day,
+        |    CAST(day - cohort_day AS BIGINT) AS day_offset
+        |  FROM ev JOIN first ON ev.user_id = first.user_id)
+        |SELECT cohort_day, day_offset,
+        |  COUNT(DISTINCT user_id) AS active_users
+        |FROM offsets GROUP BY 1, 2""".stripMargin)
 }
