@@ -36,9 +36,26 @@ case class TopKBy(value: Expression, key: Expression, kExpr: Expression,
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(key.dataType)
 
-  // largest value first; ties → smaller key
-  private def lt(a: (Double, Any), b: (Double, Any)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && keyOrd.lt(a._2, b._2))
+  // reject unsupported key types at ANALYSIS time — otherwise the job
+  // only dies deep in the partial-aggregate shuffle at serialize()
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    key.dataType match {
+      case LongType | IntegerType | StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"topk_by key type $other is not supported (long, int, string)")
+    }
+
+  // largest value first; ties → smaller key. java.lang.Double.compare is
+  // a TOTAL order (NaN sorts greatest) — a naive `>`/`==` comparator is
+  // not a strict weak ordering under NaN and makes TimSort throw
+  // "Comparison method violates its general contract"
+  private def lt(a: (Double, Any), b: (Double, Any)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && keyOrd.lt(a._2, b._2))
+  }
 
   private def trim(buf: mutable.ArrayBuffer[(Double, Any)])
       : mutable.ArrayBuffer[(Double, Any)] = {

@@ -182,7 +182,6 @@ object SimHashIvf {
     val data = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding")).cache()
     try {
-      val dims = data.select(size(col("embedding"))).head().getInt(0)
       // deterministic seed: the first K vectors by vec_id
       var centroids: Array[Array[Double]] = data.orderBy("vec_id")
         .limit(kCells).collect()

@@ -78,9 +78,16 @@ object Sinks {
         val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val tmp = new org.apache.hadoop.fs.Path(s"$rootPath/.${table}_tmp")
         val old = new org.apache.hadoop.fs.Path(s"$rootPath/.${table}_old")
+        // Hadoop rename signals failure by RETURNING FALSE, not throwing;
+        // proceeding after a silent failure could delete the only
+        // surviving snapshot, so every rename in the swap is checked
+        def mustRename(from: org.apache.hadoop.fs.Path,
+            to: org.apache.hadoop.fs.Path): Unit =
+          if (!fs.rename(from, to)) throw new IllegalStateException(
+            s"dim swap aborted: rename $from -> $to failed")
         // crash recovery: a previous swap may have parked the live
         // snapshot at `old` and died before promoting `tmp` — restore it
-        if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
+        if (!fs.exists(path) && fs.exists(old)) mustRename(old, path)
         val merged =
           if (fs.exists(path)) {
             val existing = spark.read.parquet(path.toString)
@@ -100,8 +107,8 @@ object Sinks {
         fs.delete(tmp, true)
         merged.localCheckpoint().write.parquet(tmp.toString)
         fs.delete(old, true)
-        if (fs.exists(path)) fs.rename(path, old)
-        fs.rename(tmp, path)
+        if (fs.exists(path)) mustRename(path, old)
+        mustRename(tmp, path)
         fs.delete(old, true)
       }
     }

@@ -55,6 +55,7 @@ object Sessionize {
       .flatMapGroupsWithState[FunnelState, FunnelOutcome](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key, events, state: GroupState[FunnelState]) =>
+          val evSeq = if (state.hasTimedOut) Seq.empty else events.toSeq
           if (state.hasTimedOut) {
             val st = state.get
             if (!st.done) {
@@ -68,16 +69,23 @@ object Sessionize {
           } else {
             var st = state.getOption.orNull
             val out = Seq.newBuilder[FunnelOutcome]
-            events.toSeq.sortBy(e => (e.ts, e.step)).foreach { e =>
+            evSeq.sortBy(e => (e.ts, e.step)).foreach { e =>
               if (st == null) {
                 if (e.step == 0) st = FunnelState(e.ts, 1, e.ts, done = false)
               } else if (!st.done) {
-                if (e.ts - st.lastStepTs > timeoutsMs(st.stepsReached - 1)) {
-                  // ANY later event past the deadline proves expiry
+                // In BATCH, input is complete and globally sorted, so any
+                // event past the deadline proves expiry. In STREAMING,
+                // arrival order proves nothing: an on-time (within
+                // watermark) out-of-order step event may still arrive in
+                // a later micro-batch, so only the watermark timer may
+                // declare expiry — the hasTimedOut branch above.
+                if (!streaming &&
+                    e.ts - st.lastStepTs > timeoutsMs(st.stepsReached - 1)) {
                   out += FunnelOutcome(key, st.anchorTs, completed = false,
                     st.lastStepTs, st.stepsReached)
                   st = st.copy(done = true)
-                } else if (e.step == st.stepsReached && e.ts >= st.lastStepTs) {
+                } else if (e.step == st.stepsReached && e.ts >= st.lastStepTs &&
+                    e.ts - st.lastStepTs <= timeoutsMs(st.stepsReached - 1)) {
                   st = FunnelState(st.anchorTs, st.stepsReached + 1, e.ts,
                     done = st.stepsReached + 1 == nSteps)
                   if (st.done)

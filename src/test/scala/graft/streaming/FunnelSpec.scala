@@ -111,6 +111,45 @@ class FunnelSpec extends AnyFunSuite {
     assert(got.values.forall(_.anchorTs == 0))
   }
 
+  test("streaming funnel tolerates on-time out-of-order arrivals " +
+      "(expiry only via the watermark timer, never arrival order)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[FunnelEvent]
+    val in = {
+      val df = mem.toDS().toDF()
+        .withColumn("event_time",
+          (org.apache.spark.sql.functions.col("ts") / 1000).cast("timestamp"))
+        .withWatermark("event_time", "5 seconds")
+      df.as[FunnelEvent]
+    }
+    val q = Sessionize.funnel(in, 2, Seq(60000L))
+      .writeStream.format("memory").queryName("funnel_ooo")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // ts > 0: an event AT the initial watermark (0) would be dropped
+      val T = 100000L
+      mem.addData(FunnelEvent("u", T, 0)) // anchor; deadline = T+60000
+      q.processAllAvailable()
+      // a later-stamped SAME-KEY event arrives first: it is past the gap
+      // (61 s after the anchor), but the watermark is only T+56000 —
+      // arrival order must NOT fail the pattern...
+      mem.addData(FunnelEvent("u", T + 61000, 1))
+      q.processAllAvailable()
+      // ...because this on-time (>= watermark T+56000) in-window step-1
+      // event still arrives and must complete the funnel, as batch would
+      mem.addData(FunnelEvent("u", T + 59500, 1))
+      q.processAllAvailable()
+      mem.addData(FunnelEvent("y", T + 500000, 0)) // flush timers
+      q.processAllAvailable()
+      mem.addData(FunnelEvent("y", T + 600000, 1))
+      q.processAllAvailable()
+      val u = spark.table("funnel_ooo").as[FunnelOutcome].collect()
+        .filter(_.key == "u")
+      assert(u.length == 1 && u.head.completed,
+        s"out-of-order on-time completion lost: ${u.toSeq}")
+    } finally q.stop()
+  }
+
   test("randomized 2-step funnel: outcome ⇔ brute-force chain existence") {
     // for 2 steps, greedy first-match ≡ "exists a step-1 event in the
     // window after the first anchor" (the first step-1 at or after the
