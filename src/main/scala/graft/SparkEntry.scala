@@ -34,7 +34,8 @@ object SparkEntry {
       graft.serving.ServingPack.queries ++
       graft.dwd.DwdPack.queries ++
       graft.queries.SetOps.queries ++
-      graft.queries.Robustness.queries
+      graft.queries.Robustness.queries ++
+      graft.queries.Profiling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -58,5 +59,6 @@ object SparkEntry {
       graft.serving.ServingPack.oracle ++
       graft.dwd.DwdPack.oracle ++
       graft.queries.SetOps.oracle ++
-      graft.queries.Robustness.oracle
+      graft.queries.Robustness.oracle ++
+      graft.queries.Profiling.oracle
 }

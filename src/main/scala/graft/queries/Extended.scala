@@ -505,6 +505,68 @@ object Robustness {
         |FROM orders GROUP BY 1""".stripMargin)
 }
 
+/** Profiling/statistics pack — the data-profiling primitives an engine
+  * user expects (histograms, correlation). Correlation is computed from
+  * EXACT integer co-moment sums (floored inputs) with one double
+  * formula at the end — `corr()` builtins accumulate doubles cross-row
+  * and disagree across engines in the last bits, so they cannot be
+  * oracle-checked; this formulation is bit-stable at any parallelism. */
+object Profiling {
+
+  /** Equi-width histogram of order totals: 10 buckets over [0, 500k). */
+  def histogram(s: SparkSession, d: String): DataFrame = {
+    val w = 50000.0
+    graft.Tables.orders(s, d)
+      .select(least(floor(col("o_totalprice") / w), lit(9L)).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** Pearson correlation of (floored) price vs quantity per return flag,
+    * via exact integer sums: r = (nΣxy − ΣxΣy)/√((nΣxx−Σx²)(nΣyy−Σy²)). */
+  def correlation(s: SparkSession, d: String): DataFrame = {
+    val x = floor(col("l_extendedprice"))
+    val y = floor(col("l_quantity"))
+    graft.Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .as("price_qty_corr"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_histogram" -> histogram,
+    "q104_correlation" -> correlation)
+
+  val oracle: Map[String, String] = Map(
+    "q103_histogram" ->
+      """SELECT least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9)
+        |    AS bucket,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q104_correlation" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sy,
+        |    CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT) *
+        |      CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxx,
+        |    CAST(SUM(CAST(floor(l_quantity) AS BIGINT) *
+        |      CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS syy,
+        |    CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT) *
+        |      CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |      CAST(n * syy - sy * sy AS DOUBLE)) AS price_qty_corr
+        |FROM s""".stripMargin)
+}
+
 /** Reshaping pack: unpivot (melt) — the inverse of q54's pivot. */
 object Extended6 {
 
