@@ -523,18 +523,26 @@ object Profiling {
   }
 
   /** Pearson correlation of (floored) price vs quantity per return flag,
-    * via exact integer sums: r = (nΣxy − ΣxΣy)/√((nΣxx−Σx²)(nΣyy−Σy²)). */
+    * via exact integer sums: r = (nΣxy − ΣxΣy)/√((nΣxx−Σx²)(nΣyy−Σy²)).
+    * The co-moment products overflow INT64 around sf0.1 (n·Σxx ≈ 4e20),
+    * so the formula runs in decimal(38,0) (HUGEINT in the oracle) and
+    * casts double only at the end. */
   def correlation(s: SparkSession, d: String): DataFrame = {
     val x = floor(col("l_extendedprice"))
     val y = floor(col("l_quantity"))
+    def big(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("decimal(38,0)")
     graft.Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
         sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
       .select(col("l_returnflag"), col("n"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
-            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+        ((big(col("n")) * big(col("sxy")) - big(col("sx")) * big(col("sy")))
+          .cast("double") /
+          sqrt((big(col("n")) * big(col("sxx")) - big(col("sx")) * big(col("sx")))
+            .cast("double") *
+            (big(col("n")) * big(col("syy")) - big(col("sy")) * big(col("sy")))
+              .cast("double")))
           .as("price_qty_corr"))
   }
 
@@ -561,9 +569,11 @@ object Profiling {
         |      CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sxy
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, n,
-        |  CAST(n * sxy - sx * sy AS DOUBLE) /
-        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
-        |      CAST(n * syy - sy * sy AS DOUBLE)) AS price_qty_corr
+        |  CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+        |    sqrt(CAST(CAST(n AS HUGEINT) * sxx
+        |        - CAST(sx AS HUGEINT) * sx AS DOUBLE) *
+        |      CAST(CAST(n AS HUGEINT) * syy
+        |        - CAST(sy AS HUGEINT) * sy AS DOUBLE)) AS price_qty_corr
         |FROM s""".stripMargin)
 }
 
