@@ -131,12 +131,40 @@ object TextOps {
         min(col("min_doc_id")).as("sample_doc_id"))
   }
 
+  /** Stop-token (document-frequency cap) filter for shared-token
+    * candidate self-joins. `tokens` must already be per-document
+    * distinct, so `count(*)` per token IS its document frequency. Tokens
+    * with df > `dfCap` (boilerplate headers, stop-phrases — guaranteed
+    * in a real crawl) are removed BEFORE the self-join: one such token
+    * shared by m documents otherwise creates an m²-pair bucket on a
+    * single executor. The hot set is tiny by construction (≤ occurrences
+    * ∕ dfCap heavy hitters), so it broadcasts; the anti-join keeps the
+    * big side shuffle-free. `dfCap = Int.MaxValue` skips the filter
+    * entirely (no plan change — today's exact oracle rows).
+    *
+    * Recall trade: a true near-dup pair whose ONLY shared tokens are
+    * hot ones is lost. Standard MinHash-LSH practice accepts this — a
+    * pair sharing nothing but boilerplate is not a near-dup. */
+  private def dropHotTokens(tokens: DataFrame, tokenCol: String,
+      dfCap: Int): DataFrame =
+    if (dfCap == Int.MaxValue) tokens
+    else {
+      val hot = tokens.groupBy(tokenCol).agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap).select(tokenCol)
+      tokens.join(broadcast(hot), Seq(tokenCol), "left_anti")
+    }
+
   /** N-gram (3-shingle) Jaccard near-dup scoring on a bounded candidate
     * set (doc_id < 100): emits exact (intersection, union) integers per
     * pair with ≥2 shared shingles (jaccard = inter/union computed by the
     * consumer — integers stay engine-exact). At scale the candidate set
-    * comes from [[minhashLshBuckets]] instead of an id range. */
-  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    * comes from [[minhashLshBuckets]] instead of an id range, and a
+    * finite `dfCap` (stop-shingle filter, [[dropHotTokens]]) bounds the
+    * per-shingle bucket size — at 100 TB always run with a finite cap. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccard(s, d, Int.MaxValue)
+
+  def ngramJaccard(s: SparkSession, d: String, dfCap: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val shingles = words(s, d)
       .filter(col("doc_id") < 100)
@@ -146,9 +174,10 @@ object TextOps {
       .select(col("doc_id"),
         concat_ws(" ", col("word"), col("w2"), col("w3")).as("shingle"))
       .distinct()
-    val counts = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val pairs = shingles.as("a")
-      .join(shingles.as("b"),
+    val kept = dropHotTokens(shingles, "shingle", dfCap)
+    val counts = kept.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter_size"))
@@ -182,14 +211,22 @@ object TextOps {
     * equi-join on shared sketch hashes, ranked by overlap. The same
     * bucketed candidates→verifier shape as MinHash-LSH (q30) and SimHash
     * bands (q67), at the character granularity plagiarism/clone
-    * detection needs. One explode + one shuffle on the hash. */
-  def winnowCandidates(s: SparkSession, d: String): DataFrame = {
-    val sketch = Tables.documents(s, d)
+    * detection needs. One explode + one shuffle on the hash. A finite
+    * `dfCap` ([[dropHotTokens]]) removes window hashes shared by more
+    * than dfCap documents before pairing — this corpus already has
+    * boilerplate hashes with df≈77 at sf0.01, the small-scale preview of
+    * the one-hot-bucket quadratic trap at 100 TB. */
+  def winnowCandidates(s: SparkSession, d: String): DataFrame =
+    winnowCandidates(s, d, Int.MaxValue)
+
+  def winnowCandidates(s: SparkSession, d: String, dfCap: Int): DataFrame = {
+    val sketch0 = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(slice(array_sort(transform(
           sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
           i => md5(col("text").substr(i, lit(8))))), 1, 5)).as("wh"))
       .distinct() // identical windows at different positions collapse
+    val sketch = dropHotTokens(sketch0, "wh", dfCap)
     val a = sketch.select(col("doc_id").as("doc_a"), col("wh"))
     val b = sketch.select(col("doc_id").as("doc_b"), col("wh"))
     a.join(b, Seq("wh"))
@@ -204,13 +241,19 @@ object TextOps {
     "q24_exact_dedup" -> exactDedup,
     "q25_fingerprint" -> fingerprint,
     "q92_rolling_fingerprint" -> rollingFingerprint,
-    "q99_winnow_candidates" -> winnowCandidates,
+    "q99_winnow_candidates" -> ((s, d) => winnowCandidates(s, d)),
     "q26_text_quality" -> textQuality,
     "q27_token_stats" -> tokenStats,
     "q28_lang_id" -> langId,
     "q29_minhash_signatures" -> minhashSignatures,
     "q30_minhash_lsh_buckets" -> minhashLshBuckets,
-    "q31_ngram_jaccard" -> ngramJaccard)
+    "q31_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
+    // Capped variants: same pipelines with a finite stop-token df cap —
+    // the 100 TB configuration. Caps chosen to actually drop tokens on
+    // this corpus (q31 max shingle df = 4 → cap 3; q99 window hashes
+    // reach df 77 → cap 8), so the oracle exercises the filter.
+    "q105_ngram_jaccard_dfcap" -> ((s, d) => ngramJaccard(s, d, 3)),
+    "q106_winnow_dfcap" -> ((s, d) => winnowCandidates(s, d, 8)))
 
   private val wordsCte =
     """WITH w AS (
@@ -331,5 +374,39 @@ object TextOps {
       |FROM pairs
       |JOIN counts ca ON ca.doc_id = doc_a
       |JOIN counts cb ON cb.doc_id = doc_b
-      |WHERE inter_size >= 2""".stripMargin)
+      |WHERE inter_size >= 2""".stripMargin,
+    "q105_ngram_jaccard_dfcap" -> s"""$wordsCte,
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    word || ' ' || lead(word, 1) OVER dw || ' ' || lead(word, 2) OVER dw
+      |      AS shingle
+      |  FROM w WHERE doc_id < 100
+      |  WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+      |sh1 AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+      |hot AS (SELECT shingle FROM sh1 GROUP BY shingle HAVING COUNT(*) > 3),
+      |sh2 AS (SELECT * FROM sh1 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      |counts AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh2 GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_size
+      |  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b, inter_size,
+      |  ca.n_shingles + cb.n_shingles - inter_size AS union_size
+      |FROM pairs
+      |JOIN counts ca ON ca.doc_id = doc_a
+      |JOIN counts cb ON cb.doc_id = doc_b
+      |WHERE inter_size >= 2""".stripMargin,
+    "q106_winnow_dfcap" ->
+      """WITH sk0 AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_sort(list_transform(
+        |      range(1, greatest(length(text) - 7, 1) + 1),
+        |      i -> md5(substr(text, CAST(i AS INT), 8))))[1:5]) AS wh
+        |  FROM documents),
+        |hot AS (SELECT wh FROM sk0 GROUP BY wh HAVING COUNT(*) > 8),
+        |sk AS (SELECT * FROM sk0 WHERE wh NOT IN (SELECT wh FROM hot))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  COUNT(*) AS shared_windows
+        |FROM sk a JOIN sk b ON a.wh = b.wh AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin)
 }
