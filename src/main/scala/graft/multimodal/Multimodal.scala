@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   * the decode / feature-extract / resize / frame-sample stages as
   * partition-batched operators.
   *
-  * The actual codecs are STUBBED (this container ships no image/audio
-  * libraries): `StubCodec` derives deterministic fake pixels/samples from
-  * the bytes, so every pipeline stage is fully testable and the Spark
-  * plumbing — schema, partition batching, operator signatures, output
-  * shapes — is real. Swapping in a real codec changes ONE function.
+  * Image decode is REAL for the formats the JDK itself can read
+  * (PNG/BMP/GIF/JPEG via `javax.imageio` — no external libraries):
+  * [[JvmImageCodec]] parses the payload bytes and emits true
+  * width/height/RGB pixels. Payloads ImageIO cannot parse (raw blobs,
+  * audio, video containers) fall back to `StubCodec`, which derives
+  * deterministic fake pixels/samples from the bytes, so every pipeline
+  * stage stays fully testable and the Spark plumbing — schema, partition
+  * batching, operator signatures, output shapes — is identical either
+  * way. Audio/video codecs remain stubbed (no libs in this container).
   *
   * Scale notes (100 TB of media):
   *  - rows carry bytes, so `spark.sql.files.maxPartitionBytes` (not row
@@ -105,6 +109,41 @@ object Multimodal {
       decodeImage(bytes ++ BigInt(frameIdx).toByteArray, w, h)
   }
 
+  /** Real pure-JVM image codec. `javax.imageio` ships PNG/BMP/GIF/JPEG
+    * readers inside the JDK, so decode needs no external dependency.
+    * Returns None for payloads ImageIO cannot parse — the caller falls
+    * back to [[StubCodec]], keeping the operator total over arbitrary
+    * binary columns (a 100 TB crawl always contains corrupt media). */
+  object JvmImageCodec {
+    final case class Image(width: Int, height: Int, pixels: Array[Byte])
+
+    /** bytes → RGB row-major pixel buffer (3 bytes/pixel), or None. */
+    def decode(bytes: Array[Byte]): Option[Image] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val out = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val o = (y * w + x) * 3
+              out(o) = ((rgb >> 16) & 0xff).toByte
+              out(o + 1) = ((rgb >> 8) & 0xff).toByte
+              out(o + 2) = (rgb & 0xff).toByte
+              x += 1
+            }
+            y += 1
+          }
+          Some(Image(w, h, out))
+        }
+      } catch { case _: java.io.IOException => None }
+  }
+
   /** Rebalance by payload size before CPU-heavy stages: target ~`mb` MB of
     * media bytes per partition regardless of row skew. */
   def repartitionForDecode(df: DataFrame, mb: Int = 64): DataFrame = {
@@ -115,13 +154,25 @@ object Multimodal {
   }
 
   /** Decode stage: binary → pixel buffers, one codec init per partition
-    * (mapPartitions ≡ mapInPandas batch shape). */
+    * (mapPartitions ≡ mapInPandas batch shape). Real decode via
+    * [[JvmImageCodec]] when the bytes are a parseable image — width and
+    * height then come from the BITSTREAM, not the declared metadata —
+    * with the deterministic stub as fallback for unparseable payloads. */
   def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
     import media.sparkSession.implicits._
     media.filter(_.media_type == "image").mapPartitions { rows =>
-      // per-partition codec init would go here
-      rows.map(r => DecodedImage(r.media_id, r.width, r.height, 3,
-        StubCodec.decodeImage(r.bytes, r.width, r.height)))
+      // per-partition codec init: disable ImageIO's disk-backed stream
+      // cache so decode stays in-memory on executors
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        JvmImageCodec.decode(r.bytes) match {
+          case Some(img) =>
+            DecodedImage(r.media_id, img.width, img.height, 3, img.pixels)
+          case None =>
+            DecodedImage(r.media_id, r.width, r.height, 3,
+              StubCodec.decodeImage(r.bytes, r.width, r.height))
+        }
+      }
     }
   }
 

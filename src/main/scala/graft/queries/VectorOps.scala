@@ -93,8 +93,18 @@ object VectorOps {
     * bands ≈ 0.89 at cos 0.45 and ≈ 0.995 at the 0.9 a real near-dup
     * corpus would use; the oracle applies the identical band condition
     * so the check is exact. Threshold 0.45 because this synthetic corpus
-    * is near-orthogonal. */
-  def cosinePairs(s: SparkSession, d: String): DataFrame = {
+    * is near-orthogonal.
+    *
+    * Recall evidence (not just the model): VectorOpsSpec measures recall
+    * of this band-LSH formulation against the exact brute-force pair set
+    * on the same table and asserts it within tolerance of the analytic
+    * per-pair capture probability 1−(1−(1−θ/π)²)⁴ — so the q35 oracle
+    * (which mirrors the band predicate exactly) is backed by a separate
+    * measured-recall check against the exact formulation. */
+  def cosinePairs(s: SparkSession, d: String): DataFrame =
+    cosinePairs(s, d, 0.45)
+
+  def cosinePairs(s: SparkSession, d: String, thr: Double): DataFrame = {
     val bits = Planes.map { coeffs =>
       when(vec_dot(col("embedding"), typedlit(coeffs.toSeq)) >= 0, "1").otherwise("0")
     }
@@ -117,7 +127,7 @@ object VectorOps {
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         vec_dot(col("na"), col("nb")).as("cos_sim"))
-      .filter(col("cos_sim") >= 0.45)
+      .filter(col("cos_sim") >= thr)
       // the dot fold is deterministic, so multi-band duplicates are
       // bit-identical rows — distinct dedups them exactly
       .distinct()
@@ -131,7 +141,7 @@ object VectorOps {
     "q32_embedding_stats" -> withVecFns(embeddingStats),
     "q33_cosine_topk" -> withVecFns(cosineTopK),
     "q34_ann_lsh_buckets" -> withVecFns(annLshBuckets),
-    "q35_cosine_pairs" -> withVecFns(cosinePairs))
+    "q35_cosine_pairs" -> withVecFns((s, d) => cosinePairs(s, d)))
 
   // DuckDB oracle twins. The fold shape mirrors Spark exactly.
   private def duckDot(a: String, b: String): String =

@@ -56,4 +56,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sims.count() == 30L * 29 / 2)
     assert(sims.agg(max(abs(col("sim")))).head().getDouble(0) <= 1.0001)
   }
+
+  /** Encode a solid-color image to `fmt` bytes with the JDK encoder. */
+  private def encodeImage(fmt: String, w: Int, h: Int,
+      rgb: (Int, Int, Int)): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val packed = (rgb._1 << 16) | (rgb._2 << 8) | rgb._3
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, packed)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("real PNG/BMP payloads decode to bitstream dims and pixels") {
+    import spark.implicits._
+    // Declared metadata is deliberately WRONG (1×1): correct output
+    // dimensions prove decode read the bytes, not the metadata.
+    val rows = Seq(
+      MediaRow(100L, "image", "mem://png", encodeImage("png", 6, 4, (255, 0, 0)),
+        width = 1, height = 1, duration_ms = 0L),
+      MediaRow(101L, "image", "mem://bmp", encodeImage("bmp", 3, 5, (0, 0, 255)),
+        width = 1, height = 1, duration_ms = 0L)).toDS()
+    val out = decodeImages(rows).collect().sortBy(_.media_id)
+    val png = out(0)
+    assert(png.width == 6 && png.height == 4 && png.pixels.length == 72)
+    assert(png.pixels(0) == -1 && png.pixels(1) == 0 && png.pixels(2) == 0)
+    val bmp = out(1)
+    assert(bmp.width == 3 && bmp.height == 5 && bmp.pixels.length == 45)
+    assert(bmp.pixels(0) == 0 && bmp.pixels(1) == 0 && bmp.pixels(2) == -1)
+  }
+
+  test("unparseable payloads fall back to the deterministic stub") {
+    import spark.implicits._
+    val junk = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    val rows = Seq(MediaRow(200L, "image", "mem://junk", junk,
+      width = 4, height = 4, duration_ms = 0L)).toDS()
+    val out = decodeImages(rows).collect()
+    assert(out.head.width == 4 && out.head.height == 4)
+    assert(out.head.pixels.sameElements(StubCodec.decodeImage(junk, 4, 4)))
+  }
+
+  test("resize of a real decoded image preserves solid color") {
+    import spark.implicits._
+    val rows = Seq(MediaRow(300L, "image", "mem://png",
+      encodeImage("png", 8, 8, (0, 255, 0)), 1, 1, 0L)).toDS()
+    val r = resizeImages(decodeImages(rows), 4, 4).collect().head
+    assert(r.width == 4 && r.height == 4 && r.pixels.length == 48)
+    assert(r.pixels.grouped(3).forall(p =>
+      p(0) == 0 && p(1) == -1 && p(2) == 0))
+  }
 }
