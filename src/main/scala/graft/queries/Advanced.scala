@@ -23,8 +23,17 @@ object Advanced {
     * localCheckpoint between rounds to cut lineage). The oracle is a
     * recursive CTE computing the same minimum reachable id — proving the
     * loop equivalent to transitive closure. */
-  def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = TextOps.ngramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    dedupClusters(s, d, Int.MaxValue)
+
+  /** Capped variant — the 100 TB configuration: candidate pairs come from
+    * the df-capped [[TextOps.ngramJaccard]] (stop-shingle filter bounds
+    * the per-shingle bucket, so the candidate join stays sub-quadratic on
+    * a boilerplate-heavy crawl; ScaleProbe's skew mode measures the
+    * uncapped variant going quadratic). Cluster semantics are unchanged —
+    * only the candidate edge set is (deliberately) thinner. */
+  def dedupClusters(s: SparkSession, d: String, dfCap: Int): DataFrame = {
+    val pairs = TextOps.ngramJaccard(s, d, dfCap).select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct()
@@ -128,7 +137,11 @@ object Advanced {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q57_dedup_clusters" -> dedupClusters,
+    "q57_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
+    // Same chain with the finite stop-shingle cap (cap 3 — the q105
+    // configuration, chosen so the filter actually drops shingles on
+    // this corpus): oracle-checks candidates→clusters CAPPED end to end.
+    "q107_dedup_clusters_dfcap" -> ((s, d) => dedupClusters(s, d, 3)),
     "q58_funnel" -> funnel,
     "q82_funnel_operator" -> funnelOperator)
 
@@ -151,6 +164,29 @@ object Advanced {
       |  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2)""".stripMargin
 
+  /** Capped twin of [[pairsCte]]: the identical pair derivation with the
+    * stop-shingle df filter (mirrors TextOps.dropHotTokens — q105's
+    * oracle pattern) inserted before the self-join. */
+  private[queries] def pairsCteCapped(cap: Int): String =
+    s"""WITH RECURSIVE w AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(text, ' ')) AS word,
+      |    unnest(range(0, len(string_split(text, ' ')))) AS pos
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    word || ' ' || lead(word, 1) OVER dw || ' ' || lead(word, 2) OVER dw
+      |      AS shingle
+      |  FROM w WHERE doc_id < 100
+      |  WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+      |sh1 AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+      |hot AS (SELECT shingle FROM sh1 GROUP BY shingle HAVING COUNT(*) > $cap),
+      |sh2 AS (SELECT * FROM sh1 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2)""".stripMargin
+
   /** Shared connected-components CTE block (edges → reach) used by both
     * the q57 and q61 oracles — one copy, one semantics. */
   private[queries] val ccCte: String =
@@ -165,6 +201,13 @@ object Advanced {
 
   val oracle: Map[String, String] = Map(
     "q57_dedup_clusters" -> s"""$pairsCte,
+      |$ccCte
+      |SELECT n.doc_id,
+      |  LEAST(n.doc_id, MIN(r.v)) AS cluster_rep,
+      |  n.doc_id = LEAST(n.doc_id, MIN(r.v)) AS is_kept
+      |FROM nodes n JOIN reach r ON r.u = n.doc_id
+      |GROUP BY n.doc_id""".stripMargin,
+    "q107_dedup_clusters_dfcap" -> s"""${pairsCteCapped(3)},
       |$ccCte
       |SELECT n.doc_id,
       |  LEAST(n.doc_id, MIN(r.v)) AS cluster_rep,
@@ -216,8 +259,13 @@ object CorpusOps {
     * representative (LEFT ANTI against the is_kept=false set), then
     * summarize per language. The anti-join is the "apply" step of the
     * whole dedup chain (candidates → clusters → removal). */
-  def cleanCorpus(s: SparkSession, d: String): DataFrame = {
-    val drops = Advanced.dedupClusters(s, d)
+  def cleanCorpus(s: SparkSession, d: String): DataFrame =
+    cleanCorpus(s, d, Int.MaxValue)
+
+  /** Capped variant: the whole candidates→clusters→removal chain run in
+    * its 100 TB configuration (finite stop-shingle df cap). */
+  def cleanCorpus(s: SparkSession, d: String, dfCap: Int): DataFrame = {
+    val drops = Advanced.dedupClusters(s, d, dfCap)
       .filter(!col("is_kept"))
       .select(col("doc_id"))
     graft.Tables.documents(s, d)
@@ -239,11 +287,23 @@ object CorpusOps {
           .cast("long")).as("bpe_est_tokens"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q61_clean_corpus" -> cleanCorpus,
+    "q61_clean_corpus" -> ((s, d) => cleanCorpus(s, d)),
+    "q108_clean_corpus_dfcap" -> ((s, d) => cleanCorpus(s, d, 3)),
     "q62_token_budget" -> tokenBudget)
 
   val oracle: Map[String, String] = Map(
     "q61_clean_corpus" -> s"""${Advanced.pairsCte},
+      |${Advanced.ccCte},
+      |reps AS (
+      |  SELECT n.doc_id, LEAST(n.doc_id, MIN(r.v)) AS cluster_rep
+      |  FROM nodes n JOIN reach r ON r.u = n.doc_id GROUP BY n.doc_id),
+      |drops AS (SELECT doc_id FROM reps WHERE doc_id <> cluster_rep)
+      |SELECT lang, COUNT(*) AS docs_kept,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+      |FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+      |GROUP BY lang""".stripMargin,
+    "q108_clean_corpus_dfcap" -> s"""${Advanced.pairsCteCapped(3)},
       |${Advanced.ccCte},
       |reps AS (
       |  SELECT n.doc_id, LEAST(n.doc_id, MIN(r.v)) AS cluster_rep

@@ -137,10 +137,16 @@ object TextOps {
     * with df > `dfCap` (boilerplate headers, stop-phrases — guaranteed
     * in a real crawl) are removed BEFORE the self-join: one such token
     * shared by m documents otherwise creates an m²-pair bucket on a
-    * single executor. The hot set is tiny by construction (≤ occurrences
-    * ∕ dfCap heavy hitters), so it broadcasts; the anti-join keeps the
-    * big side shuffle-free. `dfCap = Int.MaxValue` skips the filter
-    * entirely (no plan change — today's exact oracle rows).
+    * single executor. The filter is a df-ANNOTATION join: tokens join
+    * the df aggregate on the token and keep `df <= dfCap` — one shuffle
+    * on the token, with NO size assumption about either side. (The hot
+    * SET is occurrences∕dfCap entries — LINEAR in corpus size, so a
+    * broadcast anti-join against it would OOM the executors at 100 TB;
+    * the aggregate side here is already hash-partitioned on the token by
+    * its own groupBy, so the join adds no extra shuffle of that side,
+    * and AQE is still free to broadcast it when it is genuinely small.)
+    * `dfCap = Int.MaxValue` skips the filter entirely (no plan change —
+    * today's exact oracle rows).
     *
     * Recall trade: a true near-dup pair whose ONLY shared tokens are
     * hot ones is lost. Standard MinHash-LSH practice accepts this — a
@@ -149,9 +155,9 @@ object TextOps {
       dfCap: Int): DataFrame =
     if (dfCap == Int.MaxValue) tokens
     else {
-      val hot = tokens.groupBy(tokenCol).agg(count(lit(1)).as("df"))
-        .filter(col("df") > dfCap).select(tokenCol)
-      tokens.join(broadcast(hot), Seq(tokenCol), "left_anti")
+      val cold = tokens.groupBy(tokenCol).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select(tokenCol)
+      tokens.join(cold, Seq(tokenCol))
     }
 
   /** N-gram (3-shingle) Jaccard near-dup scoring on a bounded candidate

@@ -40,6 +40,15 @@ object ScaleProbe {
       println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  ngramJaccard $label " +
         f"(docs<100 scope, pairs=$pairs)")
     }
+    // The full chain (candidates → connected components → clusters) in
+    // both configurations — proves the cap is threaded end to end, not
+    // just through the candidate primitive.
+    for ((label, cap) <- Seq(("dfCap=MAX", Int.MaxValue), ("dfCap=8", 8))) {
+      val t0 = System.nanoTime()
+      val rows = graft.queries.Advanced.dedupClusters(spark, dst, cap).count()
+      println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  dedupClusters $label " +
+        f"(docs<100 scope, clustered docs=$rows)")
+    }
   }
 
   def main(args: Array[String]): Unit = {
