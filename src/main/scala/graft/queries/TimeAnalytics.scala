@@ -201,8 +201,50 @@ object TimeAnalytics {
         countDistinct(col("l_orderkey")).as("n_orders"))
   }
 
+  /** Event-time SCD2 as-of join — the event-time upgrade of the
+    * reference's `FOR SYSTEM_TIME AS OF` processing-time lookup (ref
+    * DwdTradeCartAdd.java:92-94, covered in processing-time form by
+    * q84/q85): each lineitem fact resolves against the dim VERSION that
+    * was valid at the fact's event time, the standard late-arriving-fact
+    * pattern. Version history comes from [[graft.dwd.DwdPack.scd2History]]
+    * (valid_from/valid_to half-open intervals, open-ended current rows).
+    *
+    * Shape: union facts and versions on (dim_id, ts) and fill the latest
+    * version attribute forward with `last(ignoreNulls)` over a
+    * (dim_id, ts, kind) sort — ONE shuffle + sort, zero row inflation,
+    * and open-ended current versions need no special casing. This beats
+    * both the q45 join+max composition (which inflates by the number of
+    * earlier versions per fact before aggregating them away) and the
+    * q100 granule-explode shape (SCD2 validity spans are long and the
+    * current version is unbounded, so a granule explode has an unbounded
+    * factor). Version rows sort BEFORE fact rows at equal ts (kind 0<1),
+    * giving the half-open [valid_from, valid_to) semantics. At 100 TB
+    * the sort key is (dim_id, ts) — the same partitioning a sort-merge
+    * join would need, with per-dim skew handled by AQE. */
+  def scd2AsOf(s: SparkSession, d: String): DataFrame = {
+    val versions = graft.dwd.DwdPack.scd2History(s, d)
+      .select(col("dim_id"), col("valid_from").as("ts"),
+        lit(0).as("kind"), col("status"),
+        lit(null).cast("decimal(12,2)").as("qty"))
+    val facts = Tables.lineitem(s, d)
+      .select((col("l_partkey") % 1000).as("dim_id"),
+        col("l_orderkey").as("ts"),
+        lit(1).as("kind"), lit(null).cast("string").as("status"),
+        dec2(col("l_quantity")).as("qty"))
+    val w = Window.partitionBy(col("dim_id"))
+      .orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    versions.unionByName(facts)
+      .withColumn("eff_status", last(col("status"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("eff_status").isNotNull)
+      .groupBy(col("eff_status").as("status"))
+      .agg(count(lit(1)).as("n_facts"),
+        sum(col("qty")).cast("double").as("sum_qty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_range_join" -> rangeJoin,
+    "q109_scd2_asof" -> scd2AsOf,
     "q13_window_tumble_10s" -> windowTumble,
     "q56_global_window" -> globalWindowTotals,
     "q14_daily_active_users" -> dailyActiveUsers,
@@ -231,6 +273,22 @@ object TimeAnalytics {
         |FROM lineitem JOIN iv
         |  ON l_shipdate >= start_ts AND l_shipdate < end_ts
         |GROUP BY promo_id""".stripMargin,
+    // DuckDB's native ASOF JOIN picks the latest version with
+    // valid_from <= ts per fact — independent semantics for the same
+    // event-time SCD2 resolution the Spark fill-forward computes.
+    "q109_scd2_asof" ->
+      """WITH versions AS (
+        |  SELECT o_orderkey % 1000 AS dim_id, o_orderkey AS valid_from,
+        |    o_orderstatus AS status
+        |  FROM orders),
+        |facts AS (
+        |  SELECT l_partkey % 1000 AS dim_id, l_orderkey AS ts, l_quantity
+        |  FROM lineitem)
+        |SELECT v.status AS status, COUNT(*) AS n_facts,
+        |  CAST(SUM(CAST(f.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM facts f ASOF JOIN versions v
+        |  ON f.dim_id = v.dim_id AND f.ts >= v.valid_from
+        |GROUP BY v.status""".stripMargin,
     "q56_global_window" -> s"""$evCte
       |SELECT time_bucket(INTERVAL '10 seconds', ts) AS wstart,
       |  COUNT(*) AS event_count,
