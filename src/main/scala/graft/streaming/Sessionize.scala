@@ -113,6 +113,94 @@ object Sessionize {
       }
   }
 
+  /** Spark-4 `transformWithState` port of the streaming branch of
+    * [[funnel]] — the deprecation path for the hardest stateful operator
+    * (same shape as `Dedup.keepLatestTws`). Streaming-only by API;
+    * equivalence to the flatMapGroupsWithState implementation on the
+    * same replay is asserted by TransformWithStateSpec. Timers on this
+    * API ACCUMULATE (registerTimer does not replace), so the armed
+    * deadline is tracked in state and deleted before re-arming. */
+  class FunnelProcessor(nSteps: Int, timeoutsMs: Seq[Long], tombstoneMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, FunnelEvent, FunnelOutcome] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues}
+    import org.apache.spark.sql.{Encoders, streaming}
+
+    @transient private var st: streaming.ValueState[FunnelState] = _
+    @transient private var deadline: streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[FunnelState]("funnel",
+        Encoders.product[FunnelState], TTLConfig.NONE)
+      deadline = getHandle.getValueState[Long]("deadline",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def arm(dl: Long): Unit = {
+      if (deadline.exists()) getHandle.deleteTimer(deadline.get())
+      getHandle.registerTimer(dl)
+      deadline.update(dl)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[FunnelEvent],
+        tv: TimerValues): Iterator[FunnelOutcome] = {
+      var s = if (st.exists()) st.get() else null
+      val out = Seq.newBuilder[FunnelOutcome]
+      rows.toSeq.sortBy(e => (e.ts, e.step)).foreach { e =>
+        if (s == null) {
+          if (e.step == 0) s = FunnelState(e.ts, 1, e.ts, done = false)
+        } else if (!s.done) {
+          // as in the streaming branch of [[funnel]]: only the watermark
+          // timer may declare expiry — an on-time out-of-order step may
+          // still arrive in a later micro-batch
+          if (e.step == s.stepsReached && e.ts >= s.lastStepTs &&
+              e.ts - s.lastStepTs <= timeoutsMs(s.stepsReached - 1)) {
+            s = FunnelState(s.anchorTs, s.stepsReached + 1, e.ts,
+              done = s.stepsReached + 1 == nSteps)
+            if (s.done)
+              out += FunnelOutcome(key, s.anchorTs, completed = true, e.ts, nSteps)
+          }
+        }
+      }
+      if (s != null) {
+        st.update(s)
+        val dl = if (s.done) s.lastStepTs + tombstoneMs
+          else s.lastStepTs + timeoutsMs(s.stepsReached - 1)
+        arm(math.max(dl, tv.getCurrentWatermarkInMs + 1))
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[FunnelOutcome] = {
+      deadline.clear() // the fired timer is gone; never delete it blindly
+      if (!st.exists()) Iterator.empty
+      else {
+        val s = st.get()
+        if (!s.done) {
+          // gap expired mid-pattern: fail the key, tombstone it
+          st.update(s.copy(done = true))
+          arm(tv.getCurrentWatermarkInMs + tombstoneMs)
+          Iterator.single(FunnelOutcome(key, s.anchorTs, completed = false,
+            s.lastStepTs, s.stepsReached))
+        } else { st.clear(); Iterator.empty }
+      }
+    }
+  }
+
+  /** Streaming-only transformWithState flavor of [[funnel]] (requires the
+    * RocksDB state store provider). */
+  def funnelTws(ds: Dataset[FunnelEvent], nSteps: Int, timeoutsMs: Seq[Long],
+      tombstoneMs: Long = 7L * 24 * 3600 * 1000): Dataset[FunnelOutcome] = {
+    require(nSteps >= 2 && timeoutsMs.length == nSteps - 1,
+      s"need one gap timeout per transition: ${nSteps - 1}")
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ds.groupByKey(_.key)
+      .transformWithState(new FunnelProcessor(nSteps, timeoutsMs, tombstoneMs),
+        TimeMode.EventTime(), OutputMode.Append)
+  }
+
   def detectBounces(ds: Dataset[PageEvent], windowMs: Long = 10000)
       : Dataset[Bounce] = {
     import ds.sparkSession.implicits._
