@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   * deterministic fake pixels/samples from the bytes, so every pipeline
   * stage stays fully testable and the Spark plumbing — schema, partition
   * batching, operator signatures, output shapes — is identical either
-  * way. Audio/video codecs remain stubbed (no libs in this container).
+  * way. Audio decode is REAL for the WAV/AIFF/AU family
+  * (`javax.sound.sampled`, [[JvmAudioCodec]]) with the same stub
+  * fallback; only video and compressed-audio (mp3/ogg) codecs remain
+  * stubbed (no libs in this container).
   *
   * Scale notes (100 TB of media):
   *  - rows carry bytes, so `spark.sql.files.maxPartitionBytes` (not row
@@ -38,6 +41,9 @@ object Multimodal {
 
   case class MediaFeatures(media_id: Long, media_type: String,
       embedding: Array[Float])
+
+  case class DecodedAudio(media_id: Long, sample_rate: Int, channels: Int,
+      n_frames: Int, samples: Array[Float])
 
   case class VideoFrame(media_id: Long, frame_index: Int, ts_ms: Long,
       pixels: Array[Byte])
@@ -103,6 +109,21 @@ object Multimodal {
       v.map(x => (x / n).toFloat)
     }
 
+    /** STUB — real impl: an audio decoder for non-WAV containers
+      * (mp3/ogg/flac need external libs). Deterministic samples in
+      * [−1, 1] derived from the payload bytes. */
+    def decodeAudio(bytes: Array[Byte], n: Int): Array[Float] = {
+      val out = new Array[Float](n)
+      var acc = fnv(bytes, 0xA0D10L)
+      var i = 0
+      while (i < n) {
+        acc = acc * 6364136223846793005L + 1442695040888963407L
+        out(i) = ((acc >> 11).toDouble / (1L << 52).toDouble).toFloat
+        i += 1
+      }
+      out
+    }
+
     /** STUB — real impl: container demux + keyframe decode. */
     def sampleFrame(bytes: Array[Byte], frameIdx: Int, w: Int, h: Int)
         : Array[Byte] =
@@ -144,6 +165,58 @@ object Multimodal {
       } catch { case _: java.io.IOException => None }
   }
 
+  /** Real pure-JVM audio codec. `javax.sound.sampled` ships WAV/AIFF/AU
+    * readers inside the JDK — the one audio format family decodable with
+    * no external dependency. Returns None for payloads AudioSystem
+    * cannot parse (mp3/ogg/raw blobs) or encodings outside plain PCM —
+    * the caller falls back to [[StubCodec]], the same totality pattern
+    * as [[JvmImageCodec]]. */
+  object JvmAudioCodec {
+    final case class Audio(sampleRate: Int, channels: Int,
+        samples: Array[Float])
+
+    /** bytes → interleaved float samples in [−1, 1), or None. Handles
+      * PCM_SIGNED 16-bit (either endianness) and PCM_UNSIGNED 8-bit —
+      * the encodings real-world WAV files overwhelmingly use. */
+    def decode(bytes: Array[Byte]): Option[Audio] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          import javax.sound.sampled.AudioFormat.Encoding.{PCM_SIGNED, PCM_UNSIGNED}
+          val bits = fmt.getSampleSizeInBits
+          val ok = (fmt.getEncoding == PCM_SIGNED && bits == 16) ||
+            (fmt.getEncoding == PCM_UNSIGNED && bits == 8)
+          if (!ok) None
+          else {
+            val data = in.readAllBytes()
+            val samples =
+              if (bits == 8) data.map(b => ((b & 0xff) - 128) / 128.0f)
+              else {
+                val n = data.length / 2
+                val arr = new Array[Float](n)
+                var i = 0
+                while (i < n) {
+                  val s =
+                    if (fmt.isBigEndian)
+                      ((data(2 * i) << 8) | (data(2 * i + 1) & 0xff)).toShort
+                    else
+                      ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort
+                  arr(i) = s / 32768.0f
+                  i += 1
+                }
+                arr
+              }
+            Some(Audio(fmt.getSampleRate.toInt, fmt.getChannels, samples))
+          }
+        } finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+  }
+
   /** Rebalance by payload size before CPU-heavy stages: target ~`mb` MB of
     * media bytes per partition regardless of row skew. */
   def repartitionForDecode(df: DataFrame, mb: Int = 64): DataFrame = {
@@ -174,6 +247,24 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Audio decode stage: binary → interleaved float samples, same
+    * mapPartitions batch shape and stub-fallback totality as
+    * [[decodeImages]]. Sample rate / channel count / samples come from
+    * the WAV BITSTREAM when parseable, never from declared metadata. */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[DecodedAudio] = {
+    import media.sparkSession.implicits._
+    media.filter(_.media_type == "audio").mapPartitions(_.map { r =>
+      JvmAudioCodec.decode(r.bytes) match {
+        case Some(a) =>
+          DecodedAudio(r.media_id, a.sampleRate, a.channels,
+            a.samples.length / a.channels.max(1), a.samples)
+        case None =>
+          val n = 64
+          DecodedAudio(r.media_id, 8000, 1, n, StubCodec.decodeAudio(r.bytes, n))
+      }
+    })
   }
 
   /** Resize stage over decoded images. */

@@ -97,6 +97,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.head.pixels.sameElements(StubCodec.decodeImage(junk, 4, 4)))
   }
 
+  /** Hand-built RIFF/WAVE bitstream (16-bit LE PCM) — constructed
+    * byte-by-byte, independent of the codec under test. */
+  private def wavBytes(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("real WAV payloads decode to bitstream rate/channels/samples") {
+    import spark.implicits._
+    val monoS = Array[Short](0, 16384, -16384, 32767, -32768, 1000)
+    val stereoS = Array[Short](100, -100, 200, -200) // 2 frames interleaved
+    // Declared duration_ms is deliberately WRONG: correct rate/frames
+    // prove decode read the bitstream, not the metadata.
+    val rows = Seq(
+      MediaRow(400L, "audio", "mem://wav-mono", wavBytes(8000, 1, monoS),
+        width = 0, height = 0, duration_ms = 999999L),
+      MediaRow(401L, "audio", "mem://wav-stereo", wavBytes(44100, 2, stereoS),
+        width = 0, height = 0, duration_ms = 1L)).toDS()
+    val out = decodeAudio(rows).collect().sortBy(_.media_id)
+    val mono = out(0)
+    assert(mono.sample_rate == 8000 && mono.channels == 1 && mono.n_frames == 6)
+    // 16-bit PCM → s/32768 is exact in float: compare bit-for-bit
+    assert(mono.samples.sameElements(monoS.map(_ / 32768.0f)))
+    val stereo = out(1)
+    assert(stereo.sample_rate == 44100 && stereo.channels == 2 &&
+      stereo.n_frames == 2)
+    assert(stereo.samples.sameElements(stereoS.map(_ / 32768.0f)))
+  }
+
+  test("unparseable audio payloads fall back to the deterministic stub") {
+    import spark.implicits._
+    val junk = Array.tabulate[Byte](50)(i => (i * 13).toByte)
+    val rows = Seq(MediaRow(500L, "audio", "mem://junk", junk,
+      width = 0, height = 0, duration_ms = 0L)).toDS()
+    val out = decodeAudio(rows).collect().head
+    assert(out.sample_rate == 8000 && out.channels == 1 && out.n_frames == 64)
+    assert(out.samples.sameElements(StubCodec.decodeAudio(junk, 64)))
+    assert(out.samples.forall(s => s >= -1.0f && s <= 1.0f))
+  }
+
   test("resize of a real decoded image preserves solid color") {
     import spark.implicits._
     val rows = Seq(MediaRow(300L, "image", "mem://png",
