@@ -1,9 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query at the given SF dir and
+  * prints ONE JSON line. Each query is timed over `SPARK_GRAFT_BENCH_RUNS`
+  * (default 3) full passes of the suite — whole-suite rounds, not
+  * back-to-back repeats, so JIT/cache drift hits every query equally —
+  * and the reported per-query number is the MEDIAN, with per-query
+  * max−min in "spread" (placed before "queries" so the driver's tail
+  * capture keeps the medians). A single-run bench made round-over-round
+  * deltas unattributable to noise; medians make them evidence. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,24 +27,39 @@ object Bench {
       val w = spark.read.parquet(s"$sfDir/lineitem.parquet")
       w.groupBy("l_returnflag").count().count()
     } catch { case _: Throwable => () }
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (_ <- 1 to runs; (name, fn) <- names) {
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true } catch {
-          case e: Throwable =>
-            failed += name
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
-        }
-      // -1 sentinel for failures: a time-to-failure would corrupt totals
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try {
+        fn(spark, sfDir).count()
+        times(name) = ((System.nanoTime() - t0) / 1e9) :: times(name)
+      } catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
+    }
+    // median of successful runs; -1 sentinel when every run failed
+    def median(xs: List[Double]): Double = {
+      if (xs.isEmpty) return -1.0
+      val s = xs.sorted
+      s(s.length / 2)
+    }
+    val med = names.map { case (name, _) => name -> median(times(name)) }.toMap
+    val spread = names.map { case (name, _) =>
+      val xs = times(name)
+      name -> (if (xs.isEmpty) -1.0 else xs.max - xs.min)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum // failures excluded
+    def jmap(m: Map[String, Double]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = med.values.filter(_ >= 0).sum // failures excluded
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
+      s""""failed":$failedJson,"sf":"$sfDir","spread":${jmap(spread)},""" +
+      s""""queries":${jmap(med)}}""")
     spark.stop()
   }
 }

@@ -19,7 +19,15 @@ object GraftSession {
       .getOrCreate()
 
   def production(): SparkSession =
-    base(SparkSession.builder()
+    base(withProductionConfs(SparkSession.builder())).getOrCreate()
+
+  /** The production() conf block applied to an arbitrary builder — lets
+    * the local correctness gate run under the 100 TB profile (the
+    * partition-count-invariance proof: decimal sums and integer math make
+    * every oracle result independent of parallelism, so 4096-partition
+    * plans must hash-match the 8-partition gate bit for bit). */
+  def withProductionConfs(b: SparkSession.Builder): SparkSession.Builder =
+    b
       // one-partition-per-core scheduling is left to the cluster manager;
       // shuffle partitions high enough that a 100 TB shuffle stays under
       // ~256 MB per partition, then AQE coalesces small ones at runtime
@@ -31,8 +39,7 @@ object GraftSession {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
-      .config("spark.sql.files.maxPartitionBytes", (256L << 20).toString))
-      .getOrCreate()
+      .config("spark.sql.files.maxPartitionBytes", (256L << 20).toString)
 
   private def base(b: SparkSession.Builder): SparkSession.Builder =
     b.withExtensions(new graft.functions.GraftExtensions)

@@ -13,13 +13,19 @@ object Verify {
         name => pats.exists(name.contains)
       } else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_PROFILE=production layers the GraftSession.production()
+    // conf block (4096 shuffle partitions + AQE coalesce/skew + RocksDB)
+    // over the local master — the partition-count-invariance run.
+    val prod = sys.env.get("SPARK_GRAFT_PROFILE").contains("production")
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark =
+      (if (prod) GraftSession.withProductionConfs(builder0) else builder0)
+        .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>

@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  private def words(s: SparkSession, d: String): DataFrame =
+  private[queries] def words(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
@@ -197,6 +197,28 @@ object TextOps {
       .filter(col("inter_size") >= 2)
   }
 
+  /** Within-document repetition ratio — the duplicate-3-gram quality
+    * signal (the Gopher/C4 family of repetition filters): fraction of a
+    * document's 3-shingles that are repeats of an earlier shingle. High
+    * ratio ⇒ boilerplate/listicle/spam; a training pipeline drops or
+    * downweights above a threshold. Counts are exact integers; the ratio
+    * is one double division of identical operands (engine-stable). Pure
+    * per-document map + aggregate — embarrassingly parallel at 100 TB. */
+  def repetitionRatio(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    words(s, d)
+      .withColumn("w2", lead(col("word"), 1).over(w))
+      .withColumn("w3", lead(col("word"), 2).over(w))
+      .filter(col("w3").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("word"), col("w2"), col("w3")).as("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        countDistinct(col("shingle")).as("n_distinct"))
+      .withColumn("dup_ratio",
+        (col("n_shingles") - col("n_distinct")).cast("double") / col("n_shingles"))
+  }
+
   /** Rolling window-hash fingerprint (winnowing): hash every 8-char
     * window of the raw text, keep the lexicographic minimum — the
     * position-robust fingerprint a rolling-hash sketch produces (an
@@ -259,7 +281,8 @@ object TextOps {
     // this corpus (q31 max shingle df = 4 → cap 3; q99 window hashes
     // reach df 77 → cap 8), so the oracle exercises the filter.
     "q105_ngram_jaccard_dfcap" -> ((s, d) => ngramJaccard(s, d, 3)),
-    "q106_winnow_dfcap" -> ((s, d) => winnowCandidates(s, d, 8)))
+    "q106_winnow_dfcap" -> ((s, d) => winnowCandidates(s, d, 8)),
+    "q111_repetition_ratio" -> repetitionRatio)
 
   private val wordsCte =
     """WITH w AS (
@@ -402,6 +425,20 @@ object TextOps {
       |JOIN counts ca ON ca.doc_id = doc_a
       |JOIN counts cb ON cb.doc_id = doc_b
       |WHERE inter_size >= 2""".stripMargin,
+    "q111_repetition_ratio" -> s"""$wordsCte,
+      |sh AS (
+      |  SELECT doc_id,
+      |    word || ' ' || lead(word, 1) OVER dw || ' ' || lead(word, 2) OVER dw
+      |      AS shingle
+      |  FROM w
+      |  WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+      |per_doc AS (
+      |  SELECT doc_id, COUNT(*) AS n_shingles,
+      |    COUNT(DISTINCT shingle) AS n_distinct
+      |  FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id)
+      |SELECT doc_id, n_shingles, n_distinct,
+      |  CAST(n_shingles - n_distinct AS DOUBLE) / n_shingles AS dup_ratio
+      |FROM per_doc""".stripMargin,
     "q106_winnow_dfcap" ->
       """WITH sk0 AS (
         |  SELECT DISTINCT doc_id,
