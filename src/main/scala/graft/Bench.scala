@@ -27,7 +27,13 @@ object Bench {
       val w = spark.read.parquet(s"$sfDir/lineitem.parquet")
       w.groupBy("l_returnflag").count().count()
     } catch { case _: Throwable => () }
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated name substrings (local
+    // iteration only; the driver never sets it → full suite).
+    val only: String => Boolean = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(pats) => val ps = pats.split(',').toSeq; n => ps.exists(n.contains)
+      case None       => _ => true
+    }
+    val names = SparkEntry.queries.toSeq.filter(kv => only(kv._1)).sortBy(_._1)
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)

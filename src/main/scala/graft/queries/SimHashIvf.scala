@@ -24,20 +24,30 @@ import org.apache.spark.sql.functions._
 object SimHashIvf {
 
   private val Bits = 16
-  private val HighHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
 
   /** SimHash: per bit, words vote ±1 by a hash bit; the sign of the
     * tally is the fingerprint bit. Near-dup docs differ in few bits.
     * ONE md5 per word supplies all 16 bits (the high bit of each hex
     * char) — same engine-portable string ops, 16x less hashing than a
-    * per-bit salted hash. */
+    * per-bit salted hash.
+    *
+    * The 16 hex chars are decoded ONCE into two longs (`conv` on two
+    * 8-char halves — 8 hex chars = 32 bits, no overflow), so each bit's
+    * vote is a shift-and-mask instead of a per-bit substring + 8-way
+    * string IN: `2*((L >> (nibble*4+3)) & 1) - 1`. Same fingerprint
+    * bit-for-bit as the oracle's substring form (the high bit of hex
+    * char k IS nibble-bit 3), ~3× less per-row work in the hot scan. */
   def simhash(s: SparkSession, d: String): DataFrame = {
     val words = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .select(col("doc_id"), md5(col("word")).as("h"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(md5(col("word")), 9, 8), 16, 10).cast("long").as("h2"))
+    // bit k reads hex char k+1: chars 1-8 live in h1, 9-16 in h2;
+    // char j of an 8-char half sits at nibble (8-j), high bit = +3.
     val tallies = (0 until Bits).map { k =>
-      sum(when(substring(col("h"), k + 1, 1).isin(HighHex: _*), 1L)
-        .otherwise(-1L)).as(s"s$k")
+      val (half, nib) = if (k < 8) (col("h1"), 7 - k) else (col("h2"), 15 - k)
+      sum(shiftright(half, nib * 4 + 3).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$k")
     }
     val fp = (0 until Bits).map { k =>
       when(col(s"s$k") >= 0, lit(1L << k)).otherwise(0L)
@@ -340,37 +350,64 @@ object SimHashIvf {
   * EXACTLY. Equi-joining on (band, band_value) therefore finds every
   * qualifying pair — zero recall loss — with one shuffle instead of an
   * O(n²) BroadcastNestedLoopJoin, which is why the oracle can stay plain
-  * all-pairs SQL over the full corpus. The fingerprint frame (an
-  * explode + 16-way aggregate) is materialized once via localCheckpoint
-  * so the two join legs don't recompute it. */
+  * all-pairs SQL over the full corpus.
+  *
+  * The quadratic step runs over fingerprint EQUIVALENCE CLASSES, not
+  * docs: near-dup-heavy corpora have far fewer distinct fingerprints
+  * than documents (1 448 vs 5 000 at sf0.1 → ~12× fewer candidate
+  * pairs), and a class pair (f₁,n₁)×(f₂,n₂) stands for n₁·n₂ doc pairs
+  * at the same Hamming distance, so counts are recovered exactly:
+  * within-class pairs are Hamming 0 (n·(n−1)/2 each), cross-class
+  * pairs weight the banded join by n₁·n₂. The class frame (an explode
+  * + 16-aggregate + count) is materialized once via localCheckpoint so
+  * the two join legs don't recompute it. */
 object SimHashPairs {
 
   private val Bands = 4
   private val BandBits = 4
 
   def hammingPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = SimHashIvf.simhash(s, d).localCheckpoint()
+    val classes = SimHashIvf.simhash(s, d)
+      .groupBy("simhash").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    // Hamming 0 = pairs of docs sharing a fingerprint: C(n, 2) per class.
+    // `div` (integer division) — `/` would go through double and lose
+    // exactness once n·(n−1) passes 2^52 on a real corpus.
+    val within = classes
+      .select(lit(0).as("hamming"), expr("(n * (n - 1)) div 2").as("cnt"))
+      .filter(col("cnt") > 0)
     val bandCols = (0 until Bands).map { i =>
       struct(lit(i).as("band"),
         shiftright(col("simhash"), i * BandBits)
           .bitwiseAND(lit((1L << BandBits) - 1)).as("bval"))
     }
-    val banded = sh
-      .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"),
+    val banded = classes
+      .select(col("simhash"), col("n"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("simhash"), col("n"),
         col("bb.band").as("band"), col("bb.bval").as("bval"))
     val a = banded.select(col("band"), col("bval"),
-      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+      col("simhash").as("sh_a"), col("n").as("n_a"))
     val b = banded.select(col("band"), col("bval"),
-      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("band", "bval"))
-      .filter(col("doc_a") < col("doc_b"))
+      col("simhash").as("sh_b"), col("n").as("n_b"))
+    // A class pair can share several bands; instead of emitting it once
+    // per matching band and paying a distinct() (a second full shuffle
+    // of the candidate pairs), count it ONLY from its FIRST matching
+    // band: keep the joined row iff no band j < band also matches. That
+    // is a codegen shift-and-mask filter on columns already in the row.
+    def nib(sh: Column, j: Int): Column =
+      shiftright(sh, j * BandBits).bitwiseAND(lit((1L << BandBits) - 1))
+    val firstMatchingBand = (0 until Bands).map { j =>
+      (col("band") <= j) || (nib(col("sh_a"), j) =!= nib(col("sh_b"), j))
+    }.reduce(_ && _)
+    val cross = a.join(b, Seq("band", "bval"))
+      .filter(col("sh_a") < col("sh_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= 3)
-      // a pair can share several bands — dedup before counting
-      .select(col("doc_a"), col("doc_b"), col("hamming")).distinct()
+      .filter(firstMatchingBand)
+      .select(col("hamming"), (col("n_a") * col("n_b")).as("cnt"))
+    within.unionAll(cross)
       .groupBy(col("hamming"))
-      .agg(count(lit(1)).as("pair_count"))
+      .agg(sum(col("cnt")).as("pair_count"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
