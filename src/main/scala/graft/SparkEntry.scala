@@ -35,7 +35,8 @@ object SparkEntry {
       graft.dwd.DwdPack.queries ++
       graft.queries.SetOps.queries ++
       graft.queries.Robustness.queries ++
-      graft.queries.Profiling.queries
+      graft.queries.Profiling.queries ++
+      graft.queries.RankingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -60,5 +61,6 @@ object SparkEntry {
       graft.dwd.DwdPack.oracle ++
       graft.queries.SetOps.oracle ++
       graft.queries.Robustness.oracle ++
-      graft.queries.Profiling.oracle
+      graft.queries.Profiling.oracle ++
+      graft.queries.RankingOps.oracle
 }

@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Term weighting and substring-level duplication statistics — the
+  * retrieval/filter side of a training-data pipeline (reference scope:
+  * the keyword/TF analytics of SplitFunction.java + KeywordStatsApp; the
+  * duplicated-span statistics generalize the exact/near-dup family to
+  * sub-document granularity, after Lee et al., "Deduplicating Training
+  * Data Makes Language Models Better").
+  *
+  * Float determinism rule (hash-match oracle): IEEE +,-,*,/ are
+  * correctly rounded and bit-identical across Spark and DuckDB; libm
+  * transcendentals (ln, exp, pow) are NOT. So idf here is the RATIONAL
+  * ratio N/df — same ranking semantics for fixed N (any monotone
+  * transform of N/df yields an identical per-document ordering up to
+  * product with tf; a production user can swap in `log` at the cost of
+  * oracle exactness), computed in one fixed operation order.
+  */
+object RankingOps {
+
+  /** q112: per-document top-3 terms by TF·IDF (rational idf = N/df),
+    * deterministic tiebreak on the term itself. Shape: one shuffle for
+    * tf (map-side combinable), one for df over the (much smaller)
+    * (doc, word) frame, a broadcast of the 1-row corpus size, and a
+    * per-document window — partitioned by doc_id, so the sort is local
+    * to each document's handful of terms, never a global sort. */
+  def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
+    val tf = TextOps.words(s, d)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val score = (col("tf").cast("double") * col("n_docs")) / col("df")
+    val w = Window.partitionBy("doc_id").orderBy(score.desc, col("word"))
+    tf.join(df, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        score.as("score"), col("rnk"))
+  }
+
+  /** q113: duplicated 8-gram statistics — which fraction of each
+    * document's token windows also occurs elsewhere in the corpus
+    * (same doc or another; boilerplate and template spans score high).
+    * Linear, not pairwise: explode windows → per-gram occurrence count
+    * as a WINDOW over the gram partition (one shuffle; no self-join,
+    * so the window expansion is computed exactly once) → two nested
+    * aggregations. No candidate pairs are ever materialized, so —
+    * unlike the pair generators — this needs no df cap at 100 TB; a
+    * hot gram only makes its count big. The single double division
+    * happens AFTER the integer sums. */
+  def dupNgramStats(s: SparkSession, d: String): DataFrame = {
+    val n = 8
+    val toks = split(col("text"), " ")
+    // guard: Spark's sequence(1, size-7) flips direction when size < 8
+    val gramArr = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))).otherwise(array())
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(gramArr).as("gram"))
+    val gc = count(lit(1)).over(Window.partitionBy("gram"))
+    val perDoc = grams.withColumn("gc", gc)
+      .groupBy("doc_id", "lang", "source")
+      .agg(count(lit(1)).as("tot"),
+        sum(when(col("gc") > 1, 1L).otherwise(0L)).as("dup"))
+    perDoc.groupBy("lang", "source")
+      .agg(count(lit(1)).as("docs"),
+        sum(col("tot")).as("total_grams"),
+        sum(col("dup")).as("dup_grams"),
+        (sum(col("dup")).cast("double") / sum(col("tot"))).as("dup_fraction"),
+        sum(when(col("dup") * 2 > col("tot"), 1L).otherwise(0L))
+          .as("docs_over_half"))
+  }
+
+  /** q115: deterministic train/val split — hash the stable doc_id (not
+    * position or random()), so the assignment is reproducible across
+    * runs, engines and repartitions, and survives incremental corpus
+    * growth (a new doc never flips an old doc's split). First md5 hex
+    * char < '4' ⇒ val (4/16 = 25%). */
+  def trainValSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(substring(md5(col("doc_id").cast("string")), 1, 1) < "4", "val")
+          .otherwise("train"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("ws_tokens"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_tfidf_topk" -> tfidfTopTerms,
+    "q113_dup_ngram_stats" -> dupNgramStats,
+    "q115_train_val_split" -> trainValSplit)
+
+  val oracle: Map[String, String] = Map(
+    "q112_tfidf_topk" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, word, tf, df,
+        |    (CAST(tf AS DOUBLE) * n_docs) / df AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY (CAST(tf AS DOUBLE) * n_docs) / df DESC, word) AS rnk
+        |  FROM tf JOIN df USING (word) CROSS JOIN n)
+        |SELECT doc_id, word, CAST(tf AS BIGINT) AS tf,
+        |  CAST(df AS BIGINT) AS df, score, CAST(rnk AS INTEGER) AS rnk
+        |FROM scored WHERE rnk <= 3""".stripMargin,
+    "q113_dup_ngram_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, source, string_split(text, ' ') AS t
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, lang, source, t,
+        |    unnest(generate_series(1, len(t) - 7)) AS i
+        |  FROM toks),
+        |grams AS (
+        |  SELECT doc_id, lang, source,
+        |    array_to_string(t[i:i + 7], ' ') AS gram
+        |  FROM idx),
+        |gc AS (SELECT gram, COUNT(*) AS gc FROM grams GROUP BY 1),
+        |per_doc AS (
+        |  SELECT doc_id, lang, source, COUNT(*) AS tot,
+        |    SUM(CASE WHEN gc.gc > 1 THEN 1 ELSE 0 END) AS dup
+        |  FROM grams JOIN gc USING (gram)
+        |  GROUP BY 1, 2, 3)
+        |SELECT lang, source, COUNT(*) AS docs,
+        |  CAST(SUM(tot) AS BIGINT) AS total_grams,
+        |  CAST(SUM(dup) AS BIGINT) AS dup_grams,
+        |  CAST(SUM(dup) AS DOUBLE) / SUM(tot) AS dup_fraction,
+        |  CAST(SUM(CASE WHEN dup * 2 > tot THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_over_half
+        |FROM per_doc GROUP BY 1, 2""".stripMargin,
+    "q115_train_val_split" ->
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+        |  THEN 'val' ELSE 'train' END AS split,
+        |  lang, COUNT(*) AS docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens
+        |FROM documents GROUP BY 1, 2""".stripMargin)
+}

@@ -136,6 +136,26 @@ object VectorOps {
       .distinct()
   }
 
+  /** q114: embedding near-dup dedup chain — the cosine analog of the
+    * shingle (q57) and MinHash (q110) chains: banded-LSH candidate
+    * pairs at the q35 threshold → connected components → keep one
+    * representative per cluster, reported per label. Reuses
+    * [[Advanced.componentsFromPairs]] (driver union-find under the
+    * edge cutoff, distributed min-label propagation above it), so the
+    * scale posture is the same as the text chains'. */
+  def embeddingDedup(s: SparkSession, d: String): DataFrame = {
+    val pairs = cosinePairs(s, d, 0.45)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val drops = Advanced.componentsFromPairs(s, pairs)
+      .filter(!col("is_kept"))
+      .select(col("doc_id").as("vec_id"), lit(true).as("dropped"))
+    Tables.embeddings(s, d)
+      .join(drops, Seq("vec_id"), "left")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("dropped").isNull, 1L).otherwise(0L)).as("n_kept"))
+  }
+
   private def withVecFns(f: (SparkSession, String) => DataFrame)
       : (SparkSession, String) => DataFrame =
     (s, d) => { graft.functions.VecOps.register(s); f(s, d) }
@@ -144,7 +164,8 @@ object VectorOps {
     "q32_embedding_stats" -> withVecFns(embeddingStats),
     "q33_cosine_topk" -> withVecFns(cosineTopK),
     "q34_ann_lsh_buckets" -> withVecFns(annLshBuckets),
-    "q35_cosine_pairs" -> withVecFns((s, d) => cosinePairs(s, d)))
+    "q35_cosine_pairs" -> withVecFns((s, d) => cosinePairs(s, d)),
+    "q114_embedding_dedup" -> withVecFns(embeddingDedup))
 
   // DuckDB oracle twins. The fold shape mirrors Spark exactly.
   private def duckDot(a: String, b: String): String =
@@ -196,5 +217,32 @@ object VectorOps {
          |FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
          |  AND ($bandOr)
          |WHERE ${duckDot("a.ne", "b.ne")} >= 0.45""".stripMargin
+    },
+    "q114_embedding_dedup" -> {
+      val bitExprs = (0 until NPlanes).map { p =>
+        s"CASE WHEN ${duckDot("embedding", planeLit(p))} >= 0 THEN '1' ELSE '0' END"
+      }.mkString(" || ")
+      val bandOr = (0 until 4).map { i =>
+        s"substr(a.bucket, ${i * 2 + 1}, 2) = substr(b.bucket, ${i * 2 + 1}, 2)"
+      }.mkString(" OR ")
+      s"""WITH RECURSIVE nrm AS (
+         |  SELECT vec_id, $bitExprs AS bucket,
+         |    list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) / sqrt(${duckNormSq("embedding")})) AS ne
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+         |    AND ($bandOr)
+         |  WHERE ${duckDot("a.ne", "b.ne")} >= 0.45),
+         |${Advanced.ccCte},
+         |reps AS (
+         |  SELECT n.doc_id, LEAST(n.doc_id, MIN(r.v)) AS cluster_rep
+         |  FROM nodes n JOIN reach r ON r.u = n.doc_id GROUP BY n.doc_id),
+         |drops AS (SELECT doc_id FROM reps WHERE doc_id <> cluster_rep)
+         |SELECT label, COUNT(*) AS n_vecs,
+         |  CAST(SUM(CASE WHEN vec_id IN (SELECT doc_id FROM drops)
+         |    THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+         |FROM embeddings GROUP BY label""".stripMargin
     })
 }

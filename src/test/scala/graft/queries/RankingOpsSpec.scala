@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RankingOps invariants beyond the DuckDB hash gate (q112/q113/q115):
+  * properties that must hold on ANY corpus, checked at sf0.001 so a
+  * future testdata regeneration can't silently satisfy a stale hash. */
+class RankingOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val d = "/root/testdata/sf0.001"
+
+  test("tfidf: ranks are 1..3 per doc, scores non-increasing in rank") {
+    val rows = RankingOps.tfidfTopTerms(spark, d)
+      .select("doc_id", "rnk", "score").collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length),
+        s"doc $doc ranks not contiguous from 1")
+      assert(sorted.length <= 3)
+      val scores = sorted.map(_.getDouble(2))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"doc $doc scores increase along rank")
+    }
+  }
+
+  test("tfidf: score equals tf * N / df recomputed from raw counts") {
+    val n = graft.Tables.documents(spark, d).count()
+    val bad = RankingOps.tfidfTopTerms(spark, d)
+      .filter(col("score") =!= col("tf").cast("double") * n / col("df"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("dup-ngram stats: dup <= total, fraction consistent, all docs counted") {
+    val rows = RankingOps.dupNgramStats(spark, d).collect()
+    val docs = rows.map(r => r.getLong(r.fieldIndex("docs"))).sum
+    // every sf0.001 doc has >= 10 tokens, so none drop out of the gram pass
+    assert(docs == graft.Tables.documents(spark, d).count())
+    rows.foreach { r =>
+      val tot = r.getLong(r.fieldIndex("total_grams"))
+      val dup = r.getLong(r.fieldIndex("dup_grams"))
+      val frac = r.getDouble(r.fieldIndex("dup_fraction"))
+      assert(dup >= 0 && dup <= tot)
+      assert(frac == dup.toDouble / tot)
+      assert(r.getLong(r.fieldIndex("docs_over_half")) <= r.getLong(r.fieldIndex("docs")))
+    }
+  }
+
+  test("train/val split: partitions the corpus, deterministic, ~25% val") {
+    val out = RankingOps.trainValSplit(spark, d).collect()
+    val total = out.map(r => r.getLong(r.fieldIndex("docs"))).sum
+    assert(total == graft.Tables.documents(spark, d).count())
+    val valDocs = out.filter(_.getString(0) == "val")
+      .map(r => r.getLong(r.fieldIndex("docs"))).sum
+    // binomial(500, 0.25): mean 125, sd ~9.7 — accept mean +- 5 sd
+    assert(valDocs > 75 && valDocs < 175, s"val fraction off: $valDocs/$total")
+    // re-running yields the identical assignment (hash of stable id)
+    val again = RankingOps.trainValSplit(spark, d).collect()
+    assert(out.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+}
