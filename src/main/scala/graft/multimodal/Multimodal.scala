@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   * batching, operator signatures, output shapes — is identical either
   * way. Audio decode is REAL for the WAV/AIFF/AU family
   * (`javax.sound.sampled`, [[JvmAudioCodec]]) with the same stub
-  * fallback; only video and compressed-audio (mp3/ogg) codecs remain
-  * stubbed (no libs in this container).
+  * fallback. Video container METADATA is real for the MP4/ISO-BMFF
+  * family ([[Mp4Probe]] — a plain box-tree walk, no codec needed);
+  * only frame-pixel decode and compressed-audio (mp3/ogg) codecs
+  * remain stubbed (no libs in this container).
   *
   * Scale notes (100 TB of media):
   *  - rows carry bytes, so `spark.sql.files.maxPartitionBytes` (not row
@@ -217,6 +219,118 @@ object Multimodal {
       }
   }
 
+  /** Real pure-JVM video CONTAINER parser for the MP4/ISO-BMFF family
+    * (mp4/m4a/mov/3gp — the overwhelming majority of crawled video).
+    * Frame DECODE needs codec libraries this container doesn't have, but
+    * container metadata does not: an ISO-BMFF file is a tree of
+    * [size|fourcc|payload] boxes, so duration (mvhd timescale+duration),
+    * track dimensions (tkhd 16.16 fixed-point), track count and media
+    * kinds (hdlr 'vide'/'soun') parse with nothing but big-endian reads.
+    * Returns None unless the byte stream is structurally valid boxes AND
+    * carries an ftyp brand or an mvhd — random/corrupt payloads fail the
+    * walk (a bogus size overruns the buffer) and fall back to declared
+    * metadata, the same totality pattern as the image/audio codecs. */
+  object Mp4Probe {
+    final case class VideoMeta(majorBrand: String, durationMs: Long,
+        width: Int, height: Int, nTracks: Int,
+        hasVideo: Boolean, hasAudio: Boolean)
+
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def be64(b: Array[Byte], o: Int): Long =
+      (be32(b, o) << 32) | be32(b, o + 4)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+    def probe(bytes: Array[Byte]): Option[VideoMeta] = {
+      if (bytes == null || bytes.length < 8) return None
+      var brand: String = ""
+      var timescale = 0L
+      var duration = 0L
+      var w = 0
+      var h = 0
+      var tracks = 0
+      var hasV = false
+      var hasA = false
+      // walk one container's children; false = structurally invalid
+      def walk(start: Int, end: Int, depth: Int): Boolean = {
+        var off = start
+        while (off + 8 <= end) {
+          var size = be32(bytes, off)
+          val typ = fourcc(bytes, off + 4)
+          var hdr = 8
+          if (size == 1) {
+            if (off + 16 > end) return false
+            size = be64(bytes, off + 8); hdr = 16
+          } else if (size == 0) size = (end - off).toLong // box runs to EOF
+          if (size < hdr || size > end - off) return false
+          val p = off + hdr
+          typ match {
+            case "ftyp" if size >= hdr + 4 =>
+              brand = fourcc(bytes, p)
+            case "moov" | "trak" | "mdia" if depth < 4 =>
+              if (typ == "trak") tracks += 1
+              if (!walk(p, off + size.toInt, depth + 1)) return false
+            case "mvhd" if size >= hdr + 4 =>
+              val v = bytes(p) & 0xff
+              if (v == 1 && size >= hdr + 28) {
+                timescale = be32(bytes, p + 20)
+                duration = be64(bytes, p + 24)
+              } else if (v == 0 && size >= hdr + 20) {
+                timescale = be32(bytes, p + 12)
+                duration = be32(bytes, p + 16)
+              }
+            case "tkhd" if size >= hdr + 4 =>
+              val v = bytes(p) & 0xff
+              val wOff = if (v == 1) 88 else 76 // spec layout, see scaladoc
+              if (size >= hdr + wOff + 8 && w == 0 && h == 0) {
+                val tw = (be32(bytes, p + wOff) >> 16).toInt     // 16.16
+                val th = (be32(bytes, p + wOff + 4) >> 16).toInt
+                if (tw > 0 && th > 0) { w = tw; h = th }
+              }
+            case "hdlr" if size >= hdr + 12 =>
+              fourcc(bytes, p + 8) match {
+                case "vide" => hasV = true
+                case "soun" => hasA = true
+                case _      => ()
+              }
+            case _ => () // mdat, free, udta, ... skipped, not descended
+          }
+          off += size.toInt
+        }
+        off == end
+      }
+      if (!walk(0, bytes.length, 0)) None
+      else if (brand.isEmpty && timescale == 0) None // valid boxes, not BMFF
+      else Some(VideoMeta(brand,
+        if (timescale > 0) duration * 1000L / timescale else 0L,
+        w, h, tracks, hasV, hasA))
+    }
+  }
+
+  case class VideoProbe(media_id: Long, container_parsed: Boolean,
+      major_brand: String, duration_ms: Long, width: Int, height: Int,
+      n_tracks: Int, has_video: Boolean, has_audio: Boolean)
+
+  /** Video probe stage: binary → container metadata from the BITSTREAM
+    * via [[Mp4Probe]] (duration, dimensions, track kinds), falling back
+    * to the row's declared metadata with `container_parsed = false`.
+    * Same mapPartitions batch shape as the decode stages. */
+  def probeVideos(media: Dataset[MediaRow]): Dataset[VideoProbe] = {
+    import media.sparkSession.implicits._
+    media.filter(_.media_type == "video").mapPartitions(_.map { r =>
+      Mp4Probe.probe(r.bytes) match {
+        case Some(m) => VideoProbe(r.media_id, container_parsed = true,
+          m.majorBrand, m.durationMs, m.width, m.height, m.nTracks,
+          m.hasVideo, m.hasAudio)
+        case None => VideoProbe(r.media_id, container_parsed = false,
+          "", r.duration_ms, r.width, r.height, 0,
+          has_video = false, has_audio = false)
+      }
+    })
+  }
+
   /** Rebalance by payload size before CPU-heavy stages: target ~`mb` MB of
     * media bytes per partition regardless of row skew. */
   def repartitionForDecode(df: DataFrame, mb: Int = 64): DataFrame = {
@@ -285,12 +399,15 @@ object Multimodal {
   }
 
   /** Frame sampling: every video → `n` evenly spaced frames (flatMap —
-    * one input row fans out to n). */
+    * one input row fans out to n). Timestamps come from the container's
+    * REAL duration when the bytes parse as ISO-BMFF ([[Mp4Probe]]);
+    * frame pixel decode itself stays stubbed (needs codec libs). */
   def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[VideoFrame] = {
     import media.sparkSession.implicits._
     media.filter(_.media_type == "video").flatMap { r =>
+      val dur = Mp4Probe.probe(r.bytes).map(_.durationMs).getOrElse(r.duration_ms)
       (0 until n).map { i =>
-        val ts = if (n <= 1) 0L else r.duration_ms * i / (n - 1)
+        val ts = if (n <= 1) 0L else dur * i / (n - 1)
         VideoFrame(r.media_id, i, ts,
           StubCodec.sampleFrame(r.bytes, i, r.width, r.height))
       }

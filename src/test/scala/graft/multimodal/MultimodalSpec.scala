@@ -157,4 +157,78 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.pixels.grouped(3).forall(p =>
       p(0) == 0 && p(1) == -1 && p(2) == 0))
   }
+
+  // ---- video container probing (Mp4Probe) ----
+
+  /** Build one ISO-BMFF box: 4-byte BE size, fourcc, payload. */
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val size = payload.length + 8
+    val out = java.nio.ByteBuffer.allocate(size)
+    out.putInt(size).put(typ.getBytes("ISO-8859-1")).put(payload)
+    out.array()
+  }
+  private def be(i: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt(i).array()
+
+  /** Minimal real MP4: ftyp(isom) + moov{mvhd(ts=1000,dur=5000),
+    * trak{tkhd(640x360), mdia{hdlr(vide)}}, trak{tkhd, mdia{hdlr(soun)}}}. */
+  private def miniMp4: Array[Byte] = {
+    val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1") ++ be(0))
+    val mvhd = box("mvhd",
+      be(0) ++ be(0) ++ be(0) ++ be(1000) ++ be(5000) ++ new Array[Byte](80))
+    def tkhd(w: Int, h: Int) = box("tkhd",
+      // v0: ver/flags, creation, mod, track_id, resv, duration,
+      // resv(8), layer/alt/vol/resv (8), matrix(36), then 16.16 w/h
+      new Array[Byte](4 * 6 + 8 + 8 + 36) ++ be(w << 16) ++ be(h << 16))
+    def hdlr(kind: String) = box("hdlr",
+      be(0) ++ be(0) ++ kind.getBytes("ISO-8859-1") ++ new Array[Byte](13))
+    val trakV = box("trak", tkhd(640, 360) ++ box("mdia", hdlr("vide")))
+    val trakA = box("trak", tkhd(0, 0) ++ box("mdia", hdlr("soun")))
+    ftyp ++ box("moov", mvhd ++ trakV ++ trakA)
+  }
+
+  test("Mp4Probe reads brand/duration/dims/tracks from the bitstream") {
+    val m = Mp4Probe.probe(miniMp4).get
+    assert(m.majorBrand == "isom")
+    assert(m.durationMs == 5000L) // 5000 ticks at timescale 1000
+    assert(m.width == 640 && m.height == 360)
+    assert(m.nTracks == 2 && m.hasVideo && m.hasAudio)
+  }
+
+  test("Mp4Probe rejects corrupt and non-BMFF payloads") {
+    val good = miniMp4
+    // corrupt the moov size field -> box overruns the buffer
+    val bad = good.clone()
+    bad(good.indexOfSlice("moov".getBytes("ISO-8859-1")) - 4) = 0x7f
+    assert(Mp4Probe.probe(bad).isEmpty)
+    // random bytes (every synthetic payload) are structurally invalid
+    assert(syntheticMedia(spark, 30).collect()
+      .forall(r => Mp4Probe.probe(r.bytes).isEmpty))
+    // structurally valid boxes that are not BMFF (no ftyp, no mvhd)
+    assert(Mp4Probe.probe(box("free", new Array[Byte](16))).isEmpty)
+  }
+
+  test("probeVideos: bitstream metadata when parseable, declared fallback") {
+    import spark.implicits._
+    val rows = Seq(
+      MediaRow(600L, "video", "mem://real.mp4", miniMp4, 0, 0, 0L),
+      MediaRow(601L, "video", "mem://junk", Array.tabulate[Byte](64)(i => (i * 7).toByte),
+        width = 320, height = 240, duration_ms = 777L)).toDS()
+    val out = probeVideos(rows).collect().sortBy(_.media_id)
+    assert(out(0).container_parsed && out(0).major_brand == "isom" &&
+      out(0).duration_ms == 5000L && out(0).width == 640 &&
+      out(0).height == 360 && out(0).n_tracks == 2 &&
+      out(0).has_video && out(0).has_audio)
+    assert(!out(1).container_parsed && out(1).duration_ms == 777L &&
+      out(1).width == 320 && out(1).height == 240)
+  }
+
+  test("sampleFrames timestamps follow the container's real duration") {
+    import spark.implicits._
+    // declared duration lies (9999); the bitstream says 5000 ms
+    val rows = Seq(MediaRow(700L, "video", "mem://real.mp4", miniMp4,
+      width = 4, height = 4, duration_ms = 9999L)).toDS()
+    val frames = sampleFrames(rows, 3).collect().sortBy(_.frame_index)
+    assert(frames.map(_.ts_ms).toSeq == Seq(0L, 2500L, 5000L))
+  }
 }
