@@ -16,5 +16,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("winnow_sketch"),
+      new ExpressionInfo(classOf[WinnowSketch].getName, "winnow_sketch"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WinnowSketch(exprs.head,
+          exprs(1).eval(null).asInstanceOf[Number].intValue())))
   }
 }

@@ -43,8 +43,14 @@ object Advanced {
     * chain (q110). */
   private[queries] def componentsFromPairs(s: SparkSession, pairs: DataFrame)
       : DataFrame = {
+    // symmetrize via explode, NOT union(pairs, pairs.swap): a union
+    // evaluates the (expensive) candidate-generation subtree once per
+    // leg; the explode emits both directions from a single pass
     val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .select(explode(array(
+        struct(col("doc_a"), col("doc_b")),
+        struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
+      .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
       .distinct()
       .cache()
     val edgeCount = edges.count()
@@ -133,11 +139,14 @@ object Advanced {
     * the verify join shrinks 6.5 M → ~7 k pairs. */
   def minhashDedupClusters(s: SparkSession, d: String,
       jaccThresholdPct: Int = 90): DataFrame = {
-    val sigs = TextOps.minhashSignatures(s, d)
+    // localCheckpoints: sigs/withRep/tokens each feed 2-3 consumers —
+    // without materialization the signature and token subtrees
+    // re-evaluate once per consumer
+    val sigs = TextOps.minhashSignatures(s, d).localCheckpoint()
     val sigCols = Seq("mh1", "mh2", "mh3", "mh4")
     val fams = sigs.groupBy(sigCols.map(col): _*)
       .agg(min(col("doc_id")).as("rep"))
-    val withRep = sigs.join(fams, sigCols)
+    val withRep = sigs.join(fams, sigCols).localCheckpoint()
     val famEdges = withRep.filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
     val reps = withRep.filter(col("doc_id") === col("rep"))
@@ -150,7 +159,8 @@ object Advanced {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     // famEdges already satisfy doc_a < doc_b (rep is the family min)
     val cands = famEdges.unionByName(repPairs).distinct()
-    val tokens = TextOps.words(s, d).select(col("doc_id"), col("word")).distinct()
+    val tokens = TextOps.words(s, d).select(col("doc_id"), col("word"))
+      .distinct().localCheckpoint()
     val counts = tokens.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
     val inter = cands
       .join(tokens.select(col("doc_id").as("doc_a"), col("word")), Seq("doc_a"))

@@ -11,8 +11,12 @@ import org.apache.spark.sql.functions._
   * quality scoring and heuristic language ID.
   *
   * Portability rules (must hash-match DuckDB):
-  *  - all hashing is `md5` of identical strings (hex, lexicographic min —
-  *    both engines agree byte-for-byte);
+  *  - token/shingle hashing is `md5` of identical strings (hex,
+  *    lexicographic min — both engines agree byte-for-byte); character
+  *    WINDOW hashing (the winnowing family, millions of windows per
+  *    partition) is the exact-integer polynomial of
+  *    [[graft.functions.WinnowSketch]] — same value from plain
+  *    substr/ascii arithmetic in DuckDB;
   *  - similarity scores are emitted as exact integer pairs
   *    (intersection, union) rather than rounded doubles;
   *  - tokenization is a literal single-space split (the corpus is
@@ -180,7 +184,10 @@ object TextOps {
       .select(col("doc_id"),
         concat_ws(" ", col("word"), col("w2"), col("w3")).as("shingle"))
       .distinct()
-    val kept = dropHotTokens(shingles, "shingle", dfCap)
+    // materialize once: `kept` (window leads + distinct + df filter)
+    // feeds the per-doc counts AND both legs of the candidate self-join
+    // — four evaluations of the shingle subtree without this
+    val kept = dropHotTokens(shingles, "shingle", dfCap).localCheckpoint()
     val counts = kept.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val pairs = kept.as("a")
       .join(kept.as("b"),
@@ -219,18 +226,39 @@ object TextOps {
         (col("n_shingles") - col("n_distinct")).cast("double") / col("n_shingles"))
   }
 
+  /** Polynomial (Karp–Rabin form) 8-char window hash:
+    * Σ (codepoint%256)·131^(7−k) — exact signed-64 integer arithmetic in
+    * BOTH engines (max ≈ 8·10¹⁶ ≪ 2⁶³, no overflow, no modulus). ~30×
+    * cheaper per window than the cryptographic md5 this op first used,
+    * and computed by the NATIVE [[graft.functions.WinnowSketch]]
+    * expression: a lambda (`transform(sequence(...), ...)`) formulation
+    * is interpreted per element and measured 14 s at sf0.1 where the
+    * expression's compiled loop takes ~0.2 s. */
+  private val PolyPows: Seq[Long] =
+    Seq.iterate(1L, 8)(_ * 131L).reverse
+  /** The matching DuckDB window-hash sum over 1-based window start `i`
+    * (BIGINT casts: the power literals overflow INT32 multiplication). */
+  private[queries] def winPolySql(i: String): String =
+    (0 until 8).map { k =>
+      s"(ascii(substr(text, CAST($i AS INT) + $k, 1)) % 256) * " +
+        s"CAST(${PolyPows(k)} AS BIGINT)"
+    }.mkString(" + ")
+
+  private def winnowSketchCol(s: SparkSession, k: Int): Column = {
+    graft.functions.WinnowOps.register(s)
+    graft.functions.WinnowOps.winnow_sketch(col("text"), k)
+  }
+
   /** Rolling window-hash fingerprint (winnowing): hash every 8-char
-    * window of the raw text, keep the lexicographic minimum — the
-    * position-robust fingerprint a rolling-hash sketch produces (an
-    * insertion shifts windows but rarely changes the minimum, unlike
-    * md5(text)). md5 plays the window hash so both engines agree
-    * byte-for-byte; n−7 windows per doc, linear scan, no shuffle. */
+    * window of the raw text, keep the minimum — the position-robust
+    * fingerprint a rolling-hash sketch produces (an insertion shifts
+    * windows but rarely changes the minimum, unlike md5(text)).
+    * The polynomial window hash agrees across engines exactly;
+    * n−7 windows per doc, linear scan, no shuffle. */
   def rollingFingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
-        array_min(transform(
-          sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
-          i => md5(col("text").substr(i, lit(8))))).as("roll_min_hash"),
+        element_at(winnowSketchCol(s, 1), 1).as("roll_min_hash"),
         (greatest(length(col("text")) - 7, lit(1))).cast("long").as("n_windows"))
 
   /** Winnowing k-min sketch + candidate pairing: each doc keeps its 5
@@ -250,11 +278,11 @@ object TextOps {
   def winnowCandidates(s: SparkSession, d: String, dfCap: Int): DataFrame = {
     val sketch0 = Tables.documents(s, d)
       .select(col("doc_id"),
-        explode(slice(array_sort(transform(
-          sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
-          i => md5(col("text").substr(i, lit(8))))), 1, 5)).as("wh"))
+        explode(winnowSketchCol(s, 5)).as("wh"))
       .distinct() // identical windows at different positions collapse
-    val sketch = dropHotTokens(sketch0, "wh", dfCap)
+    // materialize once: the sketch (hundreds of md5s + an array_sort
+    // per document) otherwise re-evaluates on BOTH legs of the self-join
+    val sketch = dropHotTokens(sketch0, "wh", dfCap).localCheckpoint()
     val a = sketch.select(col("doc_id").as("doc_a"), col("wh"))
     val b = sketch.select(col("doc_id").as("doc_b"), col("wh"))
     a.join(b, Seq("wh"))
@@ -306,18 +334,18 @@ object TextOps {
         |  md5(text) AS content_hash
         |FROM documents""".stripMargin,
     "q92_rolling_fingerprint" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  list_min(list_transform(
         |    range(1, greatest(length(text) - 7, 1) + 1),
-        |    i -> md5(substr(text, CAST(i AS INT), 8)))) AS roll_min_hash,
+        |    i -> ${winPolySql("i")})) AS roll_min_hash,
         |  CAST(greatest(length(text) - 7, 1) AS BIGINT) AS n_windows
         |FROM documents""".stripMargin,
     "q99_winnow_candidates" ->
-      """WITH sk AS (
+      s"""WITH sk AS (
         |  SELECT DISTINCT doc_id,
         |    unnest(list_sort(list_transform(
         |      range(1, greatest(length(text) - 7, 1) + 1),
-        |      i -> md5(substr(text, CAST(i AS INT), 8))))[1:5]) AS wh
+        |      i -> ${winPolySql("i")}))[1:5]) AS wh
         |  FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  COUNT(*) AS shared_windows
@@ -440,11 +468,11 @@ object TextOps {
       |  CAST(n_shingles - n_distinct AS DOUBLE) / n_shingles AS dup_ratio
       |FROM per_doc""".stripMargin,
     "q106_winnow_dfcap" ->
-      """WITH sk0 AS (
+      s"""WITH sk0 AS (
         |  SELECT DISTINCT doc_id,
         |    unnest(list_sort(list_transform(
         |      range(1, greatest(length(text) - 7, 1) + 1),
-        |      i -> md5(substr(text, CAST(i AS INT), 8))))[1:5]) AS wh
+        |      i -> ${winPolySql("i")}))[1:5]) AS wh
         |  FROM documents),
         |hot AS (SELECT wh FROM sk0 GROUP BY wh HAVING COUNT(*) > 8),
         |sk AS (SELECT * FROM sk0 WHERE wh NOT IN (SELECT wh FROM hot))
