@@ -28,4 +28,21 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = planOf("q55_topk_agg").toLowerCase
     assert(plan.contains("topk"), plan.take(4000))
   }
+
+  test("q113_dup_ngram_stats plans with no join at all") {
+    // the duplicated-span statistic is linear by construction: per-gram
+    // counts come from a window over the gram partition, never a
+    // self-join — if a Join node appears, the pair trap crept back
+    val plan = planOf("q113_dup_ngram_stats")
+    assert(!plan.contains("Join"), plan.take(4000))
+  }
+
+  test("q112_tfidf_topk sorts only within doc partitions (no global sort)") {
+    val plan = SparkEntry.queries("q112_tfidf_topk")(spark, d)
+      .queryExecution.executedPlan
+    val globalSorts = plan.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSorts.isEmpty, plan.toString.take(4000))
+  }
 }
