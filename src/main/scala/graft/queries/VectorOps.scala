@@ -118,10 +118,13 @@ object VectorOps {
     val bandCols = (0 until 4).map { i =>
       struct(lit(i).as("band"), substring(col("bucket"), i * 2 + 1, 2).as("bval"))
     }
+    // materialize once: the banded frame (8 hyperplane dots + an L2
+    // normalize per vector) otherwise re-evaluates on both join legs
     val banded = base
       .select(col("vec_id"), col("ne"), explode(array(bandCols: _*)).as("bb"))
       .select(col("vec_id"), col("ne"),
         col("bb.band").as("band"), col("bb.bval").as("bval"))
+      .localCheckpoint()
     val a = banded.select(col("band"), col("bval"),
       col("vec_id").as("vec_a"), col("ne").as("na"))
     val b = banded.select(col("band"), col("bval"),
