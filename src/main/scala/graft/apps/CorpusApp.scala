@@ -1,0 +1,68 @@
+package graft.apps
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** A streaming document-ingest pipeline — the INCREMENTAL form of the
+  * batch cleaning chain (exact dedup → quality gate → token
+  * accounting): documents arrive continuously (in production from
+  * `Sources.kafkaLines` + `from_json`; tests drive a MemoryStream
+  * through the same code), each micro-batch is deduplicated against
+  * ALL previously admitted content, filtered by the quality
+  * heuristics, and appended to a date-partitioned corpus table with
+  * per-doc token accounting columns.
+  *
+  * Dedup is `dropDuplicates` on the content hash with NO watermark —
+  * a training corpus must never re-admit text it has already accepted,
+  * so the hash set is global state, not a windowed one. State size is
+  * one 16-byte md5 + key overhead per distinct document ever seen:
+  * ~50 GB per billion docs, which is exactly what the RocksDB state
+  * store (on in `GraftSession.production`) is for — the hash set
+  * spills to executor-local disk and survives restarts through the
+  * checkpoint. (A TTL'd `dropDuplicatesWithinWatermark` variant is the
+  * right choice only when re-crawls are acceptable after a horizon.)
+  *
+  * Near-dup (MinHash) decisions need cross-document candidate joins
+  * and stay in the batch chain (q110) over the corpus this app lands —
+  * the standard lambda split: exact dedup inline, fuzzy dedup in the
+  * periodic compaction pass.
+  */
+object CorpusApp {
+
+  /** One incoming document. */
+  case class CorpusDoc(doc_id: Long, text: String, lang: String,
+      source: String, ingest_ts: java.sql.Timestamp)
+
+  /** The cleaning transform shared by the stream and its batch replay
+    * twin (CorpusAppSpec proves them equivalent): content-hash dedup →
+    * quality gate → accounting columns. */
+  def clean(docs: DataFrame, minTokens: Int = 5,
+      maxStopRatioPct: Int = 60): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stops = filter(toks, w => w.isin("the", "a"))
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .dropDuplicates("content_hash")
+      .withColumn("ws_tokens", size(toks).cast("long"))
+      .withColumn("stop_tokens", size(stops).cast("long"))
+      .filter(col("ws_tokens") >= minTokens &&
+        col("stop_tokens") * 100 <= col("ws_tokens") * maxStopRatioPct)
+      .withColumn("bpe_est_tokens",
+        ceil(length(regexp_replace(col("text"), " ", "")).cast("double") / 4)
+          .cast("long"))
+  }
+
+  def run(docs: Dataset[CorpusDoc], outPath: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    clean(docs.toDF())
+      .withColumn("dt",
+        date_format(col("ingest_ts"), "yyyyMMdd").cast("int"))
+      .writeStream.format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("dt")
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .start()
+}

@@ -1,0 +1,98 @@
+package graft.apps
+
+import graft.TestSpark
+import graft.apps.CorpusApp.CorpusDoc
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CorpusApp end-to-end: MemoryStream documents → streaming clean
+  * (global exact dedup + quality gate) → dt-partitioned parquet, and
+  * the stream must agree with the batch `clean` replay of the same
+  * input — including a duplicate that arrives in a LATER micro-batch,
+  * the case only global (unwatermarked) dedup state catches. */
+class CorpusAppSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val ts = java.sql.Timestamp.valueOf("2024-03-05 10:00:00")
+  private val good1 = "the quick brown fox jumps over a lazy dog near the bank"
+  private val good2 = "a completely different document about spark structured streaming state"
+  private val shorty = "too few tokens"                       // < 5 tokens
+  private val stoppy = "the the the the a a the a the a"      // stop ratio 100%
+  private val good3 = "final unique document with enough ordinary words to pass the gate"
+
+  test("streaming clean = batch clean; cross-batch duplicate is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CorpusDoc]
+    val dir = java.nio.file.Files.createTempDirectory("corpus_app").toString
+    val q = CorpusApp.run(mem.toDS(), s"$dir/out", s"$dir/ckpt")
+    val b1 = Seq(
+      CorpusDoc(1, good1, "en", "web", ts),
+      CorpusDoc(2, good2, "en", "web", ts),
+      CorpusDoc(3, good1, "en", "crawl", ts), // dup of 1, same batch
+      CorpusDoc(4, shorty, "en", "web", ts),
+      CorpusDoc(5, stoppy, "en", "web", ts))
+    val b2 = Seq(
+      CorpusDoc(6, good3, "en", "web", ts),
+      CorpusDoc(7, good1, "en", "web", ts))   // dup of 1, LATER batch
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/out")
+      // content set identical to the batch transform over all input
+      val batch = CorpusApp.clean((b1 ++ b2).toDF())
+      assert(got.select("content_hash").collect().map(_.getString(0)).sorted.toSeq ==
+        batch.select("content_hash").collect().map(_.getString(0)).sorted.toSeq)
+      // the quality gate dropped the short and stop-heavy docs
+      val texts = got.select("text").collect().map(_.getString(0)).toSet
+      assert(texts == Set(good1, good2, good3))
+      // the cross-batch duplicate (doc 7) was suppressed by global state
+      assert(got.filter($"doc_id" === 7).isEmpty)
+      assert(got.filter($"text" === good1).count() == 1)
+      // accounting columns and partition column are real
+      val r1 = got.filter($"doc_id" === 1).head()
+      assert(r1.getAs[Long]("ws_tokens") == good1.split(" ").length)
+      assert(r1.getAs[Long]("bpe_est_tokens") ==
+        math.ceil(good1.replace(" ", "").length / 4.0).toLong)
+      assert(r1.getAs[Int]("dt") == 20240305)
+    } finally q.stop()
+  }
+
+  test("restart from checkpoint keeps the dedup state (no re-admission)") {
+    // a replayable FILE source (MemoryStream offsets don't survive a
+    // restart): run 1 admits good1, run 2 restarts from the checkpoint
+    // and must reject the same content arriving under a new doc_id
+    val dir = java.nio.file.Files.createTempDirectory("corpus_app_rs").toString
+    val in = s"$dir/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def writeDocs(name: String, docs: Seq[CorpusDoc]): Unit = {
+      val lines = docs.map { d =>
+        s"""{"doc_id":${d.doc_id},"text":"${d.text}","lang":"${d.lang}",""" +
+          s""""source":"${d.source}","ingest_ts":"2024-03-05 10:00:00"}"""
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    def start() = {
+      val docs = spark.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, " +
+          "ingest_ts TIMESTAMP")
+        .json(in).as[CorpusDoc]
+      CorpusApp.run(docs, s"$dir/out", s"$dir/ckpt")
+    }
+    writeDocs("b1.json", Seq(CorpusDoc(1, good1, "en", "web", ts)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    writeDocs("b2.json", Seq(
+      CorpusDoc(99, good1, "en", "crawl", ts), // dup from run 1
+      CorpusDoc(100, good2, "en", "web", ts)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(s"$dir/out")
+    assert(got.filter($"text" === good1).count() == 1)
+    assert(got.filter($"doc_id" === 99).isEmpty)
+    assert(got.filter($"doc_id" === 100).count() == 1)
+  }
+}
