@@ -12,7 +12,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * the expression's generated code. Hash of the 8-char window at
   * 1-based position i is the Karp–Rabin-style polynomial
   * Σ_k (codepoint(c_{i+k}) % 256) · 131^(7−k) — exact signed-64
-  * arithmetic (max ≈ 8·10¹⁶ ≪ 2⁶³), so the DuckDB oracle can state the
+  * arithmetic (max 255·Σ131^k ≈ 1.7·10¹⁷ ≪ 2⁶³), so the DuckDB oracle can state the
   * identical sum with substr/ascii and hash-match bit for bit.
   * Characters beyond the end of a short text contribute 0, matching
   * `ascii(substr(text, i, 1)) = 0` on an empty substring.
@@ -21,7 +21,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Spark's higher-order-function lambdas are evaluated INTERPRETED,
   * once per element — the window loop over a corpus is millions of
   * lambda invocations (measured 14 s at sf0.1 for the polynomial in
-  * lambda form vs ~0.2 s here). A native expression keeps the loop as
+  * lambda form, md5-in-lambda 3.4 s, vs 0.3 s here, forced-evaluation
+  * steady state). A native expression keeps the loop as
   * compiled code inside whole-stage codegen.
   */
 object WinnowHash {

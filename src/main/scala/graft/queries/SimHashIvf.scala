@@ -36,7 +36,8 @@ object SimHashIvf {
     * vote is a shift-and-mask instead of a per-bit substring + 8-way
     * string IN: `2*((L >> (nibble*4+3)) & 1) - 1`. Same fingerprint
     * bit-for-bit as the oracle's substring form (the high bit of hex
-    * char k IS nibble-bit 3), ~3× less per-row work in the hot scan. */
+    * char k IS nibble-bit 3); measured at sf0.1: q37 1.15→0.86 s,
+    * q67's fingerprint stage shrinks the same way. */
   def simhash(s: SparkSession, d: String): DataFrame = {
     val words = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))

@@ -228,12 +228,12 @@ object TextOps {
 
   /** Polynomial (Karp–Rabin form) 8-char window hash:
     * Σ (codepoint%256)·131^(7−k) — exact signed-64 integer arithmetic in
-    * BOTH engines (max ≈ 8·10¹⁶ ≪ 2⁶³, no overflow, no modulus). ~30×
+    * BOTH engines (max 255·Σ131^k ≈ 1.7·10¹⁷ ≪ 2⁶³, no overflow, no modulus). ~10×
     * cheaper per window than the cryptographic md5 this op first used,
     * and computed by the NATIVE [[graft.functions.WinnowSketch]]
     * expression: a lambda (`transform(sequence(...), ...)`) formulation
     * is interpreted per element and measured 14 s at sf0.1 where the
-    * expression's compiled loop takes ~0.2 s. */
+    * expression's compiled loop takes ~0.3 s (forced evaluation). */
   private val PolyPows: Seq[Long] =
     Seq.iterate(1L, 8)(_ * 131L).reverse
   /** The matching DuckDB window-hash sum over 1-based window start `i`

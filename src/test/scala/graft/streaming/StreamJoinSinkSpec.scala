@@ -59,8 +59,13 @@ class StreamJoinSinkSpec extends AnyFunSuite {
     assert(back.columns.contains("dt"))
     val pruned = back.filter(col("dt") === 20220429)
     assert(pruned.count() == 1)
-    // partition pruning visible in the plan: only one dt dir read
+    // partition pruning visible in the plan: the dt predicate must be a
+    // PartitionFilter on the scan (pruned at planning), not a post-scan
+    // Filter over all partitions
     val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*dt".r.findFirstIn(plan).isDefined,
+      plan.take(3000))
     assert(back.count() == 2)
   }
 }
