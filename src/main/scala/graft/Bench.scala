@@ -63,9 +63,12 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = med.values.filter(_ >= 0).sum // failures excluded
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // "total_sec" is repeated as the LAST key: the driver's log capture
+    // keeps the tail of long lines, so the headline number must survive
+    // front-truncation (BENCH_r04's "value" was cut off exactly that way)
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
       s""""failed":$failedJson,"sf":"$sfDir","spread":${jmap(spread)},""" +
-      s""""queries":${jmap(med)}}""")
+      s""""queries":${jmap(med)},"total_sec":$total}""")
     spark.stop()
   }
 }
