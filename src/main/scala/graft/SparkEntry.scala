@@ -36,7 +36,8 @@ object SparkEntry {
       graft.queries.SetOps.queries ++
       graft.queries.Robustness.queries ++
       graft.queries.Profiling.queries ++
-      graft.queries.RankingOps.queries
+      graft.queries.RankingOps.queries ++
+      graft.queries.PipelineOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -62,5 +63,6 @@ object SparkEntry {
       graft.queries.SetOps.oracle ++
       graft.queries.Robustness.oracle ++
       graft.queries.Profiling.oracle ++
-      graft.queries.RankingOps.oracle
+      graft.queries.RankingOps.oracle ++
+      graft.queries.PipelineOps.oracle
 }

@@ -1,0 +1,289 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VecOps.{vec_dot, vec_norm}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between raw ingest and tokenization: benchmark decontamination
+  * (n-gram overlap against a held-out evaluation set), rule-based
+  * quality filtering (after the Gopher rules, Rae et al. 2021), and
+  * cluster-local semantic dedup over embeddings (after SemDeDup, Abbas
+  * et al. 2023). Reference scope: extends the dedup/quality family
+  * (TextOps/Advanced) the same way the reference's DWD layer extends
+  * its ingest jobs — filter/annotate before the expensive downstream.
+  *
+  * Exactness: every oracle-matched column is integer arithmetic or a
+  * single final IEEE division — the Gopher bounds are compared in
+  * integer form (3·n ≤ Σlen ≤ 10·n, 5·topf ≤ n), never as a
+  * double-vs-double threshold, so the pass/fail booleans are
+  * bit-exact in any engine at any parallelism.
+  */
+object PipelineOps {
+
+  private val N = 8 // n-gram width shared with RankingOps.dupNgramStats
+
+  /** 8-gram explode with the size-&lt;N direction guard (same shape as
+    * q113): one row per token window. */
+  private def grams(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val gramArr = when(size(toks) >= N,
+      transform(sequence(lit(1), size(toks) - (N - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(N))))).otherwise(array())
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(gramArr).as("gram"))
+  }
+
+  /** Benchmark membership: deterministic md5 split on the stable doc_id
+    * (same device as q115's train/val split) — first hex char < '2'
+    * ⇒ the doc stands in for a held-out evaluation set (2/16 = 12.5%). */
+  private def isBenchmark: Column =
+    substring(md5(col("doc_id").cast("string")), 1, 1) < "2"
+
+  /** q116: benchmark decontamination — which training documents share
+    * any 8-gram with the held-out benchmark set (verbatim-overlap
+    * contamination, the check run before any benchmark number is
+    * trusted). Shape: distinct benchmark grams (one shuffle), then a
+    * LEFT SEMI join from the training (doc_id, gram) pairs — a semi
+    * join emits at most its left row count, so a boilerplate gram
+    * shared by the whole corpus cannot blow up the join output the way
+    * a pair join would; no df cap is needed. One distinct on doc_id,
+    * then a per-language rollup joined to per-language totals. */
+  def decontamination(s: SparkSession, d: String): DataFrame = {
+    val g = grams(s, d).withColumn("bench", isBenchmark)
+    val benchGrams = g.filter(col("bench")).select("gram").distinct()
+    val contaminated = g.filter(!col("bench"))
+      .select(col("doc_id"), col("lang"), col("gram"))
+      .join(benchGrams, Seq("gram"), "left_semi")
+      .select("doc_id", "lang").distinct()
+      .groupBy("lang").agg(count(lit(1)).as("contaminated_docs"))
+    val totals = Tables.documents(s, d)
+      .filter(!isBenchmark)
+      .groupBy("lang").agg(count(lit(1)).as("train_docs"))
+    totals.join(contaminated, Seq("lang"), "left")
+      .select(col("lang"), col("train_docs"),
+        coalesce(col("contaminated_docs"), lit(0L)).as("contaminated_docs"),
+        (coalesce(col("contaminated_docs"), lit(0L)).cast("double") /
+          col("train_docs")).as("contamination_frac"))
+  }
+
+  private val Stopwords =
+    Seq("the", "of", "and", "to", "in", "is", "a", "that", "it", "on")
+
+  /** q117: rule-based quality filter after the Gopher rules (Rae et
+    * al. 2021, Appendix A1), adapted to integer-exact form:
+    * (1) token count in [20, 1000]; (2) mean word length in [3, 10],
+    * compared as 3·n ≤ Σlen ≤ 10·n with Σlen = chars minus spaces —
+    * no division; (3) the most frequent word covers ≤ 20% of tokens
+    * (5·topf ≤ n — the single-token form of Gopher's repetition
+    * class); (4) ≥ 2 distinct words from a 10-entry stop list (the
+    * "stop word" rule — a proxy for natural running text). Shape: one
+    * explode + two map-side-combinable aggregations for per-doc
+    * top-frequency and stop-word counts, one final rollup — linear,
+    * no pairs, no caps needed at 100 TB. */
+  def gopherQuality(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(toks).cast("long").as("n_tok"),
+        length(translate(col("text"), " ", "")).cast("long").as("sum_len"))
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("word"))
+    val perWord = words.groupBy("doc_id", "word").agg(count(lit(1)).as("f"))
+    val stats = perWord.groupBy("doc_id")
+      .agg(max(col("f")).as("top_f"),
+        count_distinct(when(col("word").isInCollection(Stopwords), col("word")))
+          .as("n_stop"))
+    val flagged = base.join(stats, Seq("doc_id"))
+      .withColumn("ok_count", col("n_tok").between(20L, 1000L))
+      .withColumn("ok_word_len",
+        col("sum_len") >= col("n_tok") * 3 && col("sum_len") <= col("n_tok") * 10)
+      .withColumn("ok_repetition", col("top_f") * 5 <= col("n_tok"))
+      .withColumn("ok_stopwords", col("n_stop") >= 2)
+    flagged.groupBy("lang", "source")
+      .agg(count(lit(1)).as("docs"),
+        sum(col("ok_count").cast("long")).as("pass_count"),
+        sum(col("ok_word_len").cast("long")).as("pass_word_len"),
+        sum(col("ok_repetition").cast("long")).as("pass_repetition"),
+        sum(col("ok_stopwords").cast("long")).as("pass_stopwords"),
+        sum(when(col("ok_count") && col("ok_word_len") &&
+          col("ok_repetition") && col("ok_stopwords"), 1L).otherwise(0L))
+          .as("pass_all"))
+  }
+
+  /** q118: SemDeDup — cluster-local semantic dedup over embeddings
+    * (Abbas et al. 2023): coarse-cluster every vector, and inside each
+    * cluster drop any vector whose cosine to a LOWER-id cluster-mate
+    * is ≥ τ (keep-lowest-id; deterministic, order-free). The cluster
+    * key is two-level — the K=8 IVF cell (argmax centroid dot, same
+    * quantizer as q38) × the sign bits of the first 4 LSH hyperplanes
+    * (same planes as q34) — ≤ 128 clusters here; at 100 TB the paper's
+    * posture is that cluster COUNT grows with the corpus (they use
+    * 110k k-means cells, trainable via q93's Lloyd's step) so
+    * within-cluster pair volume stays bounded — the same
+    * bounded-bucket argument as the df-capped text chains, with the
+    * quantizer depth as the knob. Unlike q114 (global connected
+    * components), the drop rule is cluster-LOCAL and exists-based: a
+    * chain a~b~c with a≁c still drops c (its neighbor b has a lower
+    * id, dropped or not) — the paper's "keep one per duplicate group"
+    * semantics, not transitive-closure semantics.
+    *
+    * Shape: quantize once per vector (one projection), self equi-join
+    * on the cluster key with id ordering, exact normalized dot as the
+    * verifier, distinct on the dropped id — one shuffle for the join,
+    * one for the distinct, no BNLJ. */
+  /** The two-level coarse quantizer + L2 normalize behind q118:
+    * (vec_id, label, cluster, ne). Materialized once (localCheckpoint)
+    * because the pair join consumes it on both legs. */
+  private[queries] def semClusters(s: SparkSession, d: String): DataFrame = {
+    val cellDots = (0 until 8).map(c =>
+      vec_dot(col("embedding"), typedlit(SimHashIvf.Centroids(c).toSeq)))
+    val g = greatest(cellDots: _*)
+    val cell = (0 until 8).foldRight(lit(-1)) { (c, acc) =>
+      when(cellDots(c) === g, lit(c)).otherwise(acc)
+    }
+    val planes = VectorOps.planeCoeffs(4, 64)
+    val signBits = planes.map { coeffs =>
+      when(vec_dot(col("embedding"), typedlit(coeffs.toSeq)) >= 0, "1")
+        .otherwise("0")
+    }
+    val nrm = vec_norm(col("embedding"))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        concat_ws(":", cell.cast("string"), concat(signBits.toIndexedSeq: _*))
+          .as("cluster"),
+        transform(col("embedding"), x => x.cast("double") / nrm).as("ne"))
+      .localCheckpoint()
+  }
+
+  def semDedup(s: SparkSession, d: String, thr: Double = 0.45): DataFrame = {
+    val clustered = semClusters(s, d)
+    val a = clustered.select(col("cluster"), col("vec_id").as("vec_a"),
+      col("ne").as("na"))
+    val b = clustered.select(col("cluster"), col("vec_id").as("vec_b"),
+      col("ne").as("nb"))
+    val drops = a.join(b, Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(vec_dot(col("na"), col("nb")) >= thr)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("dropped", lit(true))
+    clustered.join(drops, Seq("vec_id"), "left")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("dropped").isNull, 1L).otherwise(0L)).as("n_kept"),
+        count_distinct(col("cluster")).as("n_clusters"))
+  }
+
+  private def withVecFns(f: (SparkSession, String) => DataFrame)
+      : (SparkSession, String) => DataFrame =
+    (s, d) => { graft.functions.VecOps.register(s); f(s, d) }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_decontamination" -> decontamination,
+    "q117_gopher_quality" -> gopherQuality,
+    "q118_semdedup" -> withVecFns((s, d) => semDedup(s, d)))
+
+  // ---- DuckDB oracle twins ----
+
+  private def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+  private def duckNormSq(a: String): String =
+    s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+  private val gramsCte =
+    """grams AS (
+      |  SELECT doc_id, lang,
+      |    array_to_string(t[i:i + 7], ' ') AS gram
+      |  FROM (
+      |    SELECT doc_id, lang, t, unnest(generate_series(1, len(t) - 7)) AS i
+      |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS t
+      |          FROM documents)))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q116_decontamination" ->
+      s"""WITH $gramsCte,
+         |bench_grams AS (
+         |  SELECT DISTINCT gram FROM grams
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'),
+         |contaminated AS (
+         |  SELECT lang, COUNT(*) AS contaminated_docs FROM (
+         |    SELECT DISTINCT doc_id, lang FROM grams
+         |    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '2'
+         |      AND gram IN (SELECT gram FROM bench_grams))
+         |  GROUP BY lang),
+         |totals AS (
+         |  SELECT lang, COUNT(*) AS train_docs FROM documents
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '2'
+         |  GROUP BY lang)
+         |SELECT t.lang, t.train_docs,
+         |  COALESCE(c.contaminated_docs, 0) AS contaminated_docs,
+         |  CAST(COALESCE(c.contaminated_docs, 0) AS DOUBLE) / t.train_docs
+         |    AS contamination_frac
+         |FROM totals t LEFT JOIN contaminated c USING (lang)""".stripMargin,
+    "q117_gopher_quality" -> {
+      val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, source,
+         |    len(string_split(text, ' ')) AS n_tok,
+         |    len(replace(text, ' ', '')) AS sum_len
+         |  FROM documents),
+         |pw AS (
+         |  SELECT doc_id, word, COUNT(*) AS f FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |    FROM documents)
+         |  GROUP BY 1, 2),
+         |stats AS (
+         |  SELECT doc_id, MAX(f) AS top_f,
+         |    COUNT(DISTINCT CASE WHEN word IN ($stopList) THEN word END)
+         |      AS n_stop
+         |  FROM pw GROUP BY 1),
+         |flagged AS (
+         |  SELECT lang, source,
+         |    (n_tok BETWEEN 20 AND 1000) AS ok_count,
+         |    (sum_len >= n_tok * 3 AND sum_len <= n_tok * 10) AS ok_word_len,
+         |    (top_f * 5 <= n_tok) AS ok_repetition,
+         |    (n_stop >= 2) AS ok_stopwords
+         |  FROM base JOIN stats USING (doc_id))
+         |SELECT lang, source, COUNT(*) AS docs,
+         |  CAST(SUM(CASE WHEN ok_count THEN 1 ELSE 0 END) AS BIGINT) AS pass_count,
+         |  CAST(SUM(CASE WHEN ok_word_len THEN 1 ELSE 0 END) AS BIGINT) AS pass_word_len,
+         |  CAST(SUM(CASE WHEN ok_repetition THEN 1 ELSE 0 END) AS BIGINT) AS pass_repetition,
+         |  CAST(SUM(CASE WHEN ok_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopwords,
+         |  CAST(SUM(CASE WHEN ok_count AND ok_word_len AND ok_repetition
+         |    AND ok_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+         |FROM flagged GROUP BY 1, 2""".stripMargin
+    },
+    "q118_semdedup" -> {
+      val centroidLit = (c: Int) =>
+        SimHashIvf.Centroids(c).map(v => if (v > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]")
+      val dots = (0 until 8).map(c => duckDot("embedding", centroidLit(c)))
+      val g = s"greatest(${dots.mkString(", ")})"
+      val cellExpr = (0 until 8).foldRight("-1") { (c, acc) =>
+        s"CASE WHEN ${dots(c)} = $g THEN $c ELSE $acc END"
+      }
+      val planes = VectorOps.planeCoeffs(4, 64)
+      val bitExprs = (0 until 4).map { p =>
+        val lit = planes(p).map(v => if (v > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]")
+        s"CASE WHEN ${duckDot("embedding", lit)} >= 0 THEN '1' ELSE '0' END"
+      }.mkString(" || ")
+      s"""WITH clustered AS (
+         |  SELECT vec_id, label,
+         |    CAST($cellExpr AS VARCHAR) || ':' || ($bitExprs) AS cluster,
+         |    list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) / sqrt(${duckNormSq("embedding")})) AS ne
+         |  FROM embeddings),
+         |drops AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM clustered a JOIN clustered b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE ${duckDot("a.ne", "b.ne")} >= 0.45)
+         |SELECT label, COUNT(*) AS n_vecs,
+         |  CAST(SUM(CASE WHEN vec_id IN (SELECT vec_id FROM drops)
+         |    THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+         |  COUNT(DISTINCT cluster) AS n_clusters
+         |FROM clustered GROUP BY label""".stripMargin
+    })
+}

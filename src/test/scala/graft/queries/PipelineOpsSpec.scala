@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PipelineOps invariants beyond the DuckDB hash gate (q116/q117/q118):
+  * properties that must hold on ANY corpus, checked at sf0.001. */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val d = "/root/testdata/sf0.001"
+
+  test("decontamination: totals partition the corpus, fractions consistent") {
+    val rows = PipelineOps.decontamination(spark, d).collect()
+    val trainTotal = rows.map(_.getLong(1)).sum
+    val corpus = graft.Tables.documents(spark, d).count()
+    val bench = graft.Tables.documents(spark, d)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "2").count()
+    assert(trainTotal == corpus - bench,
+      "per-lang train totals must cover exactly the non-benchmark docs")
+    rows.foreach { r =>
+      val (train, cont, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(cont >= 0 && cont <= train)
+      assert(frac == cont.toDouble / train)
+    }
+  }
+
+  test("decontamination: a doc sharing zero benchmark 8-grams is never flagged") {
+    // recompute the flag set directly: contaminated docs must all share
+    // at least one 8-gram with some benchmark doc
+    val toks = split(col("text"), " ")
+    val gramArr = when(size(toks) >= 8,
+      transform(sequence(lit(1), size(toks) - 7),
+        i => concat_ws(" ", slice(toks, i, lit(8))))).otherwise(array())
+    val g = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), explode(gramArr).as("gram"),
+        (substring(md5(col("doc_id").cast("string")), 1, 1) < "2").as("bench"))
+    val benchGrams = g.filter(col("bench")).select("gram").distinct()
+    val expected = g.filter(!col("bench"))
+      .join(benchGrams, Seq("gram"), "left_semi")
+      .select("doc_id").distinct().count()
+    val reported = PipelineOps.decontamination(spark, d)
+      .agg(sum("contaminated_docs")).collect()(0).getLong(0)
+    assert(reported == expected)
+  }
+
+  test("gopher rules: pass_all <= each rule count <= docs; corpus covered") {
+    val rows = PipelineOps.gopherQuality(spark, d).collect()
+    val docs = rows.map(r => r.getLong(r.fieldIndex("docs"))).sum
+    assert(docs == graft.Tables.documents(spark, d).count())
+    rows.foreach { r =>
+      val n = r.getLong(r.fieldIndex("docs"))
+      val passes = Seq("pass_count", "pass_word_len", "pass_repetition",
+        "pass_stopwords").map(c => r.getLong(r.fieldIndex(c)))
+      val all = r.getLong(r.fieldIndex("pass_all"))
+      passes.foreach(p => assert(p >= 0 && p <= n))
+      assert(all <= passes.min, "pass_all cannot exceed any single rule")
+    }
+  }
+
+  test("gopher rules: the filter is not degenerate on this corpus") {
+    val agg = PipelineOps.gopherQuality(spark, d)
+      .agg(sum("docs"), sum("pass_all")).collect()(0)
+    val (n, pass) = (agg.getLong(0), agg.getLong(1))
+    assert(pass > 0 && pass < n,
+      s"expected a discriminating filter, got $pass/$n passes")
+  }
+
+  test("semdedup: kept <= vecs, threshold monotone, thr>1 keeps everything") {
+    graft.functions.VecOps.register(spark)
+    val base = PipelineOps.semDedup(spark, d).collect()
+    base.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_kept")) <= r.getLong(r.fieldIndex("n_vecs")))
+    }
+    val keptAt = (thr: Double) => PipelineOps.semDedup(spark, d, thr)
+      .agg(sum("n_kept")).collect()(0).getLong(0)
+    val total = PipelineOps.semDedup(spark, d)
+      .agg(sum("n_vecs")).collect()(0).getLong(0)
+    // cosine of two unit vectors never exceeds 1: nothing can be dropped
+    assert(keptAt(1.01) == total)
+    // loosening the threshold can only drop MORE vectors
+    assert(keptAt(0.3) <= keptAt(0.45))
+    assert(keptAt(0.45) <= keptAt(0.9))
+  }
+
+  test("semdedup: drops are cluster-local — one representative per cluster") {
+    graft.functions.VecOps.register(spark)
+    // With a threshold below -1 every within-cluster pair "matches", so
+    // exactly the non-minimum vec of every cluster is dropped: the kept
+    // count equals the number of GLOBALLY distinct clusters (note the
+    // per-label n_clusters column double-counts label-spanning clusters,
+    // so the comparison must use the cluster frame itself).
+    val kept = PipelineOps.semDedup(spark, d, -1.01)
+      .agg(sum("n_kept")).collect()(0).getLong(0)
+    val clusters = PipelineOps.semClusters(spark, d)
+      .select("cluster").distinct().count()
+    assert(kept == clusters,
+      "at thr < -1 exactly one representative per cluster survives")
+  }
+}
