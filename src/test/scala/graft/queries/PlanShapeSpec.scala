@@ -16,7 +16,7 @@ class PlanShapeSpec extends AnyFunSuite {
     SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
 
   for (q <- Seq("q35_cosine_pairs", "q65_fuzzy_name_match",
-      "q67_simhash_hamming", "q100_range_join")) {
+      "q67_simhash_hamming", "q100_range_join", "q118_semdedup")) {
     test(s"$q plans with no nested-loop/cartesian join") {
       val plan = planOf(q)
       assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
@@ -35,6 +35,16 @@ class PlanShapeSpec extends AnyFunSuite {
     // self-join — if a Join node appears, the pair trap crept back
     val plan = planOf("q113_dup_ngram_stats")
     assert(!plan.contains("Join"), plan.take(4000))
+  }
+
+  test("q116_decontamination joins benchmark grams as a LEFT SEMI join") {
+    // the contamination check must stay a semi join: a plain inner join
+    // would multiply a boilerplate gram shared by the corpus into a
+    // pair-like blow-up before the doc_id distinct
+    val plan = planOf("q116_decontamination")
+    assert(plan.contains("LeftSemi"), plan.take(4000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
   }
 
   test("q112_tfidf_topk sorts only within doc partitions (no global sort)") {
