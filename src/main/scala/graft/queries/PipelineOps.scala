@@ -175,6 +175,99 @@ object PipelineOps {
         count_distinct(col("cluster")).as("n_clusters"))
   }
 
+  /** Per-doc rule flags shared by q119/q120 (the pre-aggregation stage
+    * of [[gopherQuality]]). */
+  private def gopherFlags(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(toks).cast("long").as("n_tok"),
+        length(translate(col("text"), " ", "")).cast("long").as("sum_len"))
+    val perWord = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("f"))
+    val stats = perWord.groupBy("doc_id")
+      .agg(max(col("f")).as("top_f"),
+        count_distinct(when(col("word").isInCollection(Stopwords), col("word")))
+          .as("n_stop"))
+    base.join(stats, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
+        col("n_tok").between(20L, 1000L).as("ok_count"),
+        (col("sum_len") >= col("n_tok") * 3 &&
+          col("sum_len") <= col("n_tok") * 10).as("ok_word_len"),
+        (col("top_f") * 5 <= col("n_tok")).as("ok_repetition"),
+        (col("n_stop") >= 2).as("ok_stopwords"))
+  }
+
+  /** q119: the end-to-end curation chain — the corpus a training run
+    * would actually read. A training doc is KEPT iff it (a) passes all
+    * four Gopher rules, (b) shares no 8-gram with the held-out
+    * benchmark split (q116's semi join, inverted to an anti join), and
+    * (c) is the exact-dedup representative of its text (min doc_id per
+    * md5(text), q24's rule). Per (lang, source): docs in, docs kept,
+    * whitespace tokens kept. Composition stays linear: one anti join
+    * on gram (bounded like the semi join), one dedup shuffle, one
+    * rollup — the near-dup stage is deliberately NOT chained here
+    * because its cluster policy is corpus-dependent (q57/q110/q114/
+    * q118 cover the variants). */
+  def curatedCorpus(s: SparkSession, d: String): DataFrame = {
+    val flags = gopherFlags(s, d)
+      .filter(!isBenchmark)
+      .withColumn("ok_rules",
+        col("ok_count") && col("ok_word_len") &&
+          col("ok_repetition") && col("ok_stopwords"))
+    val g = grams(s, d).withColumn("bench", isBenchmark)
+    val benchGrams = g.filter(col("bench")).select("gram").distinct()
+    // doc-level contamination is an EXISTS over grams — the semi join
+    // (q116's shape); docs with < 8 tokens have no grams and are clean
+    val contaminated = g.filter(!col("bench"))
+      .select("doc_id", "gram")
+      .join(benchGrams, Seq("gram"), "left_semi")
+      .select("doc_id").distinct()
+    val reps = Tables.documents(s, d)
+      .filter(!isBenchmark)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val kept = flags
+      .join(contaminated.withColumn("contaminated", lit(true)),
+        Seq("doc_id"), "left")
+      .join(reps.withColumn("is_rep", lit(true)), Seq("doc_id"), "left")
+      .withColumn("keep",
+        col("ok_rules") && col("contaminated").isNull && col("is_rep").isNotNull)
+    kept.groupBy("lang", "source")
+      .agg(count(lit(1)).as("docs_in"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("docs_kept"),
+        sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("tokens_kept"))
+  }
+
+  /** q120: quality-weighted deterministic sampling — keep high-quality
+    * documents at a higher rate than low-quality ones (the
+    * quality-bucket resampling step of a curation pipeline), with the
+    * SAME reproducibility device as q115: the keep decision hashes the
+    * stable doc_id (salted so it is independent of the q115 split),
+    * compared against a per-bucket hex threshold — engine-exact, no
+    * RNG, stable under corpus growth and repartitioning. Buckets =
+    * number of Gopher rules passed (0–4); rates 2/16, 4/16, 8/16,
+    * 12/16, 16/16. */
+  def qualitySampling(s: SparkSession, d: String): DataFrame = {
+    val nRules = Seq("ok_count", "ok_word_len", "ok_repetition", "ok_stopwords")
+      .map(c => col(c).cast("int")).reduce(_ + _)
+    // per-bucket hex-char upper bounds: rates 2/16, 4/16, 8/16, 12/16,
+    // 16/16 ('g' sorts above every hex char ⇒ keep all)
+    val thr = when(col("n_rules") === 0, "2").when(col("n_rules") === 1, "4")
+      .when(col("n_rules") === 2, "8").when(col("n_rules") === 3, "c")
+      .otherwise("g")
+    gopherFlags(s, d)
+      .withColumn("n_rules", nRules)
+      .withColumn("keep",
+        substring(md5(concat(col("doc_id").cast("string"), lit(":samp"))), 1, 1)
+          < thr)
+      .groupBy("n_rules")
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("docs_kept"))
+  }
+
   private def withVecFns(f: (SparkSession, String) => DataFrame)
       : (SparkSession, String) => DataFrame =
     (s, d) => { graft.functions.VecOps.register(s); f(s, d) }
@@ -182,7 +275,9 @@ object PipelineOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_decontamination" -> decontamination,
     "q117_gopher_quality" -> gopherQuality,
-    "q118_semdedup" -> withVecFns((s, d) => semDedup(s, d)))
+    "q118_semdedup" -> withVecFns((s, d) => semDedup(s, d)),
+    "q119_curated_corpus" -> curatedCorpus,
+    "q120_quality_sampling" -> qualitySampling)
 
   // ---- DuckDB oracle twins ----
 
@@ -253,6 +348,85 @@ object PipelineOps {
          |  CAST(SUM(CASE WHEN ok_count AND ok_word_len AND ok_repetition
          |    AND ok_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
          |FROM flagged GROUP BY 1, 2""".stripMargin
+    },
+    "q119_curated_corpus" -> {
+      val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH $gramsCte,
+         |bench_grams AS (
+         |  SELECT DISTINCT gram FROM grams
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'),
+         |contaminated AS (
+         |  SELECT DISTINCT doc_id FROM grams
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '2'
+         |    AND gram IN (SELECT gram FROM bench_grams)),
+         |base AS (
+         |  SELECT doc_id, lang, source,
+         |    len(string_split(text, ' ')) AS n_tok,
+         |    len(replace(text, ' ', '')) AS sum_len
+         |  FROM documents
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '2'),
+         |pw AS (
+         |  SELECT doc_id, word, COUNT(*) AS f FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |    FROM documents)
+         |  GROUP BY 1, 2),
+         |stats AS (
+         |  SELECT doc_id, MAX(f) AS top_f,
+         |    COUNT(DISTINCT CASE WHEN word IN ($stopList) THEN word END)
+         |      AS n_stop
+         |  FROM pw GROUP BY 1),
+         |reps AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '2'
+         |  GROUP BY md5(text)),
+         |kept AS (
+         |  SELECT b.lang, b.source, b.n_tok,
+         |    ((b.n_tok BETWEEN 20 AND 1000)
+         |      AND b.sum_len >= b.n_tok * 3 AND b.sum_len <= b.n_tok * 10
+         |      AND s.top_f * 5 <= b.n_tok AND s.n_stop >= 2
+         |      AND b.doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |      AND b.doc_id IN (SELECT doc_id FROM reps)) AS keep
+         |  FROM base b JOIN stats s USING (doc_id))
+         |SELECT lang, source, COUNT(*) AS docs_in,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+         |  CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS tokens_kept
+         |FROM kept GROUP BY 1, 2""".stripMargin
+    },
+    "q120_quality_sampling" -> {
+      val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    len(string_split(text, ' ')) AS n_tok,
+         |    len(replace(text, ' ', '')) AS sum_len
+         |  FROM documents),
+         |pw AS (
+         |  SELECT doc_id, word, COUNT(*) AS f FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |    FROM documents)
+         |  GROUP BY 1, 2),
+         |stats AS (
+         |  SELECT doc_id, MAX(f) AS top_f,
+         |    COUNT(DISTINCT CASE WHEN word IN ($stopList) THEN word END)
+         |      AS n_stop
+         |  FROM pw GROUP BY 1),
+         |flags AS (
+         |  SELECT b.doc_id,
+         |    CAST(b.n_tok BETWEEN 20 AND 1000 AS INTEGER)
+         |      + CAST(b.sum_len >= b.n_tok * 3 AND b.sum_len <= b.n_tok * 10
+         |          AS INTEGER)
+         |      + CAST(s.top_f * 5 <= b.n_tok AS INTEGER)
+         |      + CAST(s.n_stop >= 2 AS INTEGER) AS n_rules
+         |  FROM base b JOIN stats s USING (doc_id)),
+         |dec AS (
+         |  SELECT n_rules,
+         |    (substr(md5(CAST(doc_id AS VARCHAR) || ':samp'), 1, 1) <
+         |      CASE n_rules WHEN 0 THEN '2' WHEN 1 THEN '4' WHEN 2 THEN '8'
+         |        WHEN 3 THEN 'c' ELSE 'g' END) AS keep
+         |  FROM flags)
+         |SELECT n_rules, COUNT(*) AS docs,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept
+         |FROM dec GROUP BY 1""".stripMargin
     },
     "q118_semdedup" -> {
       val centroidLit = (c: Int) =>

@@ -66,6 +66,36 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"expected a discriminating filter, got $pass/$n passes")
   }
 
+  test("curated corpus: covers exactly the non-benchmark docs; kept is a subset chain") {
+    val rows = PipelineOps.curatedCorpus(spark, d).collect()
+    val docsIn = rows.map(r => r.getLong(r.fieldIndex("docs_in"))).sum
+    val bench = graft.Tables.documents(spark, d)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "2").count()
+    assert(docsIn == graft.Tables.documents(spark, d).count() - bench)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("docs_kept")) <= r.getLong(r.fieldIndex("docs_in")))
+    }
+    // the chain can only keep docs that pass the rules: its global kept
+    // count is bounded by the (whole-corpus) Gopher pass_all total
+    val kept = rows.map(r => r.getLong(r.fieldIndex("docs_kept"))).sum
+    val passAll = PipelineOps.gopherQuality(spark, d)
+      .agg(sum("pass_all")).collect()(0).getLong(0)
+    assert(kept <= passAll)
+  }
+
+  test("quality sampling: buckets partition the corpus, 4-rule bucket keeps all") {
+    val rows = PipelineOps.qualitySampling(spark, d).collect()
+    val docs = rows.map(r => r.getLong(r.fieldIndex("docs"))).sum
+    assert(docs == graft.Tables.documents(spark, d).count())
+    rows.foreach { r =>
+      val (n, k) = (r.getLong(r.fieldIndex("docs")), r.getLong(r.fieldIndex("docs_kept")))
+      assert(k >= 0 && k <= n)
+      // threshold 'g' sorts above every hex digit: the top bucket is
+      // deterministically kept in full
+      if (r.getInt(r.fieldIndex("n_rules")) == 4) assert(k == n)
+    }
+  }
+
   test("semdedup: kept <= vecs, threshold monotone, thr>1 keeps everything") {
     graft.functions.VecOps.register(spark)
     val base = PipelineOps.semDedup(spark, d).collect()
