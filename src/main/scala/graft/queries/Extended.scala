@@ -546,9 +546,54 @@ object Profiling {
           .as("price_qty_corr"))
   }
 
+  /** q121: HLL++ approximate distinct next to the exact count — the
+    * 100 TB cardinality path. `approx_count_distinct` keeps a FIXED-SIZE
+    * mergeable sketch per group (map-side partial, one shuffle of
+    * sketches, never of values), where the exact path ships every
+    * distinct value; at extreme cardinality the exact shuffle IS the
+    * bottleneck and the sketch is the only plan that holds. Sketch
+    * internals are engine-specific, so there is deliberately NO DuckDB
+    * oracle (driver records the rows-only check); instead the query
+    * carries the exact value in the next column and ProfilingSketchSpec
+    * asserts the relative error stays inside the rsd bound (2% default
+    * → assert 5% headroom). */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_uv"),
+        approx_count_distinct(col("user_id")).as("approx_uv"))
+
+  /** q122: approximate quantiles (Greenwald–Khanna) next to the exact
+    * ones — same posture as q121: a fixed-size mergeable summary per
+    * group vs the exact path's full sort. percentile_approx's rank
+    * error ≤ 1/accuracy; ProfilingSketchSpec asserts the approximate
+    * p50/p90/p99 each sit within the exact neighboring-rank envelope.
+    * No oracle by design (summary internals are engine-specific). */
+  def approxQuantiles(s: SparkSession, d: String): DataFrame = {
+    val accuracy = 1000
+    graft.Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        expr(s"percentile_approx(o_totalprice, array(0.5, 0.9, 0.99), $accuracy)")
+          .as("approx_p"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+          .as("exact_p50"),
+        expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice)")
+          .as("exact_p90"),
+        expr("percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice)")
+          .as("exact_p99"))
+      .select(col("o_orderstatus"), col("n"),
+        col("approx_p")(0).as("approx_p50"),
+        col("approx_p")(1).as("approx_p90"),
+        col("approx_p")(2).as("approx_p99"),
+        col("exact_p50"), col("exact_p90"), col("exact_p99"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_histogram" -> histogram,
-    "q104_correlation" -> correlation)
+    "q104_correlation" -> correlation,
+    "q121_approx_distinct" -> approxDistinct,
+    "q122_approx_quantiles" -> approxQuantiles)
 
   val oracle: Map[String, String] = Map(
     "q103_histogram" ->
