@@ -51,6 +51,10 @@ object PipelineOps {
     * a pair join would; no df cap is needed. One distinct on doc_id,
     * then a per-language rollup joined to per-language totals. */
   def decontamination(s: SparkSession, d: String): DataFrame = {
+    // the two consumers of `g` split it on DISJOINT halves (bench vs
+    // train), so re-evaluation costs one extra pruned scan — cheaper at
+    // any scale than materializing the full gram explosion (~8× the
+    // token volume) the way localCheckpoint would
     val g = grams(s, d).withColumn("bench", isBenchmark)
     val benchGrams = g.filter(col("bench")).select("gram").distinct()
     val contaminated = g.filter(!col("bench"))
@@ -82,26 +86,8 @@ object PipelineOps {
     * explode + two map-side-combinable aggregations for per-doc
     * top-frequency and stop-word counts, one final rollup — linear,
     * no pairs, no caps needed at 100 TB. */
-  def gopherQuality(s: SparkSession, d: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val base = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("source"),
-        size(toks).cast("long").as("n_tok"),
-        length(translate(col("text"), " ", "")).cast("long").as("sum_len"))
-    val words = Tables.documents(s, d)
-      .select(col("doc_id"), explode(toks).as("word"))
-    val perWord = words.groupBy("doc_id", "word").agg(count(lit(1)).as("f"))
-    val stats = perWord.groupBy("doc_id")
-      .agg(max(col("f")).as("top_f"),
-        count_distinct(when(col("word").isInCollection(Stopwords), col("word")))
-          .as("n_stop"))
-    val flagged = base.join(stats, Seq("doc_id"))
-      .withColumn("ok_count", col("n_tok").between(20L, 1000L))
-      .withColumn("ok_word_len",
-        col("sum_len") >= col("n_tok") * 3 && col("sum_len") <= col("n_tok") * 10)
-      .withColumn("ok_repetition", col("top_f") * 5 <= col("n_tok"))
-      .withColumn("ok_stopwords", col("n_stop") >= 2)
-    flagged.groupBy("lang", "source")
+  def gopherQuality(s: SparkSession, d: String): DataFrame =
+    gopherFlags(s, d).groupBy("lang", "source")
       .agg(count(lit(1)).as("docs"),
         sum(col("ok_count").cast("long")).as("pass_count"),
         sum(col("ok_word_len").cast("long")).as("pass_word_len"),
@@ -110,7 +96,6 @@ object PipelineOps {
         sum(when(col("ok_count") && col("ok_word_len") &&
           col("ok_repetition") && col("ok_stopwords"), 1L).otherwise(0L))
           .as("pass_all"))
-  }
 
   /** q118: SemDeDup — cluster-local semantic dedup over embeddings
     * (Abbas et al. 2023): coarse-cluster every vector, and inside each
@@ -132,10 +117,11 @@ object PipelineOps {
     * Shape: quantize once per vector (one projection), self equi-join
     * on the cluster key with id ordering, exact normalized dot as the
     * verifier, distinct on the dropped id — one shuffle for the join,
-    * one for the distinct, no BNLJ. */
-  /** The two-level coarse quantizer + L2 normalize behind q118:
-    * (vec_id, label, cluster, ne). Materialized once (localCheckpoint)
-    * because the pair join consumes it on both legs. */
+    * one for the distinct, no BNLJ (PlanShapeSpec-asserted).
+    *
+    * The quantizer lives in [[semClusters]]: (vec_id, label, cluster,
+    * ne), materialized once (localCheckpoint) because the pair join
+    * consumes it on both legs. */
   private[queries] def semClusters(s: SparkSession, d: String): DataFrame = {
     val cellDots = (0 until 8).map(c =>
       vec_dot(col("embedding"), typedlit(SimHashIvf.Centroids(c).toSeq)))
@@ -175,8 +161,9 @@ object PipelineOps {
         count_distinct(col("cluster")).as("n_clusters"))
   }
 
-  /** Per-doc rule flags shared by q119/q120 (the pre-aggregation stage
-    * of [[gopherQuality]]). */
+  /** Per-doc rule flags — the shared pre-aggregation stage of q117's
+    * rollup and the q119/q120 consumers. One explode + two
+    * map-side-combinable aggregations; linear. */
   private def gopherFlags(s: SparkSession, d: String): DataFrame = {
     val toks = split(col("text"), " ")
     val base = Tables.documents(s, d)
