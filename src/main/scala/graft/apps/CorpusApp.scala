@@ -36,13 +36,25 @@ object CorpusApp {
 
   /** The cleaning transform shared by the stream and its batch replay
     * twin (CorpusAppSpec proves them equivalent): content-hash dedup →
-    * quality gate → accounting columns. */
+    * optional blocklist gate → quality gate → accounting columns.
+    *
+    * `blocklist` is a STATIC frame of banned `content_hash` values
+    * (benchmark/eval documents, takedowns) applied as a stream-static
+    * LEFT ANTI equi-join — stateless on the stream side, broadcast by
+    * the planner when small, and re-read each micro-batch so an updated
+    * blocklist takes effect without a restart. This is the doc-level
+    * half of decontamination; the n-gram overlap pass (q116/q119)
+    * needs cross-document joins and runs in the batch compaction, the
+    * same lambda split as near-dup below. */
   def clean(docs: DataFrame, minTokens: Int = 5,
-      maxStopRatioPct: Int = 60): DataFrame = {
+      maxStopRatioPct: Int = 60,
+      blocklist: Option[DataFrame] = None): DataFrame = {
     val toks = split(col("text"), " ")
     val stops = filter(toks, w => w.isin("the", "a"))
-    docs
-      .withColumn("content_hash", md5(col("text")))
+    val hashed = docs.withColumn("content_hash", md5(col("text")))
+    blocklist.foldLeft(hashed)((df, bl) =>
+        // before the dedup so banned docs never enter the hash-set state
+        df.join(bl.select("content_hash"), Seq("content_hash"), "left_anti"))
       .dropDuplicates("content_hash")
       .withColumn("ws_tokens", size(toks).cast("long"))
       .withColumn("stop_tokens", size(stops).cast("long"))
@@ -54,8 +66,9 @@ object CorpusApp {
   }
 
   def run(docs: Dataset[CorpusDoc], outPath: String, checkpoint: String,
-      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
-    clean(docs.toDF())
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      blocklist: Option[DataFrame] = None): StreamingQuery =
+    clean(docs.toDF(), blocklist = blocklist)
       .withColumn("dt",
         date_format(col("ingest_ts"), "yyyyMMdd").cast("int"))
       .writeStream.format("parquet")

@@ -60,6 +60,35 @@ class CorpusAppSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("static blocklist gates the stream as a stream-static anti join") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CorpusDoc]
+    val dir = java.nio.file.Files.createTempDirectory("corpus_app_bl").toString
+    // ban good2 by content hash — the doc-level decontamination key
+    val blocklist = Seq(good2).toDF("text")
+      .select(org.apache.spark.sql.functions.md5($"text").as("content_hash"))
+    val q = CorpusApp.run(mem.toDS(), s"$dir/out", s"$dir/ckpt",
+      blocklist = Some(blocklist))
+    try {
+      mem.addData(
+        CorpusDoc(1, good1, "en", "web", ts),
+        CorpusDoc(2, good2, "en", "web", ts),
+        CorpusDoc(3, good3, "en", "web", ts))
+      q.processAllAvailable()
+      val texts = spark.read.parquet(s"$dir/out")
+        .select("text").collect().map(_.getString(0)).toSet
+      assert(texts == Set(good1, good3), "blocklisted content must not land")
+      // batch replay with the same blocklist agrees
+      val batch = CorpusApp.clean(
+        Seq(CorpusDoc(1, good1, "en", "web", ts),
+          CorpusDoc(2, good2, "en", "web", ts),
+          CorpusDoc(3, good3, "en", "web", ts)).toDF(),
+        blocklist = Some(blocklist))
+      assert(batch.select("text").collect().map(_.getString(0)).toSet ==
+        Set(good1, good3))
+    } finally q.stop()
+  }
+
   test("restart from checkpoint keeps the dedup state (no re-admission)") {
     // a replayable FILE source (MemoryStream offsets don't survive a
     // restart): run 1 admits good1, run 2 restarts from the checkpoint
