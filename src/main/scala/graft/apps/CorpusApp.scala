@@ -69,6 +69,15 @@ object CorpusApp {
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
       blocklist: Option[DataFrame] = None): StreamingQuery =
     clean(docs.toDF(), blocklist = blocklist)
+      // per-micro-batch data-quality telemetry, surfaced through
+      // StreamingQueryProgress.observedMetrics — computed inline by the
+      // running plan (no second pass over the batch), the monitoring
+      // hook a production ingest alerts on (admission rate collapse,
+      // token-volume anomalies)
+      .observe("corpus_ingest",
+        count(lit(1)).as("admitted_docs"),
+        sum(col("ws_tokens")).as("admitted_ws_tokens"),
+        sum(col("bpe_est_tokens")).as("admitted_bpe_tokens"))
       .withColumn("dt",
         date_format(col("ingest_ts"), "yyyyMMdd").cast("int"))
       .writeStream.format("parquet")

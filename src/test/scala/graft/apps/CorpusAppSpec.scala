@@ -89,6 +89,27 @@ class CorpusAppSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("observed metrics report admitted docs and token volume per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CorpusDoc]
+    val dir = java.nio.file.Files.createTempDirectory("corpus_app_obs").toString
+    val q = CorpusApp.run(mem.toDS(), s"$dir/out", s"$dir/ckpt")
+    try {
+      mem.addData(
+        CorpusDoc(1, good1, "en", "web", ts),
+        CorpusDoc(2, good2, "en", "web", ts),
+        CorpusDoc(3, shorty, "en", "web", ts)) // rejected by the gate
+      q.processAllAvailable()
+      val metrics = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("corpus_ingest")))
+      assert(metrics.nonEmpty, "observe() metrics must surface in progress")
+      // exactly the two admitted docs, with their real token volume
+      assert(metrics.map(_.getAs[Long]("admitted_docs")).sum == 2)
+      val wsExpected = good1.split(" ").length + good2.split(" ").length
+      assert(metrics.map(_.getAs[Long]("admitted_ws_tokens")).sum == wsExpected)
+    } finally q.stop()
+  }
+
   test("restart from checkpoint keeps the dedup state (no re-admission)") {
     // a replayable FILE source (MemoryStream offsets don't survive a
     // restart): run 1 admits good1, run 2 restarts from the checkpoint
