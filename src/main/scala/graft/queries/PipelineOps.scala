@@ -85,7 +85,14 @@ object PipelineOps {
     * "stop word" rule — a proxy for natural running text). Shape: one
     * explode + two map-side-combinable aggregations for per-doc
     * top-frequency and stop-word counts, one final rollup — linear,
-    * no pairs, no caps needed at 100 TB. */
+    * no pairs, no caps needed at 100 TB.
+    *
+    * Corpus note: on the synthetic testdata the word-length rule is
+    * non-binding (every doc's mean word length sits in [3, 10];
+    * pass_word_len == docs in each row), while the count, repetition
+    * and stop-word rules each reject real fractions —
+    * PipelineOpsSpec's discrimination test guards the conjunction,
+    * not any single rule. */
   def gopherQuality(s: SparkSession, d: String): DataFrame =
     gopherFlags(s, d).groupBy("lang", "source")
       .agg(count(lit(1)).as("docs"),
