@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   * (`javax.sound.sampled`, [[JvmAudioCodec]]) with the same stub
   * fallback. Video container METADATA is real for the MP4/ISO-BMFF
   * family ([[Mp4Probe]] — a plain box-tree walk, no codec needed);
-  * only frame-pixel decode and compressed-audio (mp3/ogg) codecs
-  * remain stubbed (no libs in this container).
+  * animated-GIF frame-pixel decode + per-frame timestamps are real
+  * ([[JvmGifFrames]]); only compressed-video (mp4/webm) frame pixels
+  * and compressed-audio (mp3/ogg) codecs remain stubbed (no libs in
+  * this container).
   *
   * Scale notes (100 TB of media):
   *  - rows carry bytes, so `spark.sql.files.maxPartitionBytes` (not row
@@ -140,31 +142,86 @@ object Multimodal {
   object JvmImageCodec {
     final case class Image(width: Int, height: Int, pixels: Array[Byte])
 
+    /** BufferedImage → RGB row-major pixel buffer (3 bytes/pixel). */
+    private[multimodal] def toImage(img: java.awt.image.BufferedImage): Image = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val o = (y * w + x) * 3
+          out(o) = ((rgb >> 16) & 0xff).toByte
+          out(o + 1) = ((rgb >> 8) & 0xff).toByte
+          out(o + 2) = (rgb & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Image(w, h, out)
+    }
+
     /** bytes → RGB row-major pixel buffer (3 bytes/pixel), or None. */
     def decode(bytes: Array[Byte]): Option[Image] =
       try {
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(bytes))
-        if (img == null) None
-        else {
-          val (w, h) = (img.getWidth, img.getHeight)
-          val out = new Array[Byte](w * h * 3)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val o = (y * w + x) * 3
-              out(o) = ((rgb >> 16) & 0xff).toByte
-              out(o + 1) = ((rgb >> 8) & 0xff).toByte
-              out(o + 2) = (rgb & 0xff).toByte
-              x += 1
-            }
-            y += 1
-          }
-          Some(Image(w, h, out))
-        }
+        if (img == null) None else Some(toImage(img))
       } catch { case _: java.io.IOException => None }
+  }
+
+  /** Real pure-JVM MULTI-frame decode for animated GIF — the one video-
+    * like container the JDK can fully demux AND pixel-decode without
+    * external codecs (ImageIO's GIF reader exposes every stored frame
+    * plus its GraphicControlExtension delay). Frames are returned as the
+    * raw stored rectangles with cumulative presentation timestamps;
+    * disposal-method compositing is NOT applied (a feature-extraction
+    * pipeline samples frames, it doesn't replay the animation). Returns
+    * None for anything that is not a parseable GIF — callers fall back
+    * to the Mp4Probe-metadata + stub-pixel path, the same totality
+    * pattern as the other codecs. */
+  object JvmGifFrames {
+    final case class Frame(index: Int, tsMs: Long, image: JvmImageCodec.Image)
+
+    private def delayMs(meta: javax.imageio.metadata.IIOMetadata): Long =
+      try {
+        val tree = meta.getAsTree("javax_imageio_gif_image_1.0")
+          .asInstanceOf[org.w3c.dom.Element]
+        val nodes = tree.getElementsByTagName("GraphicControlExtension")
+        if (nodes.getLength == 0) 0L
+        else nodes.item(0).asInstanceOf[org.w3c.dom.Element]
+          .getAttribute("delayTime").toLong * 10L // centiseconds → ms
+      } catch { case scala.util.control.NonFatal(_) => 0L }
+
+    def decode(bytes: Array[Byte]): Option[Vector[Frame]] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        var gif: javax.imageio.ImageReader = null
+        while (gif == null && readers.hasNext) {
+          val r = readers.next()
+          if (r.getFormatName.equalsIgnoreCase("gif")) gif = r
+        }
+        if (gif == null) None
+        else try {
+          gif.setInput(iis)
+          val n = gif.getNumImages(true)
+          if (n <= 0) None
+          else {
+            var ts = 0L
+            val frames = Vector.tabulate(n) { i =>
+              val f = Frame(i, ts, JvmImageCodec.toImage(gif.read(i)))
+              ts += delayMs(gif.getImageMetadata(i))
+              f
+            }
+            Some(frames)
+          }
+        } finally gif.dispose()
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally iis.close()
+    }
   }
 
   /** Real pure-JVM audio codec. `javax.sound.sampled` ships WAV/AIFF/AU
@@ -399,17 +456,31 @@ object Multimodal {
   }
 
   /** Frame sampling: every video → `n` evenly spaced frames (flatMap —
-    * one input row fans out to n). Timestamps come from the container's
-    * REAL duration when the bytes parse as ISO-BMFF ([[Mp4Probe]]);
-    * frame pixel decode itself stays stubbed (needs codec libs). */
+    * one input row fans out to n). Three fidelity tiers, best available
+    * per payload: animated GIF → REAL pixel frames + REAL per-frame
+    * presentation timestamps ([[JvmGifFrames]] — the one container the
+    * JDK can both demux and pixel-decode); ISO-BMFF → REAL container
+    * duration for the timestamps ([[Mp4Probe]]), stub pixels (mp4 frame
+    * decode needs codec libs); anything else → declared duration + stub
+    * pixels. */
   def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[VideoFrame] = {
     import media.sparkSession.implicits._
     media.filter(_.media_type == "video").flatMap { r =>
-      val dur = Mp4Probe.probe(r.bytes).map(_.durationMs).getOrElse(r.duration_ms)
-      (0 until n).map { i =>
-        val ts = if (n <= 1) 0L else dur * i / (n - 1)
-        VideoFrame(r.media_id, i, ts,
-          StubCodec.sampleFrame(r.bytes, i, r.width, r.height))
+      JvmGifFrames.decode(r.bytes) match {
+        case Some(frames) =>
+          (0 until n).map { i =>
+            val idx = if (n <= 1) 0 else (frames.size - 1).toLong * i / (n - 1)
+            val f = frames(idx.toInt)
+            VideoFrame(r.media_id, i, f.tsMs, f.image.pixels)
+          }
+        case None =>
+          val dur = Mp4Probe.probe(r.bytes).map(_.durationMs)
+            .getOrElse(r.duration_ms)
+          (0 until n).map { i =>
+            val ts = if (n <= 1) 0L else dur * i / (n - 1)
+            VideoFrame(r.media_id, i, ts,
+              StubCodec.sampleFrame(r.bytes, i, r.width, r.height))
+          }
       }
     }
   }

@@ -231,4 +231,70 @@ class MultimodalSpec extends AnyFunSuite {
     val frames = sampleFrames(rows, 3).collect().sortBy(_.frame_index)
     assert(frames.map(_.ts_ms).toSeq == Seq(0L, 2500L, 5000L))
   }
+
+  /** An animated GIF written through ImageIO's sequence writer: one
+    * solid-color frame per entry, each stamped with a real
+    * GraphicControlExtension delay (centiseconds). */
+  private def animatedGif(colors: Seq[java.awt.Color], w: Int, h: Int,
+      delayCs: Int): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    val baos = new java.io.ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach { c =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(c); g.fillRect(0, 0, w, h); g.dispose()
+      val param = writer.getDefaultWriteParam
+      val meta = writer.getDefaultImageMetadata(
+        new ImageTypeSpecifier(img), param)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val tree = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      val gce = new IIOMetadataNode("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", delayCs.toString)
+      gce.setAttribute("transparentColorIndex", "0")
+      tree.appendChild(gce)
+      meta.setFromTree(fmt, tree)
+      writer.writeToSequence(new IIOImage(img, null, meta), param)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    baos.toByteArray
+  }
+
+  test("animated GIF frames decode to REAL pixels with REAL timestamps") {
+    import spark.implicits._
+    val red = new java.awt.Color(255, 0, 0)
+    val green = new java.awt.Color(0, 255, 0)
+    val blue = new java.awt.Color(0, 0, 255)
+    val gif = animatedGif(Seq(red, green, blue), 2, 2, delayCs = 10)
+    val rows = Seq(MediaRow(800L, "video", "mem://anim.gif", gif,
+      width = 2, height = 2, duration_ms = 9999L)).toDS()
+    val frames = sampleFrames(rows, 3).collect().sortBy(_.frame_index)
+    assert(frames.length == 3)
+    // real per-frame presentation times from the GCE delays (100 ms each)
+    assert(frames.map(_.ts_ms).toSeq == Seq(0L, 100L, 200L))
+    // real pixel planes: each frame is its solid color, bit-exact
+    def solid(r: Int, g: Int, b: Int) =
+      Array.fill(4)(Array(r.toByte, g.toByte, b.toByte)).flatten
+    assert(frames(0).pixels.sameElements(solid(255, 0, 0)))
+    assert(frames(1).pixels.sameElements(solid(0, 255, 0)))
+    assert(frames(2).pixels.sameElements(solid(0, 0, 255)))
+  }
+
+  test("JvmGifFrames rejects non-GIF payloads (mp4, junk) → stub fallback") {
+    assert(JvmGifFrames.decode(miniMp4).isEmpty)
+    assert(JvmGifFrames.decode(Array.tabulate[Byte](64)(i => (i * 3).toByte)).isEmpty)
+    // a 5-frame gif sampled at n=2 picks the first and last frames
+    val gif = animatedGif(Seq.fill(5)(new java.awt.Color(10, 20, 30)), 2, 2, 5)
+    val frames = JvmGifFrames.decode(gif).get
+    assert(frames.size == 5)
+    assert(frames.map(_.tsMs) == Vector(0L, 50L, 100L, 150L, 200L))
+  }
 }
