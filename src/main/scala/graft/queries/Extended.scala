@@ -118,6 +118,26 @@ object Extended {
       .select(col("l_returnflag"), col("sum_qty").cast("double").as("sum_qty"),
         col("row_count"))
 
+  /** Skew-transparent salted join (graft.operators.Skew.saltedJoin):
+    * the dim side is replicated once per salt and the fact side salted
+    * by a deterministic hash, spreading a hot join key over `salts`
+    * reducers — and the result must be EXACTLY the plain equi-join,
+    * which is what the plain-join oracle proves (the q47 pattern,
+    * extended from aggregation to the join operator SkewJoinSpec
+    * benchmarks). Aggregated per order status for a stable frame. */
+  def saltedJoinQuery(s: SparkSession, d: String): DataFrame = {
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        dec2(col("l_quantity")).as("qty"))
+    val dim = Tables.orders(s, d)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    graft.operators.Skew.saltedJoin(fact, dim, "l_orderkey",
+        saltFrom = col("l_linenumber"), salts = 16)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("joined_rows"),
+        sum(col("qty")).cast("double").as("sum_qty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_join_semi_anti" -> joinSemiAnti,
     "q41_join_right" -> joinRight,
@@ -126,7 +146,8 @@ object Extended {
     "q44_moving_agg" -> movingAvg,
     "q45_asof_join" -> asofJoin,
     "q46_exact_distinct_agg" -> exactDistinctAgg,
-    "q47_salted_agg" -> saltedAgg)
+    "q47_salted_agg" -> saltedAgg,
+    "q123_salted_join" -> saltedJoinQuery)
 
   val oracle: Map[String, String] = Map(
     "q40_join_semi_anti" ->
@@ -185,7 +206,12 @@ object Extended {
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS row_count
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q123_salted_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS joined_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin)
 }
 
 /** Second extension pack: multidimensional subtotals, ordered string
