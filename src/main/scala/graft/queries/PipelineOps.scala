@@ -24,15 +24,19 @@ object PipelineOps {
 
   private val N = 8 // n-gram width shared with RankingOps.dupNgramStats
 
-  /** 8-gram explode with the size-&lt;N direction guard (same shape as
-    * q113): one row per token window. */
+  /** 8-gram explode, one row per token window. Gram identity is the
+    * native [[graft.functions.GramHashes]] modular polynomial (8-byte
+    * long, computed in one pass over the text — no gram strings built
+    * or shuffled; see q113's scaladoc for the measured rationale). The
+    * gram joins below compare hashes on BOTH sides, and the oracles
+    * state the identical hash, so oracle equality is unaffected;
+    * overlap semantics differ from verbatim-string overlap only on
+    * polynomial collisions (≈ |bench|·|train|/P — about 1e-9 here). */
   private def grams(s: SparkSession, d: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val gramArr = when(size(toks) >= N,
-      transform(sequence(lit(1), size(toks) - (N - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(N))))).otherwise(array())
+    graft.functions.GramOps.register(s)
     Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), explode(gramArr).as("gram"))
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.GramOps.gram_hashes(col("text"), N)).as("gram"))
   }
 
   /** Benchmark membership: deterministic md5 split on the stable doc_id
@@ -281,13 +285,15 @@ object PipelineOps {
     s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 
   private val gramsCte =
-    """grams AS (
+    s"""grams AS (
       |  SELECT doc_id, lang,
-      |    array_to_string(t[i:i + 7], ' ') AS gram
+      |    ${OracleHash.polySql("g")} AS gram
       |  FROM (
-      |    SELECT doc_id, lang, t, unnest(generate_series(1, len(t) - 7)) AS i
-      |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS t
-      |          FROM documents)))""".stripMargin
+      |    SELECT doc_id, lang, array_to_string(t[i:i + 7], ' ') AS g
+      |    FROM (
+      |      SELECT doc_id, lang, t, unnest(generate_series(1, len(t) - 7)) AS i
+      |      FROM (SELECT doc_id, lang, string_split(text, ' ') AS t
+      |            FROM documents))))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q116_decontamination" ->

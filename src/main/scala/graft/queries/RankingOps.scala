@@ -52,17 +52,21 @@ object RankingOps {
     * aggregations. No candidate pairs are ever materialized, so —
     * unlike the pair generators — this needs no df cap at 100 TB; a
     * hot gram only makes its count big. The single double division
-    * happens AFTER the integer sums. */
+    * happens AFTER the integer sums.
+    *
+    * Gram identity is the native [[graft.functions.GramHashes]] modular
+    * polynomial (an 8-byte long), not the gram string: the measured
+    * cost of the original plan was DOMINATED by building ~50–80-byte
+    * gram strings (≈1.5 s of 2.7 s at sf0.1), and at 100 TB those
+    * strings are also ~85% of the shuffle bytes. Both engines compute
+    * the identical hash, so the oracle is unaffected; hash-equality
+    * differs from string-equality only on polynomial collisions
+    * (≈ m²/2P ≈ 1e-6 at a million distinct grams — see GramHash). */
   def dupNgramStats(s: SparkSession, d: String): DataFrame = {
-    val n = 8
-    val toks = split(col("text"), " ")
-    // guard: Spark's sequence(1, size-7) flips direction when size < 8
-    val gramArr = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))).otherwise(array())
+    graft.functions.GramOps.register(s)
     val grams = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
-        explode(gramArr).as("gram"))
+        explode(graft.functions.GramOps.gram_hashes(col("text"), 8)).as("gram"))
     val gc = count(lit(1)).over(Window.partitionBy("gram"))
     val perDoc = grams.withColumn("gc", gc)
       .groupBy("doc_id", "lang", "source")
@@ -113,19 +117,25 @@ object RankingOps {
         |SELECT doc_id, word, CAST(tf AS BIGINT) AS tf,
         |  CAST(df AS BIGINT) AS df, score, CAST(rnk AS INTEGER) AS rnk
         |FROM scored WHERE rnk <= 3""".stripMargin,
-    "q113_dup_ngram_stats" ->
-      """WITH toks AS (
+    "q113_dup_ngram_stats" -> ({
+      val hash = OracleHash.polySql("g")
+      s"""WITH toks AS (
         |  SELECT doc_id, lang, source, string_split(text, ' ') AS t
         |  FROM documents),
         |idx AS (
         |  SELECT doc_id, lang, source, t,
         |    unnest(generate_series(1, len(t) - 7)) AS i
         |  FROM toks),
+        |gstr AS (
+        |  SELECT doc_id, lang, source,
+        |    array_to_string(t[i:i + 7], ' ') AS g
+        |  FROM idx),
         |grams AS (
         |  SELECT doc_id, lang, source,
-        |    array_to_string(t[i:i + 7], ' ') AS gram
-        |  FROM idx),
-        |gc AS (SELECT gram, COUNT(*) AS gc FROM grams GROUP BY 1),
+        |    $hash AS gram
+        |  FROM gstr),""".stripMargin
+    } + "\n" +
+      """gc AS (SELECT gram, COUNT(*) AS gc FROM grams GROUP BY 1),
         |per_doc AS (
         |  SELECT doc_id, lang, source, COUNT(*) AS tot,
         |    SUM(CASE WHEN gc.gc > 1 THEN 1 ELSE 0 END) AS dup
@@ -137,7 +147,7 @@ object RankingOps {
         |  CAST(SUM(dup) AS DOUBLE) / SUM(tot) AS dup_fraction,
         |  CAST(SUM(CASE WHEN dup * 2 > tot THEN 1 ELSE 0 END) AS BIGINT)
         |    AS docs_over_half
-        |FROM per_doc GROUP BY 1, 2""".stripMargin,
+        |FROM per_doc GROUP BY 1, 2""".stripMargin),
     "q115_train_val_split" ->
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
         |  THEN 'val' ELSE 'train' END AS split,
