@@ -232,19 +232,21 @@ object Advanced {
     "q82_funnel_operator" -> funnelOperator)
 
   // ngramJaccard candidate pairs, re-stated for the recursive oracle
+  // (shingle identity = the GramHashes polynomial, same as the operator)
   private[queries] val pairsCte =
-    """WITH RECURSIVE w AS (
+    s"""WITH RECURSIVE w AS (
       |  SELECT doc_id,
       |    unnest(string_split(text, ' ')) AS word,
       |    unnest(range(0, len(string_split(text, ' ')))) AS pos
       |  FROM documents),
       |sh AS (
-      |  SELECT DISTINCT doc_id,
+      |  SELECT doc_id,
       |    word || ' ' || lead(word, 1) OVER dw || ' ' || lead(word, 2) OVER dw
-      |      AS shingle
+      |      AS g
       |  FROM w WHERE doc_id < 100
       |  WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
-      |sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+      |sh2 AS (SELECT DISTINCT doc_id, ${OracleHash.polySql("g")} AS shingle
+      |  FROM sh WHERE g IS NOT NULL),
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -260,12 +262,13 @@ object Advanced {
       |    unnest(range(0, len(string_split(text, ' ')))) AS pos
       |  FROM documents),
       |sh AS (
-      |  SELECT DISTINCT doc_id,
+      |  SELECT doc_id,
       |    word || ' ' || lead(word, 1) OVER dw || ' ' || lead(word, 2) OVER dw
-      |      AS shingle
+      |      AS g
       |  FROM w WHERE doc_id < 100
       |  WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
-      |sh1 AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+      |sh1 AS (SELECT DISTINCT doc_id, ${OracleHash.polySql("g")} AS shingle
+      |  FROM sh WHERE g IS NOT NULL),
       |hot AS (SELECT shingle FROM sh1 GROUP BY shingle HAVING COUNT(*) > $cap),
       |sh2 AS (SELECT * FROM sh1 WHERE shingle NOT IN (SELECT shingle FROM hot)),
       |pairs AS (

@@ -175,14 +175,17 @@ object TextOps {
     ngramJaccard(s, d, Int.MaxValue)
 
   def ngramJaccard(s: SparkSession, d: String, dfCap: Int): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val shingles = words(s, d)
+    // shingle identity is the native GramHashes modular polynomial of
+    // the 3-token window (an exact text substring) — no explode of word
+    // strings, no per-shingle concat, 8-byte longs through the distinct,
+    // df filter and candidate self-join (the dominant shuffle payload of
+    // this chain at scale); the oracle states the identical hash
+    graft.functions.GramOps.register(s)
+    val shingles = Tables.documents(s, d)
       .filter(col("doc_id") < 100)
-      .withColumn("w2", lead(col("word"), 1).over(w))
-      .withColumn("w3", lead(col("word"), 2).over(w))
-      .filter(col("w3").isNotNull)
       .select(col("doc_id"),
-        concat_ws(" ", col("word"), col("w2"), col("w3")).as("shingle"))
+        explode(graft.functions.GramOps.gram_hashes(col("text"), 3))
+          .as("shingle"))
       .distinct()
     // materialize once: `kept` (window leads + distinct + df filter)
     // feeds the per-doc counts AND both legs of the candidate self-join
@@ -212,13 +215,11 @@ object TextOps {
     * is one double division of identical operands (engine-stable). Pure
     * per-document map + aggregate — embarrassingly parallel at 100 TB. */
   def repetitionRatio(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    words(s, d)
-      .withColumn("w2", lead(col("word"), 1).over(w))
-      .withColumn("w3", lead(col("word"), 2).over(w))
-      .filter(col("w3").isNotNull)
+    graft.functions.GramOps.register(s)
+    Tables.documents(s, d)
       .select(col("doc_id"),
-        concat_ws(" ", col("word"), col("w2"), col("w3")).as("shingle"))
+        explode(graft.functions.GramOps.gram_hashes(col("text"), 3))
+          .as("shingle"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         countDistinct(col("shingle")).as("n_distinct"))
@@ -415,12 +416,13 @@ object TextOps {
       |FROM buckets GROUP BY bucket_size""".stripMargin,
     "q31_ngram_jaccard" -> s"""$wordsCte,
       |sh AS (
-      |  SELECT DISTINCT doc_id,
+      |  SELECT doc_id,
       |    word || ' ' || lead(word, 1) OVER dw || ' ' || lead(word, 2) OVER dw
-      |      AS shingle
+      |      AS g
       |  FROM w WHERE doc_id < 100
       |  WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
-      |sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+      |sh2 AS (SELECT DISTINCT doc_id, ${OracleHash.polySql("g")} AS shingle
+      |  FROM sh WHERE g IS NOT NULL),
       |counts AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh2 GROUP BY doc_id),
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_size
@@ -434,12 +436,13 @@ object TextOps {
       |WHERE inter_size >= 2""".stripMargin,
     "q105_ngram_jaccard_dfcap" -> s"""$wordsCte,
       |sh AS (
-      |  SELECT DISTINCT doc_id,
+      |  SELECT doc_id,
       |    word || ' ' || lead(word, 1) OVER dw || ' ' || lead(word, 2) OVER dw
-      |      AS shingle
+      |      AS g
       |  FROM w WHERE doc_id < 100
       |  WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
-      |sh1 AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+      |sh1 AS (SELECT DISTINCT doc_id, ${OracleHash.polySql("g")} AS shingle
+      |  FROM sh WHERE g IS NOT NULL),
       |hot AS (SELECT shingle FROM sh1 GROUP BY shingle HAVING COUNT(*) > 3),
       |sh2 AS (SELECT * FROM sh1 WHERE shingle NOT IN (SELECT shingle FROM hot)),
       |counts AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh2 GROUP BY doc_id),
@@ -457,13 +460,15 @@ object TextOps {
       |sh AS (
       |  SELECT doc_id,
       |    word || ' ' || lead(word, 1) OVER dw || ' ' || lead(word, 2) OVER dw
-      |      AS shingle
+      |      AS g
       |  FROM w
       |  WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+      |sh2 AS (SELECT doc_id, ${OracleHash.polySql("g")} AS shingle
+      |  FROM sh WHERE g IS NOT NULL),
       |per_doc AS (
       |  SELECT doc_id, COUNT(*) AS n_shingles,
       |    COUNT(DISTINCT shingle) AS n_distinct
-      |  FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id)
+      |  FROM sh2 GROUP BY doc_id)
       |SELECT doc_id, n_shingles, n_distinct,
       |  CAST(n_shingles - n_distinct AS DOUBLE) / n_shingles AS dup_ratio
       |FROM per_doc""".stripMargin,
