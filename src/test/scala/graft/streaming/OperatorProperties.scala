@@ -46,4 +46,30 @@ object OperatorProperties extends Properties("graft.operators") {
       val b = graft.multimodal.Multimodal.StubCodec.extractFeatures(bs.toArray, 16)
       a.sameElements(b)
     }
+
+  // GramHash: the one-pass text-slice loop must equal hashing the
+  // materialized gram strings for ANY token sequence (the law the q113/
+  // q116/q119/q31-family oracles rest on). Words include empty tokens
+  // (consecutive-space artifacts) and non-ascii codepoints.
+  private val gramWord =
+    Gen.oneOf(Gen.alphaNumStr.map(_.take(12)), Gen.const(""),
+      Gen.nonEmptyListOf(Gen.oneOf('ä', 'ß', '数', 'x')).map(_.mkString.take(6)))
+
+  private def refGramHashes(text: String, n: Int): Seq[Long] = {
+    val P = graft.functions.GramHash.P
+    val B = graft.functions.GramHash.Base
+    val toks = text.split(" ", -1)
+    if (toks.length < n) Seq.empty
+    else toks.sliding(n).map(_.mkString(" ").codePoints().toArray
+      .foldLeft(0L)((acc, c) => (acc * B % P + (c % 256)) % P)).toSeq
+  }
+
+  property("gram_hashes equals hashing materialized gram strings") =
+    Prop.forAll(Gen.listOfN(12, gramWord), Gen.chooseNum(1, 9)) { (ws, n) =>
+      val text = ws.mkString(" ")
+      val native = graft.functions.GramHash
+        .hashes(org.apache.spark.unsafe.types.UTF8String.fromString(text), n)
+        .toLongArray().toSeq
+      native == refGramHashes(text, n)
+    }
 }
