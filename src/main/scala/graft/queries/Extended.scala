@@ -131,8 +131,12 @@ object Extended {
         dec2(col("l_quantity")).as("qty"))
     val dim = Tables.orders(s, d)
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    // NB: this fixture is deliberately UNskewed, so the salted plan
+    // pays the dim-replication overhead with no straggler to win back —
+    // SkewBench (PLANS.md) shows where the trade flips (2× under a 90%
+    // hot key). 8 salts demonstrate the plan at half the replication.
     graft.operators.Skew.saltedJoin(fact, dim, "l_orderkey",
-        saltFrom = col("l_linenumber"), salts = 16)
+        saltFrom = col("l_linenumber"), salts = 8)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("joined_rows"),
         sum(col("qty")).cast("double").as("sum_qty"))
