@@ -37,7 +37,8 @@ object SparkEntry {
       graft.queries.Robustness.queries ++
       graft.queries.Profiling.queries ++
       graft.queries.RankingOps.queries ++
-      graft.queries.PipelineOps.queries
+      graft.queries.PipelineOps.queries ++
+      graft.queries.CurationOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -64,5 +65,6 @@ object SparkEntry {
       graft.queries.Robustness.oracle ++
       graft.queries.Profiling.oracle ++
       graft.queries.RankingOps.oracle ++
-      graft.queries.PipelineOps.oracle
+      graft.queries.PipelineOps.oracle ++
+      graft.queries.CurationOps.oracle
 }

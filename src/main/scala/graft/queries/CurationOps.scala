@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-5 curation additions: sketched heavy hitters, per-source quota
+  * caps, and a Bloom-filter-accelerated blocklist — three operators a
+  * training-data pipeline leans on exactly where exact plans stop
+  * scaling.
+  *
+  *  - q124: Misra–Gries heavy hitters ([[graft.functions.HeavyHitters]])
+  *    over the token stream, next to the exact counts (the q121/q122
+  *    sketch posture: rows-only check + spec'd error bounds).
+  *  - q125: per-source document caps (the "domain cap" every web-scale
+  *    corpus applies so no single domain dominates) via the native
+  *    bounded [[graft.functions.TopKBy]] — no per-source sort, no
+  *    skew-prone window shuffle. Exact oracle.
+  *  - q126: blocklist removal (takedown/opt-out feeds) where the
+  *    blocklist is too large to broadcast as a hash set: a Bloom
+  *    pre-filter splits the corpus into definitely-clean rows (bloom
+  *    has NO false negatives → they skip the join entirely) and a
+  *    suspect minority that alone pays the exact anti-join shuffle.
+  *    False positives are removed by that exact join, so the result is
+  *    EXACT and carries a plain anti-join oracle.
+  */
+object CurationOps {
+
+  // ---- q124 heavy hitters ----
+
+  /** Top-10 Misra–Gries items (m=32) over all document tokens, joined to
+    * their exact frequencies. `est ≤ exact` always, and
+    * `exact − est ≤ n/(m+1)` — HeavyHittersSpec asserts both plus the
+    * guaranteed-presence property; summary content is merge-order
+    * dependent, so (like q121/q122) there is deliberately NO SQL oracle.
+    * The exact side exists only to exhibit the bounds; a production run
+    * ships the sketch alone: one exchange of ≤ m entries per map task
+    * vs the exact plan's shuffle of every distinct token. */
+  def heavyHitterWords(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HeavyHitters.register(s)
+    val w = TextOps.words(s, d)
+    val sk = w.agg(
+      call_function("heavy_hitters", col("word"), lit(32)).as("summary"),
+      count(lit(1)).as("n_tokens"))
+    val top = sk.select(col("n_tokens"),
+        posexplode(slice(col("summary"), 1, 10)).as(Seq("rank", "e")))
+      .select((col("rank") + 1).cast("long").as("rank"),
+        col("e.item").as("word"), col("e.est").as("est"), col("n_tokens"))
+    val exact = w.groupBy("word").agg(count(lit(1)).as("exact_freq"))
+    top.join(exact, Seq("word"))
+      .select("rank", "word", "est", "exact_freq", "n_tokens")
+  }
+
+  // ---- q125 per-source quota ----
+
+  private val QuotaCap = 20
+
+  /** Deterministic per-doc priority: the first 13 hex chars of a salted
+    * md5, as a long. 13 lowercase hex chars order identically as string
+    * and as number, so the oracle can rank by `substr(md5(..), 1, 13)`
+    * and match this numeric order exactly; 13 hex = 52 bits also stays
+    * under Double's 53-bit exact-integer range, because TopKBy compares
+    * priorities as doubles. The ':quota' salt keeps the priority
+    * independent of the q115 split hash and the q120 sampling hash
+    * (same device). */
+  private def quotaPriority = conv(
+    substring(md5(concat(col("doc_id").cast("string"), lit(":quota"))), 1, 13),
+    16, 10).cast("long")
+
+  /** Per-source quota cap: keep at most [[QuotaCap]] docs per source,
+    * chosen by salted-hash priority (a uniform random-but-reproducible
+    * sample, the q49/q115 device), then report kept docs/chars/langs
+    * per source.
+    *
+    * Shape: `topk_by(−priority, doc_id, cap)` per source — bounded
+    * ≤ cap partial buffers, map-side combined, ONE exchange of
+    * ≤ cap·sources tiny rows — then the kept-id set (sources × cap
+    * rows, broadcast-sized BY CONSTRUCTION at any corpus size) joins
+    * back to documents as a broadcast semi-join. The naive
+    * `row_number() OVER (PARTITION BY source)` formulation shuffles and
+    * sorts the ENTIRE corpus by source — 20 partitions for 100 TB, pure
+    * skew; this plan never moves the fact table at all. */
+  def sourceQuota(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TopKBy.register(s)
+    val docs = Tables.documents(s, d)
+    val kept = docs
+      .select(col("source"), col("doc_id"), (-quotaPriority).as("pri"))
+      .groupBy("source")
+      .agg(call_function("topk_by", col("pri"), col("doc_id"), lit(QuotaCap))
+        .as("keep_ids"))
+      .select(explode(col("keep_ids")).as("doc_id"))
+    docs.join(broadcast(kept), Seq("doc_id"), "left_semi")
+      .groupBy("source")
+      .agg(count(lit(1)).as("kept_docs"),
+        sum(col("n_chars")).as("kept_chars"),
+        countDistinct(col("lang")).as("kept_langs"))
+  }
+
+  // ---- q126 bloom blocklist ----
+
+  /** Blocklist removal with a Bloom pre-filter: ban every content hash
+    * seen in source 'src0' (standing in for a takedown feed), drop ANY
+    * doc with a banned hash (bans propagate to byte-identical copies in
+    * other sources), count survivors per (source, lang).
+    *
+    * Scale rationale: a billion-hash blocklist is ~100 GB as broadcast
+    * hash-set but ~1.2 GB as a 1%-fpp Bloom filter. Rows the filter
+    * rejects are PROVABLY clean (no false negatives) and never enter
+    * the join; only the ~fpp·n suspects (plus true hits) shuffle
+    * against the exact list. The final result is exact — false
+    * positives die in the anti-join — which is why this query carries
+    * a plain NOT-EXISTS oracle. QuotaBloomSpec additionally proves the
+    * bloom plan ≡ the plain anti-join plan on a fixture WITH
+    * cross-source duplicates (the driver corpus has none).
+    *
+    * `stat.bloomFilter` builds the filter with a distributed
+    * treeAggregate — the blocklist never collects as raw values. */
+  def bloomBlocklist(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"),
+        md5(col("text")).as("h"))
+    val banned = docs.filter(col("source") === "src0").select("h").distinct()
+    val bf = banned.stat.bloomFilter("h", 10000L, 0.01)
+    val mightBeBanned = udf((x: String) => bf.mightContainString(x))
+    val clean = docs.filter(!mightBeBanned(col("h")))
+    val cleared = docs.filter(mightBeBanned(col("h")))
+      .join(banned, Seq("h"), "left_anti")
+    clean.unionByName(cleared)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("kept_docs"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_heavy_hitters" -> heavyHitterWords,
+    "q125_source_quota" -> sourceQuota,
+    "q126_bloom_blocklist" -> bloomBlocklist)
+
+  val oracle: Map[String, String] = Map(
+    // q124 deliberately has NO oracle: sketch content is merge-order
+    // dependent (rows-only check; bounds proven in HeavyHittersSpec).
+    "q125_source_quota" ->
+      s"""WITH ranked AS (
+         |  SELECT source, lang, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY substr(md5(doc_id || ':quota'), 1, 13), doc_id) AS rn
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS kept_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+         |  COUNT(DISTINCT lang) AS kept_langs
+         |FROM ranked WHERE rn <= $QuotaCap
+         |GROUP BY source""".stripMargin,
+    "q126_bloom_blocklist" ->
+      """SELECT source, lang, COUNT(*) AS kept_docs
+        |FROM documents d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents b
+        |  WHERE b.source = 'src0' AND md5(b.text) = md5(d.text))
+        |GROUP BY source, lang""".stripMargin)
+}

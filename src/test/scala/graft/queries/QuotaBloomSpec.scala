@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.TestSpark
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q125/q126 semantics beyond the oracle rows: the quota plan matches an
+  * independent window-function formulation, and the Bloom-prefiltered
+  * blocklist matches the plain anti-join on a fixture that actually has
+  * cross-source duplicate texts (the driver corpus has none, so the
+  * ban-propagation branch would otherwise never be exercised). */
+class QuotaBloomSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q125 topk_by plan ≡ row_number window formulation") {
+    val got = CurationOps.sourceQuota(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val pri = conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(":quota"))), 1, 13),
+      16, 10).cast("long")
+    val w = Window.partitionBy("source").orderBy(pri, col("doc_id"))
+    val want = graft.Tables.documents(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .groupBy("source")
+      .agg(count(lit(1)).as("kept_docs"), sum("n_chars").as("kept_chars"),
+        countDistinct("lang").as("kept_langs"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got === want)
+    assert(got.forall(_._2 == 20L), "cap should bind at 25 docs/source")
+  }
+
+  test("q126 bloom plan ≡ plain anti join on the corpus") {
+    val got = CurationOps.bloomBlocklist(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("lang"), md5(col("text")).as("h"))
+    val banned = docs.filter(col("source") === "src0").select("h").distinct()
+    val want = docs.join(banned, Seq("h"), "left_anti")
+      .groupBy("source", "lang").agg(count(lit(1)).as("kept_docs"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(!got.exists(_._1 == "src0"), "src0 must be fully banned")
+  }
+
+  test("q126 bans propagate to byte-identical copies in other sources") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_blk").toString
+    val fixture = Seq(
+      (0L, "banned text one", "en", "src0", 15L),
+      (1L, "banned text two", "en", "src0", 15L),
+      (2L, "banned text one", "en", "src1", 15L), // dup of a banned doc
+      (3L, "clean text", "en", "src1", 10L),
+      (4L, "banned text two", "de", "src2", 15L), // dup, other lang
+      (5L, "clean text too", "de", "src2", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    fixture.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CurationOps.bloomBlocklist(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("src1", "en", 1L), ("src2", "de", 1L)))
+  }
+}
