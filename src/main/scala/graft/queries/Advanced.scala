@@ -150,16 +150,23 @@ object Advanced {
     val famEdges = withRep.filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
     val reps = withRep.filter(col("doc_id") === col("rep"))
+    // band key = the minhash pair itself (two longs); hashing the pair
+    // into one column buys nothing over a two-column equi-join
     val banded = reps.select(col("doc_id"),
-        md5(concat(col("mh1"), col("mh2"))).as("bucket"))
+        col("mh1").as("h1"), col("mh2").as("h2"))
       .unionByName(reps.select(col("doc_id"),
-        md5(concat(col("mh3"), col("mh4"))).as("bucket")))
+        col("mh3").as("h1"), col("mh4").as("h2")))
     val repPairs = banded.as("a").join(banded.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h1") === col("b.h1") && col("a.h2") === col("b.h2") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     // famEdges already satisfy doc_a < doc_b (rep is the family min)
     val cands = famEdges.unionByName(repPairs).distinct()
-    val tokens = TextOps.words(s, d).select(col("doc_id"), col("word"))
+    // token identity for the verify joins = the unsalted polynomial
+    // word hash — 8-byte longs through the distinct and both legs of
+    // the intersection join instead of word strings
+    val tokens = TextOps.words(s, d)
+      .select(col("doc_id"), TextOps.wordHash.as("word"))
       .distinct().localCheckpoint()
     val counts = tokens.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
     val inter = cands
@@ -281,15 +288,18 @@ object Advanced {
     * token-set-Jaccard verify, mirroring [[minhashDedupClusters]] with
     * threshold 90. */
   private[queries] val minhashPairsCte: String =
-    """WITH RECURSIVE w AS (
+    s"""WITH RECURSIVE w AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
       |  FROM documents),
-      |tok AS (SELECT DISTINCT doc_id, word FROM w),
+      |tok AS (SELECT DISTINCT doc_id,
+      |  ${OracleHash.polySql("word")} AS word FROM w),
       |sigs AS (
       |  SELECT doc_id,
-      |    MIN(md5('s1:' || word)) AS mh1, MIN(md5('s2:' || word)) AS mh2,
-      |    MIN(md5('s3:' || word)) AS mh3, MIN(md5('s4:' || word)) AS mh4
-      |  FROM tok GROUP BY doc_id),
+      |    MIN(${OracleHash.polySql("'s1: ' || word")}) AS mh1,
+      |    MIN(${OracleHash.polySql("'s2: ' || word")}) AS mh2,
+      |    MIN(${OracleHash.polySql("'s3: ' || word")}) AS mh3,
+      |    MIN(${OracleHash.polySql("'s4: ' || word")}) AS mh4
+      |  FROM w GROUP BY doc_id),
       |fams AS (
       |  SELECT mh1, mh2, mh3, mh4, MIN(doc_id) AS rep
       |  FROM sigs GROUP BY mh1, mh2, mh3, mh4),
@@ -299,13 +309,13 @@ object Advanced {
       |fam_edges AS (
       |  SELECT rep AS doc_a, doc_id AS doc_b FROM sr WHERE doc_id <> rep),
       |bands AS (
-      |  SELECT doc_id, md5(mh1 || mh2) AS bucket FROM sr WHERE doc_id = rep
+      |  SELECT doc_id, mh1 AS h1, mh2 AS h2 FROM sr WHERE doc_id = rep
       |  UNION ALL
-      |  SELECT doc_id, md5(mh3 || mh4) AS bucket FROM sr WHERE doc_id = rep),
+      |  SELECT doc_id, mh3 AS h1, mh4 AS h2 FROM sr WHERE doc_id = rep),
       |rep_pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b
-      |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      |    ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id),
       |cand AS (
       |  SELECT DISTINCT doc_a, doc_b FROM (
       |    SELECT * FROM fam_edges UNION ALL SELECT * FROM rep_pairs)),

@@ -109,26 +109,47 @@ object TextOps {
       .agg(count(lit(1)).as("doc_count"))
   }
 
-  /** MinHash signature: k=4 lexicographic-min md5 values over the token
-    * set, one permutation per seed (shingle→minhash step of MinHash+LSH). */
-  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+  /** Per-seed word hash for the minhash family: the native
+    * [[graft.functions.GramHashes]] modular polynomial of the 2-token
+    * string `"sK: <word>"` (the salt is the first token, so the single
+    * n=2 window IS the whole salted string). One 8-byte long replaces
+    * each 32-char md5 hex through the signature aggregation, band join
+    * and family groupBy — the same conversion (and oracle twin,
+    * [[OracleHash.polySql]]) the shingle chains got in q31/q105/q113. */
+  private[queries] def saltedWordHash(seed: Int): Column =
+    element_at(graft.functions.GramOps.gram_hashes(
+      concat(lit(s"s$seed: "), col("word")), 2), 1)
+
+  /** Unsalted polynomial hash of a single word (token-set identity for
+    * the Jaccard verify joins — 8-byte longs instead of word strings). */
+  private[queries] def wordHash: Column =
+    element_at(graft.functions.GramOps.gram_hashes(col("word"), 1), 1)
+
+  /** MinHash signature: k=4 min polynomial hashes over the token set,
+    * one salted permutation per seed (shingle→minhash step of
+    * MinHash+LSH). Min over the multiset = min over the set, so no
+    * per-doc distinct is needed before the aggregate. */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GramOps.register(s)
     words(s, d)
       .groupBy("doc_id")
       .agg(
-        min(md5(concat(lit("s1:"), col("word")))).as("mh1"),
-        min(md5(concat(lit("s2:"), col("word")))).as("mh2"),
-        min(md5(concat(lit("s3:"), col("word")))).as("mh3"),
-        min(md5(concat(lit("s4:"), col("word")))).as("mh4"))
+        min(saltedWordHash(1)).as("mh1"),
+        min(saltedWordHash(2)).as("mh2"),
+        min(saltedWordHash(3)).as("mh3"),
+        min(saltedWordHash(4)).as("mh4"))
+  }
 
   /** LSH banding (band→bucket-join step): 2 bands of 2 minhashes; docs
-    * sharing a band bucket are near-dup candidates. Emits per-bucket
-    * candidate stats — the distributed alternative to O(n²) comparison. */
+    * sharing a band bucket are near-dup candidates. The bucket key is
+    * the minhash PAIR itself (two longs) — hashing the pair into one
+    * column buys nothing and costs a conversion in both engines. */
   def minhashLshBuckets(s: SparkSession, d: String): DataFrame = {
     val sigs = minhashSignatures(s, d)
-    val b1 = sigs.select(md5(concat(col("mh1"), col("mh2"))).as("bucket"), col("doc_id"))
-    val b2 = sigs.select(md5(concat(col("mh3"), col("mh4"))).as("bucket"), col("doc_id"))
+    val b1 = sigs.select(col("mh1").as("h1"), col("mh2").as("h2"), col("doc_id"))
+    val b2 = sigs.select(col("mh3").as("h1"), col("mh4").as("h2"), col("doc_id"))
     b1.unionByName(b2)
-      .groupBy("bucket")
+      .groupBy("h1", "h2")
       .agg(count(lit(1)).as("bucket_size"), min(col("doc_id")).as("min_doc_id"))
       .groupBy("bucket_size")
       .agg(count(lit(1)).as("n_buckets"),
@@ -396,22 +417,26 @@ object TextOps {
       |FROM guessed GROUP BY lang, guess""".stripMargin,
     "q29_minhash_signatures" -> s"""$wordsCte
       |SELECT doc_id,
-      |  MIN(md5('s1:' || word)) AS mh1, MIN(md5('s2:' || word)) AS mh2,
-      |  MIN(md5('s3:' || word)) AS mh3, MIN(md5('s4:' || word)) AS mh4
+      |  MIN(${OracleHash.polySql("'s1: ' || word")}) AS mh1,
+      |  MIN(${OracleHash.polySql("'s2: ' || word")}) AS mh2,
+      |  MIN(${OracleHash.polySql("'s3: ' || word")}) AS mh3,
+      |  MIN(${OracleHash.polySql("'s4: ' || word")}) AS mh4
       |FROM w GROUP BY doc_id""".stripMargin,
     "q30_minhash_lsh_buckets" -> s"""$wordsCte,
       |sigs AS (
       |  SELECT doc_id,
-      |    MIN(md5('s1:' || word)) AS mh1, MIN(md5('s2:' || word)) AS mh2,
-      |    MIN(md5('s3:' || word)) AS mh3, MIN(md5('s4:' || word)) AS mh4
+      |    MIN(${OracleHash.polySql("'s1: ' || word")}) AS mh1,
+      |    MIN(${OracleHash.polySql("'s2: ' || word")}) AS mh2,
+      |    MIN(${OracleHash.polySql("'s3: ' || word")}) AS mh3,
+      |    MIN(${OracleHash.polySql("'s4: ' || word")}) AS mh4
       |  FROM w GROUP BY doc_id),
       |bands AS (
-      |  SELECT md5(mh1 || mh2) AS bucket, doc_id FROM sigs
+      |  SELECT mh1 AS h1, mh2 AS h2, doc_id FROM sigs
       |  UNION ALL
-      |  SELECT md5(mh3 || mh4) AS bucket, doc_id FROM sigs),
+      |  SELECT mh3 AS h1, mh4 AS h2, doc_id FROM sigs),
       |buckets AS (
-      |  SELECT bucket, COUNT(*) AS bucket_size, MIN(doc_id) AS min_doc_id
-      |  FROM bands GROUP BY bucket)
+      |  SELECT h1, h2, COUNT(*) AS bucket_size, MIN(doc_id) AS min_doc_id
+      |  FROM bands GROUP BY h1, h2)
       |SELECT bucket_size, COUNT(*) AS n_buckets, MIN(min_doc_id) AS sample_doc_id
       |FROM buckets GROUP BY bucket_size""".stripMargin,
     "q31_ngram_jaccard" -> s"""$wordsCte,

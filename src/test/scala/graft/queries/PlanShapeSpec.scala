@@ -47,6 +47,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(4000))
   }
 
+  test("q125_source_quota never window-sorts the corpus") {
+    // the quota must come from the bounded topk_by aggregate + a
+    // broadcast semi-join back; a WindowExec (row_number per source)
+    // would mean the 20-partition full-corpus sort crept back
+    val plan = SparkEntry.queries("q125_source_quota")(spark, d)
+      .queryExecution.executedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, plan.toString.take(4000))
+    assert(plan.toString.toLowerCase.contains("topk"), plan.toString.take(4000))
+    assert(plan.toString.contains("LeftSemi"), plan.toString.take(4000))
+  }
+
+  test("q126_bloom_blocklist anti-joins with an equi-join, suspects only") {
+    val plan = planOf("q126_bloom_blocklist")
+    assert(plan.contains("LeftAnti"), plan.take(4000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+  }
+
   test("q112_tfidf_topk sorts only within doc partitions (no global sort)") {
     val plan = SparkEntry.queries("q112_tfidf_topk")(spark, d)
       .queryExecution.executedPlan
