@@ -38,7 +38,8 @@ object SparkEntry {
       graft.queries.Profiling.queries ++
       graft.queries.RankingOps.queries ++
       graft.queries.PipelineOps.queries ++
-      graft.queries.CurationOps.queries
+      graft.queries.CurationOps.queries ++
+      graft.queries.PackingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -66,5 +67,6 @@ object SparkEntry {
       graft.queries.Profiling.oracle ++
       graft.queries.RankingOps.oracle ++
       graft.queries.PipelineOps.oracle ++
-      graft.queries.CurationOps.oracle
+      graft.queries.CurationOps.oracle ++
+      graft.queries.PackingOps.oracle
 }
