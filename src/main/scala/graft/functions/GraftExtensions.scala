@@ -22,5 +22,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WinnowSketch(exprs.head,
           exprs(1).eval(null).asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("gram_hashes"),
+      new ExpressionInfo(classOf[GramHashes].getName, "gram_hashes"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GramHashes(exprs.head,
+          exprs(1).eval(null).asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("topk_by"),
+      new ExpressionInfo(classOf[TopKBy].getName, "topk_by"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TopKBy(exprs(0), exprs(1), exprs(2)).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHitters].getName, "heavy_hitters"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HeavyHitters(exprs(0), exprs(1)).toAggregateExpression()))
   }
 }

@@ -54,7 +54,12 @@ object PackingOps {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), wsTokens.as("toks"), pri.as("pri"),
         substring(pri, 1, 1).as("shard"))
+    // explicit ROWS frame: the default RANGE frame hands every peer
+    // group (duplicate (pri, doc_id) rows, e.g. a replicated corpus)
+    // the whole peer-group sum — ROWS gives each row its own prefix,
+    // which is both the packing semantics and the oracle's stated frame
     val w = Window.partitionBy("shard").orderBy(col("pri"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .withColumn("cum_end", sum(col("toks")).over(w))
       .withColumn("cum_before", col("cum_end") - col("toks"))
@@ -83,6 +88,7 @@ object PackingOps {
     * but sorts the whole corpus in |sources| partitions). */
   private[queries] def tokenBudgetMixNaive(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("source").orderBy(col("pri"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(s, d)
       .select(col("source"), col("doc_id"), wsTokens.as("toks"),
         mixPriority.as("pri"))
@@ -121,6 +127,7 @@ object PackingOps {
       .select(col("source"), col("bucket"), col("cum_before_b"))
     val wd = Window.partitionBy("source", "bucket")
       .orderBy(col("pri"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fromStraddle = docs
       .join(broadcast(straddle), Seq("source", "bucket"))
       .withColumn("cum_before",

@@ -55,6 +55,20 @@ class DimAppSpec extends AnyFunSuite {
       val r = s2.sql(
         "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp").head()
       assert(r.getDouble(0) == 11.0)
+      // the whole native-function surface rides the same extension
+      val g = s2.sql("SELECT gram_hashes('a b c', 2) AS h").head()
+      assert(g.getSeq[Long](0).length == 2)
+      val tk = s2.sql(
+        """SELECT topk_by(v, k, 2) AS top FROM
+          |  VALUES (1.0d, 'a'), (3.0d, 'b'), (2.0d, 'c') AS t(v, k)
+          |""".stripMargin).head()
+      assert(tk.getSeq[String](0) == Seq("b", "c"))
+      val hh = s2.sql(
+        """SELECT heavy_hitters(k, 4) AS hh FROM
+          |  VALUES ('x'), ('x'), ('y') AS t(k)""".stripMargin).head()
+      assert(hh.getSeq[org.apache.spark.sql.Row](0)
+        .map(e => e.getString(0) -> e.getLong(1)).toMap ==
+        Map("x" -> 2L, "y" -> 1L))
     } finally {
       prev.foreach { p =>
         SparkSession.setDefaultSession(p)
