@@ -2,7 +2,8 @@ package graft.apps
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StreamingQuery, Trigger}
 
 /** A streaming document-ingest pipeline — the INCREMENTAL form of the
   * batch cleaning chain (exact dedup → quality gate → token
@@ -65,10 +66,48 @@ object CorpusApp {
           .cast("long"))
   }
 
+  /** One cleaned document (the `clean` output row). */
+  case class CleanDoc(content_hash: String, doc_id: Long, text: String,
+      lang: String, source: String, ingest_ts: java.sql.Timestamp,
+      ws_tokens: Long, stop_tokens: Long, bpe_est_tokens: Long)
+
+  /** Streaming per-source token-budget gate — the ONLINE twin of the
+    * batch mixing step (q128): each source admits documents until its
+    * whitespace-token budget is spent, then rejects forever. Same
+    * admission rule as q128 (a doc enters iff the tokens admitted
+    * STRICTLY BEFORE it are under budget, so overshoot is bounded by
+    * one doc); the difference is the order — the batch mix picks a
+    * reproducible salted-hash order over the whole corpus, the stream
+    * must decide per arrival (ties inside a micro-batch broken by
+    * (ingest_ts, doc_id) for replay determinism). State is one long
+    * per source, permanent by design (a spent budget must stay spent
+    * across restarts — it rides the checkpoint like the dedup hash
+    * set), hence NoTimeout. */
+  def budgetGate(cleaned: DataFrame, budgetTokens: Long): DataFrame = {
+    import cleaned.sparkSession.implicits._
+    val streaming = cleaned.isStreaming
+    cleaned.as[CleanDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Long, CleanDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, docs, state: GroupState[Long]) =>
+          var spent = state.getOption.getOrElse(0L)
+          val out = docs.toSeq.sortBy(d => (d.ingest_ts.getTime, d.doc_id))
+            .flatMap { d =>
+              if (spent < budgetTokens) { spent += d.ws_tokens; Some(d) }
+              else None
+            }
+          if (streaming) state.update(spent)
+          out.iterator
+      }.toDF()
+  }
+
   def run(docs: Dataset[CorpusDoc], outPath: String, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
-      blocklist: Option[DataFrame] = None): StreamingQuery =
-    clean(docs.toDF(), blocklist = blocklist)
+      blocklist: Option[DataFrame] = None,
+      budgetTokens: Option[Long] = None): StreamingQuery =
+    budgetTokens.foldLeft(clean(docs.toDF(), blocklist = blocklist))(
+        (df, b) => budgetGate(df, b))
       // per-micro-batch data-quality telemetry, surfaced through
       // StreamingQueryProgress.observedMetrics — computed inline by the
       // running plan (no second pass over the batch), the monitoring

@@ -145,4 +145,41 @@ class CorpusAppSpec extends AnyFunSuite {
     assert(got.filter($"doc_id" === 99).isEmpty)
     assert(got.filter($"doc_id" === 100).count() == 1)
   }
+
+  test("per-source token budget gate spans micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CorpusDoc]
+    val dir = java.nio.file.Files.createTempDirectory("corpus_app_bg").toString
+    // budget 15 ws-tokens per source: web admits good1 (12 tokens) and
+    // the NEXT doc that crosses the line (strictly-prior rule), then
+    // rejects everything after — including across micro-batches
+    val q = CorpusApp.run(mem.toDS(), s"$dir/out", s"$dir/ckpt",
+      budgetTokens = Some(15L))
+    val ts2 = java.sql.Timestamp.valueOf("2024-03-05 11:00:00")
+    try {
+      mem.addData(
+        CorpusDoc(1, good1, "en", "web", ts),   // 12 tokens, spent_before=0
+        CorpusDoc(2, good2, "en", "web", ts2),  // spent_before=12 < 15 → in
+        CorpusDoc(3, good3, "en", "other", ts)) // other source, own budget
+      q.processAllAvailable()
+      mem.addData(
+        CorpusDoc(6, good3, "en", "web", ts2))  // spent ≥ 15 → rejected
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/out")
+      val webDocs = got.filter($"source" === "web")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(webDocs == Set(1L, 2L),
+        "web: first two admitted (strictly-prior rule), later batch rejected")
+      assert(got.filter($"source" === "other").count() == 1,
+        "budgets are per source")
+      // batch twin over the same input agrees
+      val batch = CorpusApp.budgetGate(CorpusApp.clean(Seq(
+        CorpusDoc(1, good1, "en", "web", ts),
+        CorpusDoc(2, good2, "en", "web", ts2),
+        CorpusDoc(3, good3, "en", "other", ts),
+        CorpusDoc(6, good3, "en", "web", ts2)).toDF()), 15L)
+      assert(batch.select("doc_id").collect().map(_.getLong(0)).toSet ==
+        got.select("doc_id").collect().map(_.getLong(0)).toSet)
+    } finally q.stop()
+  }
 }
