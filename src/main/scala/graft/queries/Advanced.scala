@@ -287,23 +287,33 @@ object Advanced {
     * star edges ∪ band-bucket pairs over family representatives → exact
     * token-set-Jaccard verify, mirroring [[minhashDedupClusters]] with
     * threshold 90. */
+  /** Every CTE a recursive query references repeatedly is MATERIALIZED,
+    * and the polynomial hashes are evaluated once per DISTINCT word
+    * (31-word vocab), never per occurrence — per-occurrence polySql
+    * inside a WITH RECURSIVE made this oracle re-evaluate ~1.4M lambda
+    * hashes per closure iteration (hours at sf0.1; 263 s even at
+    * sf0.01). */
   private[queries] val minhashPairsCte: String =
     s"""WITH RECURSIVE w AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
       |  FROM documents),
-      |tok AS (SELECT DISTINCT doc_id,
-      |  ${OracleHash.polySql("word")} AS word FROM w),
-      |sigs AS (
+      |vh AS MATERIALIZED (
+      |  SELECT word, ${OracleHash.polySql("word")} AS wh,
+      |    ${OracleHash.polySql("'s1: ' || word")} AS h1,
+      |    ${OracleHash.polySql("'s2: ' || word")} AS h2,
+      |    ${OracleHash.polySql("'s3: ' || word")} AS h3,
+      |    ${OracleHash.polySql("'s4: ' || word")} AS h4
+      |  FROM (SELECT DISTINCT word FROM w)),
+      |tok AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, v.wh AS word FROM w JOIN vh v USING (word)),
+      |sigs AS MATERIALIZED (
       |  SELECT doc_id,
-      |    MIN(${OracleHash.polySql("'s1: ' || word")}) AS mh1,
-      |    MIN(${OracleHash.polySql("'s2: ' || word")}) AS mh2,
-      |    MIN(${OracleHash.polySql("'s3: ' || word")}) AS mh3,
-      |    MIN(${OracleHash.polySql("'s4: ' || word")}) AS mh4
-      |  FROM w GROUP BY doc_id),
+      |    MIN(h1) AS mh1, MIN(h2) AS mh2, MIN(h3) AS mh3, MIN(h4) AS mh4
+      |  FROM w JOIN vh USING (word) GROUP BY doc_id),
       |fams AS (
       |  SELECT mh1, mh2, mh3, mh4, MIN(doc_id) AS rep
       |  FROM sigs GROUP BY mh1, mh2, mh3, mh4),
-      |sr AS (
+      |sr AS MATERIALIZED (
       |  SELECT s.doc_id, f.rep, s.mh1, s.mh2, s.mh3, s.mh4
       |  FROM sigs s JOIN fams f USING (mh1, mh2, mh3, mh4)),
       |fam_edges AS (
@@ -326,7 +336,7 @@ object Advanced {
       |  JOIN tok ta ON ta.doc_id = c.doc_a
       |  JOIN tok tb ON tb.doc_id = c.doc_b AND tb.word = ta.word
       |  GROUP BY c.doc_a, c.doc_b),
-      |pairs AS (
+      |pairs AS MATERIALIZED (
       |  SELECT i.doc_a, i.doc_b FROM inter i
       |  JOIN cnt ca ON ca.doc_id = i.doc_a
       |  JOIN cnt cb ON cb.doc_id = i.doc_b

@@ -415,21 +415,32 @@ object TextOps {
       |  FROM scored)
       |SELECT lang, guess, COUNT(*) AS doc_count
       |FROM guessed GROUP BY lang, guess""".stripMargin,
-    "q29_minhash_signatures" -> s"""$wordsCte
+    // the polynomial evals are per DISTINCT word (31-word vocab), not
+    // per occurrence — polySql through a lambda costs ~0.4 ms/eval in
+    // DuckDB, so per-occurrence hashing made this oracle minutes-slow
+    "q29_minhash_signatures" -> s"""$wordsCte,
+      |vh AS MATERIALIZED (
+      |  SELECT word,
+      |    ${OracleHash.polySql("'s1: ' || word")} AS h1,
+      |    ${OracleHash.polySql("'s2: ' || word")} AS h2,
+      |    ${OracleHash.polySql("'s3: ' || word")} AS h3,
+      |    ${OracleHash.polySql("'s4: ' || word")} AS h4
+      |  FROM (SELECT DISTINCT word FROM w))
       |SELECT doc_id,
-      |  MIN(${OracleHash.polySql("'s1: ' || word")}) AS mh1,
-      |  MIN(${OracleHash.polySql("'s2: ' || word")}) AS mh2,
-      |  MIN(${OracleHash.polySql("'s3: ' || word")}) AS mh3,
-      |  MIN(${OracleHash.polySql("'s4: ' || word")}) AS mh4
-      |FROM w GROUP BY doc_id""".stripMargin,
+      |  MIN(h1) AS mh1, MIN(h2) AS mh2, MIN(h3) AS mh3, MIN(h4) AS mh4
+      |FROM w JOIN vh USING (word) GROUP BY doc_id""".stripMargin,
     "q30_minhash_lsh_buckets" -> s"""$wordsCte,
+      |vh AS MATERIALIZED (
+      |  SELECT word,
+      |    ${OracleHash.polySql("'s1: ' || word")} AS h1,
+      |    ${OracleHash.polySql("'s2: ' || word")} AS h2,
+      |    ${OracleHash.polySql("'s3: ' || word")} AS h3,
+      |    ${OracleHash.polySql("'s4: ' || word")} AS h4
+      |  FROM (SELECT DISTINCT word FROM w)),
       |sigs AS (
       |  SELECT doc_id,
-      |    MIN(${OracleHash.polySql("'s1: ' || word")}) AS mh1,
-      |    MIN(${OracleHash.polySql("'s2: ' || word")}) AS mh2,
-      |    MIN(${OracleHash.polySql("'s3: ' || word")}) AS mh3,
-      |    MIN(${OracleHash.polySql("'s4: ' || word")}) AS mh4
-      |  FROM w GROUP BY doc_id),
+      |    MIN(h1) AS mh1, MIN(h2) AS mh2, MIN(h3) AS mh3, MIN(h4) AS mh4
+      |  FROM w JOIN vh USING (word) GROUP BY doc_id),
       |bands AS (
       |  SELECT mh1 AS h1, mh2 AS h2, doc_id FROM sigs
       |  UNION ALL
