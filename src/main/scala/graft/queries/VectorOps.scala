@@ -159,6 +159,42 @@ object VectorOps {
         sum(when(col("dropped").isNull, 1L).otherwise(0L)).as("n_kept"))
   }
 
+  /** q129: int8 vector quantization + quantized top-k — the memory/
+    * shuffle-compression path every 100 TB ANN index takes (4× fewer
+    * bytes per vector than float32; the integer dot also SIMD-executes
+    * where float doesn't). Per-vector max-abs scaling: q_i =
+    * floor(x_i·127/maxabs + 0.5), approx dot = Σ q_a·q_b · s_a·s_b with
+    * s = maxabs/127. The integer dot is EXACT arithmetic (|Σ| ≤
+    * 64·127² < 2^20), the scale product is a deterministic IEEE chain
+    * both engines state identically, so the ranking — and the oracle —
+    * are exact; the exact float dot rides alongside to exhibit the
+    * quantization error. QuantizedTopKSpec asserts the top-10 overlap
+    * vs the exact ranking and the per-row relative-error bound. */
+  def quantizedTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .withColumn("ma",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .withColumn("qv", transform(col("embedding"),
+        x => floor(x.cast("double") * 127.0 / col("ma") + 0.5)))
+      .withColumn("scale", col("ma") / 127.0)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("qv").as("qq"), col("scale").as("qscale"),
+        col("embedding").as("qemb"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        aggregate(zip_with(col("qv"), col("qq"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("qdot"),
+        col("scale"), col("qscale"),
+        vec_dot(col("embedding"), col("qemb")).as("exact_dot"))
+      .withColumn("approx_dot",
+        col("qdot").cast("double") * col("scale") * col("qscale"))
+      .select(col("vec_id"), col("label"), col("qdot"), col("approx_dot"),
+        col("exact_dot"))
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+      .limit(10)
+  }
+
   private def withVecFns(f: (SparkSession, String) => DataFrame)
       : (SparkSession, String) => DataFrame =
     (s, d) => { graft.functions.VecOps.register(s); f(s, d) }
@@ -168,7 +204,8 @@ object VectorOps {
     "q33_cosine_topk" -> withVecFns(cosineTopK),
     "q34_ann_lsh_buckets" -> withVecFns(annLshBuckets),
     "q35_cosine_pairs" -> withVecFns((s, d) => cosinePairs(s, d)),
-    "q114_embedding_dedup" -> withVecFns(embeddingDedup))
+    "q114_embedding_dedup" -> withVecFns(embeddingDedup),
+    "q129_quantized_topk" -> withVecFns(quantizedTopK))
 
   // DuckDB oracle twins. The fold shape mirrors Spark exactly.
   private def duckDot(a: String, b: String): String =
@@ -247,5 +284,29 @@ object VectorOps {
          |  CAST(SUM(CASE WHEN vec_id IN (SELECT doc_id FROM drops)
          |    THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
          |FROM embeddings GROUP BY label""".stripMargin
-    })
+    },
+    "q129_quantized_topk" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, label, embedding,
+         |    list_max(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE)))) AS ma
+         |  FROM embeddings),
+         |qz AS (
+         |  SELECT vec_id, label, embedding, ma / 127.0 AS scale,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5)
+         |        AS BIGINT)) AS qv
+         |  FROM b),
+         |q AS (SELECT qv AS qq, scale AS qscale, embedding AS qemb
+         |  FROM qz WHERE vec_id = 0),
+         |sel AS (
+         |  SELECT vec_id, label,
+         |    CAST(list_sum(list_transform(list_zip(qv, qq),
+         |      x -> x[1] * x[2])) AS BIGINT) AS qdot,
+         |    scale, qscale,
+         |    ${duckDot("embedding", "qemb")} AS exact_dot
+         |  FROM qz, q WHERE vec_id <> 0)
+         |SELECT vec_id, label, qdot,
+         |  CAST(qdot AS DOUBLE) * scale * qscale AS approx_dot, exact_dot
+         |FROM sel ORDER BY approx_dot DESC, vec_id LIMIT 10""".stripMargin)
 }
