@@ -171,11 +171,18 @@ object VectorOps {
     * quantization error. QuantizedTopKSpec asserts the top-10 overlap
     * vs the exact ranking and the per-row relative-error bound. */
   def quantizedTopK(s: SparkSession, d: String): DataFrame = {
+    // qv is array<double> of exact small integers (|q_i| ≤ 127) so the
+    // quantized dot runs through the NATIVE codegen'd VecDot loop —
+    // every product and partial sum ≤ 64·127² < 2^20 is exactly
+    // representable, so the double fold IS integer arithmetic. (The
+    // remaining per-row cost is the quantize transform itself — a
+    // one-time index-build step in a real ANN deployment, amortized
+    // over every query, unlike this benchmark which re-quantizes.)
     val e = Tables.embeddings(s, d)
       .withColumn("ma",
         array_max(transform(col("embedding"), x => abs(x.cast("double")))))
       .withColumn("qv", transform(col("embedding"),
-        x => floor(x.cast("double") * 127.0 / col("ma") + 0.5)))
+        x => floor(x.cast("double") * 127.0 / col("ma") + 0.5).cast("double")))
       .withColumn("scale", col("ma") / 127.0)
     val q = e.filter(col("vec_id") === 0)
       .select(col("qv").as("qq"), col("scale").as("qscale"),
@@ -183,13 +190,13 @@ object VectorOps {
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
-        aggregate(zip_with(col("qv"), col("qq"), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x).as("qdot"),
+        vec_dot(col("qv"), col("qq")).as("qdot_d"),
         col("scale"), col("qscale"),
         vec_dot(col("embedding"), col("qemb")).as("exact_dot"))
       .withColumn("approx_dot",
-        col("qdot").cast("double") * col("scale") * col("qscale"))
-      .select(col("vec_id"), col("label"), col("qdot"), col("approx_dot"),
+        col("qdot_d") * col("scale") * col("qscale"))
+      .select(col("vec_id"), col("label"),
+        col("qdot_d").cast("long").as("qdot"), col("approx_dot"),
         col("exact_dot"))
       .orderBy(col("approx_dot").desc, col("vec_id"))
       .limit(10)
