@@ -39,6 +39,27 @@ class PackingOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q128 survives a corpus with fully duplicated rows (ROWS frame)") {
+    // regression guard for the RANGE-frame trap: duplicate (pri, doc_id)
+    // peer groups must each get their own prefix, not the group sum —
+    // with the default RANGE frame, 3 of 20 sources vanished on a
+    // replicated corpus because the first peer group collectively
+    // overran the budget
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dup").toString
+    val docs = graft.Tables.documents(spark, sf)
+    docs.unionByName(docs).unionByName(docs)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = PackingOps.tokenBudgetMix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val want = PackingOps.tokenBudgetMixNaive(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got === want)
+    val sources = docs.select("source").distinct().count()
+    assert(got.length == sources,
+      "every source must still admit at least its first doc")
+  }
+
   test("q128 admits past the budget line by at most one doc") {
     // admitted_tokens ≥ budget requires the straddle doc to be counted;
     // admitted_tokens − longest-doc < budget bounds the overshoot
