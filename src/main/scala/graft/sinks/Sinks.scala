@@ -133,4 +133,34 @@ object Sinks {
     df.writeStream.format("console")
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
+
+  /** Small-file compaction: rewrite a parquet directory into files
+    * sized for scan efficiency. A streaming ingest (CorpusApp, the dws
+    * sinks) lands one file per micro-batch per partition — at 100 TB
+    * that is millions of KB-size files, and file-open overhead starts
+    * to dominate the scan. Target partition count = ceil(input bytes /
+    * targetBytes) from the ACTUAL on-disk listing (not a row-count
+    * guess — compression ratios vary per column/partition);
+    * coalesce(…) when shrinking so the rewrite itself does not shuffle,
+    * repartition(…) only when files must grow in number. Returns the
+    * partition count written. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, targetBytes: Long = 128L << 20): Int = {
+    val fs = new org.apache.hadoop.fs.Path(inDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(inDir), true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+    }
+    val df = spark.read.parquet(inDir)
+    val current = df.rdd.getNumPartitions
+    val target = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
+    val out = if (target < current) df.coalesce(target)
+      else if (target > current) df.repartition(target)
+      else df
+    out.write.mode("overwrite").parquet(outDir)
+    target
+  }
 }

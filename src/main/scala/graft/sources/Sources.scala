@@ -53,4 +53,17 @@ object Sources {
     import spark.implicits._
     rows.toDF("value")
   }
+
+  /** Schema-evolution read: one frame over snapshot directories written
+    * at different times with DIFFERENT (widening) schemas — the normal
+    * state of a corpus accumulated over years, where later crawls carry
+    * columns (quality scores, license tags) earlier ones predate.
+    * `mergeSchema` reconciles footers by NAME across all inputs; rows
+    * from snapshots that predate a column read as null there (filter
+    * with `col.isNotNull` semantics downstream, never positional
+    * access). Spark's default reads ONE footer and silently drops the
+    * other snapshots' extra columns — which is why this wrapper exists
+    * and SchemaEvolutionSpec pins the difference. */
+  def readEvolved(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
 }
