@@ -82,7 +82,26 @@ object CorpusApp {
     * (ingest_ts, doc_id) for replay determinism). State is one long
     * per source, permanent by design (a spent budget must stay spent
     * across restarts — it rides the checkpoint like the dedup hash
-    * set), hence NoTimeout. */
+    * set), hence NoTimeout.
+    *
+    * Memory: the group function does NOT buffer the micro-batch. (A
+    * pre-shuffle `sortWithinPartitions` cannot help here — the exchange
+    * into the stateful operator interleaves map-side runs and re-sorts
+    * on the grouping key only, so within-group secondary order never
+    * survives to the group iterator; any deterministic admission must
+    * re-establish (ts, id) order post-shuffle.) Instead of sorting the
+    * whole group, a bounded candidate heap keeps only docs that can
+    * still be admitted: the heap's max-(ts,id) doc is evicted as soon
+    * as the tokens of the candidates ordered before it already cover
+    * the remaining budget (its strictly-prior spend can only grow as
+    * earlier docs arrive, so rejection is final), and any arrival
+    * ordered at-or-after an evicted doc is rejected on sight. Held
+    * tokens stay < remaining + one doc, i.e. O(remaining budget) docs
+    * for ≥1-token docs (clean() guarantees ≥ minTokens), independent
+    * of micro-batch size; once the budget is spent — the permanent
+    * steady state — the iterator is discarded without buffering
+    * anything. CorpusAppSpec proves equivalence with the naive
+    * sort-then-scan admission on shuffled arrival orders. */
   def budgetGate(cleaned: DataFrame, budgetTokens: Long): DataFrame = {
     import cleaned.sparkSession.implicits._
     val streaming = cleaned.isStreaming
@@ -91,14 +110,37 @@ object CorpusApp {
       .flatMapGroupsWithState[Long, CleanDoc](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_, docs, state: GroupState[Long]) =>
-          var spent = state.getOption.getOrElse(0L)
-          val out = docs.toSeq.sortBy(d => (d.ingest_ts.getTime, d.doc_id))
-            .flatMap { d =>
+          val spent0 = state.getOption.getOrElse(0L)
+          val remaining = budgetTokens - spent0
+          if (remaining <= 0L) Iterator.empty
+          else {
+            val ord = Ordering.by[CleanDoc, (Long, Long)](d =>
+              (d.ingest_ts.getTime, d.doc_id))
+            val heap = scala.collection.mutable.PriorityQueue.empty[CleanDoc](ord)
+            var heapTokens = 0L
+            // min (ts, id) ever evicted: everything at-or-after it is
+            // certainly rejected, so it never needs to enter the heap
+            var cutTs = Long.MaxValue; var cutId = Long.MaxValue
+            docs.foreach { d =>
+              val key = (d.ingest_ts.getTime, d.doc_id)
+              if (key._1 < cutTs || (key._1 == cutTs && key._2 < cutId)) {
+                heap.enqueue(d); heapTokens += d.ws_tokens
+                while (heap.length > 1 &&
+                    heapTokens - heap.head.ws_tokens >= remaining) {
+                  val ev = heap.dequeue()
+                  heapTokens -= ev.ws_tokens
+                  cutTs = ev.ingest_ts.getTime; cutId = ev.doc_id
+                }
+              }
+            }
+            var spent = spent0
+            val out = heap.dequeueAll.reverseIterator.flatMap { (d: CleanDoc) =>
               if (spent < budgetTokens) { spent += d.ws_tokens; Some(d) }
               else None
-            }
-          if (streaming) state.update(spent)
-          out.iterator
+            }.toList
+            if (streaming) state.update(spent)
+            out.iterator
+          }
       }.toDF()
   }
 

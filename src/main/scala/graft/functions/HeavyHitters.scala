@@ -53,7 +53,7 @@ case class HeavyHitters(item: Expression, mExpr: Expression,
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     item.dataType match {
       case StringType =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        AggArgs.positiveIntLiteral(mExpr, "heavy_hitters", "m")
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"heavy_hitters item type $other is not supported (string)")
@@ -148,4 +148,36 @@ object HeavyHitters {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "heavy_hitters", exprs => HeavyHitters(exprs(0), exprs(1)).toAggregateExpression(),
       "scala_udf")
+}
+
+/** Shared analysis-time validation for size parameters of the native
+  * aggregates (HeavyHitters.m, TopKBy.k): the value is read once via
+  * `eval()` on the driver, so a non-foldable or null argument would
+  * otherwise surface as an NPE deep inside execution instead of a clear
+  * analysis error. */
+private[functions] object AggArgs {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  def positiveIntLiteral(e: Expression, fn: String,
+      name: String): TypeCheckResult = {
+    if (!e.foldable)
+      return TypeCheckResult.TypeCheckFailure(
+        s"$fn $name must be a literal, got ${e.sql}")
+    e.dataType match {
+      case org.apache.spark.sql.types.ByteType |
+          org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.LongType =>
+        e.eval() match {
+          case null => TypeCheckResult.TypeCheckFailure(
+            s"$fn $name must not be null")
+          case n: Number if n.longValue > 0 && n.longValue <= Int.MaxValue =>
+            TypeCheckResult.TypeCheckSuccess
+          case n => TypeCheckResult.TypeCheckFailure(
+            s"$fn $name must be a positive int, got $n")
+        }
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fn $name must be an integral literal, got type $other")
+    }
+  }
 }

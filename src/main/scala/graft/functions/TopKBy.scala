@@ -42,7 +42,7 @@ case class TopKBy(value: Expression, key: Expression, kExpr: Expression,
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     key.dataType match {
       case LongType | IntegerType | StringType =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        AggArgs.positiveIntLiteral(kExpr, "topk_by", "k")
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"topk_by key type $other is not supported (long, int, string)")

@@ -142,18 +142,33 @@ object Sinks {
     * targetBytes) from the ACTUAL on-disk listing (not a row-count
     * guess — compression ratios vary per column/partition);
     * coalesce(…) when shrinking so the rewrite itself does not shuffle,
-    * repartition(…) only when files must grow in number. Returns the
-    * partition count written. */
+    * repartition(…) only when files must grow in number. Fails fast on
+    * an input with no parquet files (schema inference would otherwise
+    * die with an unrelated-looking error) and on outDir == inDir
+    * (mode-overwrite would truncate the input mid-read — Spark only
+    * errors at write time). Returns the parquet file count actually
+    * written, counted from the output listing. */
   def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
       outDir: String, targetBytes: Long = 128L << 20): Int = {
-    val fs = new org.apache.hadoop.fs.Path(inDir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val it = fs.listFiles(new org.apache.hadoop.fs.Path(inDir), true)
-    var bytes = 0L
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+    val inPath = new org.apache.hadoop.fs.Path(inDir)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = inPath.getFileSystem(conf)
+    require(!fs.makeQualified(inPath).equals(
+        outPath.getFileSystem(conf).makeQualified(outPath)),
+      s"compact: outDir must differ from inDir ($inDir) — an overwrite " +
+        "in place would truncate the input while reading it")
+    def parquetFiles(p: org.apache.hadoop.fs.Path): (Long, Int) = {
+      val it = p.getFileSystem(conf).listFiles(p, true)
+      var bytes = 0L; var n = 0
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) { bytes += f.getLen; n += 1 }
+      }
+      (bytes, n)
     }
+    val (bytes, nIn) = parquetFiles(inPath)
+    require(nIn > 0, s"compact: no parquet files under $inDir")
     val df = spark.read.parquet(inDir)
     val current = df.rdd.getNumPartitions
     val target = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
@@ -161,6 +176,6 @@ object Sinks {
       else if (target > current) df.repartition(target)
       else df
     out.write.mode("overwrite").parquet(outDir)
-    target
+    parquetFiles(outPath)._2
   }
 }

@@ -28,6 +28,21 @@ class SinksOpsSpec extends AnyFunSuite {
     assert(s1 == s2)
   }
 
+  test("compact fails fast on in-place rewrite and on an empty input") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp2").toString
+    Tables.region(spark, "/root/testdata/sf0.001")
+      .write.parquet(s"$dir/in")
+    val inPlace = intercept[IllegalArgumentException] {
+      graft.sinks.Sinks.compact(spark, s"$dir/in", s"$dir/in")
+    }
+    assert(inPlace.getMessage.contains("outDir must differ"))
+    new java.io.File(s"$dir/empty").mkdirs()
+    val empty = intercept[IllegalArgumentException] {
+      graft.sinks.Sinks.compact(spark, s"$dir/empty", s"$dir/out")
+    }
+    assert(empty.getMessage.contains("no parquet files"))
+  }
+
   test("readEvolved unifies widened snapshots; plain read drops columns") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString

@@ -182,4 +182,36 @@ class CorpusAppSpec extends AnyFunSuite {
         got.select("doc_id").collect().map(_.getLong(0)).toSet)
     } finally q.stop()
   }
+
+  test("bounded-heap admission ≡ naive sort-then-scan on shuffled orders") {
+    // 60 docs, token counts 5..16, deterministic pseudo-random (ts, id)
+    // order; the heap-based gate must admit EXACTLY the docs the naive
+    // sorted prefix scan admits, at any arrival order / partitioning
+    val docs = (0 until 60).map { i =>
+      val toks = 5 + (i * 7) % 12
+      // first token unique per doc: clean() dedups on content hash
+      val words = (s"w$i" +: Seq.fill(toks - 1)("tok")).mkString(" ")
+      val t = java.sql.Timestamp.valueOf(
+        f"2024-03-05 10:${(i * 13) % 60}%02d:00")
+      CorpusDoc((i * 29) % 61L, words, "en", "web", t)
+    }
+    val budget = 150L
+    // naive reference: sort by (ts, id), admit while strictly-prior < budget
+    val cleanedRef = CorpusApp.clean(docs.toDF()).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("ingest_ts").getTime,
+        r.getAs[Long]("doc_id"), r.getAs[Long]("ws_tokens")))
+      .sortBy(t => (t._1, t._2))
+    var spent = 0L
+    val want = cleanedRef.flatMap { case (_, id, toks) =>
+      if (spent < budget) { spent += toks; Some(id) } else None
+    }.toSet
+    for (parts <- Seq(1, 3, 8)) {
+      val got = CorpusApp.budgetGate(
+        CorpusApp.clean(docs.toDF()).repartition(parts), budget)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === want, s"parts=$parts")
+    }
+    // exhausted budget short-circuits to nothing
+    assert(CorpusApp.budgetGate(CorpusApp.clean(docs.toDF()), 0L).isEmpty)
+  }
 }

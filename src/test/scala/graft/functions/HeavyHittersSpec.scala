@@ -72,6 +72,26 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(est("hot") <= 10000L && 10000L - est("hot") <= n / 5)
   }
 
+  test("non-literal or non-positive m fails at analysis, not mid-job") {
+    HeavyHitters.register(spark)
+    TopKBy.register(spark)
+    // column-valued m: must be rejected when the plan is analyzed
+    val colM = intercept[Exception] {
+      words.agg(call_function("heavy_hitters", col("word"),
+        length(col("word")))).collect()
+    }
+    assert(colM.getMessage.contains("must be a literal"))
+    val zeroM = intercept[Exception] {
+      words.agg(call_function("heavy_hitters", col("word"), lit(0))).collect()
+    }
+    assert(zeroM.getMessage.contains("positive"))
+    val nullK = intercept[Exception] {
+      words.agg(call_function("topk_by", lit(1.0), col("word"),
+        lit(null).cast("int"))).collect()
+    }
+    assert(nullK.getMessage.contains("null"))
+  }
+
   test("q124 emits ranked rows with est ≤ exact_freq") {
     val rows = graft.queries.CurationOps.heavyHitterWords(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 10)
