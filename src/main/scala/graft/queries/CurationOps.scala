@@ -51,6 +51,91 @@ object CurationOps {
       .select("rank", "word", "est", "exact_freq", "n_tokens")
   }
 
+  // ---- q130 grouped heavy hitters (pure sketch plan) ----
+
+  /** Per-(source, lang) top-5 Misra–Gries words with NO exact-count
+    * join anywhere in the plan — the production shape of q124. q124
+    * joins the sketch back to exact frequencies to EXHIBIT the error
+    * bounds, but that join shuffles every distinct token, which is
+    * precisely the cost the sketch exists to avoid; here the plan is
+    * one map-side-combinable aggregation shipping ≤ m entries per map
+    * task per group plus the group's token count — nothing else moves.
+    * PlanShapeSpec pins the executed plan join-free; rows-only check
+    * (summary content is merge-order dependent) with the MG bounds
+    * property-tested in HeavyHittersSpec. */
+  def groupedHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HeavyHitters.register(s)
+    val w = Tables.documents(s, d).select(col("source"), col("lang"),
+      explode(split(col("text"), " ")).as("word"))
+    w.groupBy("source", "lang")
+      .agg(call_function("heavy_hitters", col("word"), lit(16)).as("summary"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("source"), col("lang"), col("n_tokens"),
+        posexplode(slice(col("summary"), 1, 5)).as(Seq("rank", "e")))
+      .select(col("source"), col("lang"),
+        (col("rank") + 1).cast("long").as("rank"),
+        col("e.item").as("word"), col("e.est").as("est"), col("n_tokens"))
+  }
+
+  // ---- q132 co-occurring token pairs (gram_hashes ∘ heavy_hitters) ----
+
+  /** Frequent co-occurring token pairs: Misra–Gries heavy hitters over
+    * the stream of 2-gram hashes — the collocation profile a curation
+    * pipeline uses for boilerplate detection ("all rights reserved",
+    * "click here") — composing the two natives: [[graft.functions
+    * .GramHashes]] supplies an 8-byte hash per token window (no gram
+    * strings built, ~85% fewer shuffle bytes — except there IS no
+    * shuffle of grams here at all: the sketch combines map-side), and
+    * [[graft.functions.HeavyHitters]] keeps the summary at ≤ m entries
+    * per map task. A second linear pass resolves ONE example surface
+    * form per surviving hash: gram strings are built map-side and
+    * instantly filtered against the 10 winning hashes (a broadcast
+    * join), so only ~10 tiny rows ever reach the final aggregate —
+    * diagnostics priced at a scan, not a shuffle. Rows-only (sketch
+    * content is merge-order dependent); CooccurSpec asserts the MG
+    * bounds against exact 2-gram counts and the example↔hash
+    * consistency.
+    *
+    * m = 256: the driver corpus draws from a 31-word vocabulary, so
+    * its ~900 bigrams are near-uniform (top count ≈ 48 of 27k) and a
+    * small summary legitimately decimates to nothing — there ARE no
+    * heavy hitters. A real crawl concentrates mass on boilerplate
+    * n-grams, where the operative guarantee kicks in: anything with
+    * freq > n/(m+1) is PRESENT in the summary. */
+  def cooccurHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GramOps.register(s)
+    graft.functions.HeavyHitters.register(s)
+    val docs = Tables.documents(s, d)
+    val grams = docs.select(
+      explode(graft.functions.GramOps.gram_hashes(col("text"), 2)).as("gh"))
+    val top = grams
+      .agg(call_function("heavy_hitters", col("gh").cast("string"), lit(256))
+          .as("summary"),
+        count(lit(1)).as("n_bigrams"))
+      .select(col("n_bigrams"),
+        posexplode(slice(col("summary"), 1, 10)).as(Seq("rank", "e")))
+      .select((col("rank") + 1).cast("long").as("rank"),
+        col("e.item").cast("long").as("gram_hash"), col("e.est").as("est"),
+        col("n_bigrams"))
+    // resolve pass: 2-gram surface strings zipped with their hashes
+    // (GramHash hashes the exact 2-token substring, so positions align)
+    val t = split(col("text"), " ")
+    val gstr = when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - lit(2)),
+        i => concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val examples = docs
+      .select(explode(arrays_zip(
+        graft.functions.GramOps.gram_hashes(col("text"), 2).as("gh"),
+        gstr.as("gtext"))).as("z"))
+      .select(col("z.gh").as("gram_hash"), col("z.gtext").as("example"))
+      .join(broadcast(top.select("gram_hash")), Seq("gram_hash"), "left_semi")
+      .groupBy("gram_hash")
+      .agg(min(col("example")).as("example"))
+    top.join(broadcast(examples), Seq("gram_hash"), "left")
+      .select("rank", "gram_hash", "example", "est", "n_bigrams")
+  }
+
   // ---- q125 per-source quota ----
 
   private val QuotaCap = 20
@@ -115,13 +200,34 @@ object CurationOps {
     *
     * `stat.bloomFilter` builds the filter with a distributed
     * treeAggregate — the blocklist never collects as raw values. */
-  def bloomBlocklist(s: SparkSession, d: String): DataFrame = {
+  def bloomBlocklist(s: SparkSession, d: String): DataFrame =
+    bloomBlocklist(s, d, 0.01)
+
+  /** Builds the prefilter for a banned-hash frame, sized FROM THE DATA:
+    * `expectedNumItems` fixes the bit-array size, and a hardcoded
+    * capacity silently saturates the fpp toward 1 once the blocklist
+    * outgrows it — every row becomes a "suspect" and the prefilter
+    * degenerates into a pass-through that pays the full anti-join
+    * anyway. The `count()` is one cheap distributed aggregate over the
+    * (already small relative to the corpus) blocklist, run once per
+    * filter build; a production feed would pass its known cardinality
+    * instead. QuotaBloomSpec measures the realized false-positive rate
+    * ≈ fpp on a fixture whose cardinality is nowhere near the old
+    * 10 000 default. */
+  private[graft] def bannedBloom(banned: DataFrame, fpp: Double)
+      : org.apache.spark.util.sketch.BloomFilter =
+    banned.stat.bloomFilter("h", math.max(banned.count(), 1L), fpp)
+
+  def bloomBlocklist(s: SparkSession, d: String, fpp: Double): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("lang"),
         md5(col("text")).as("h"))
     val banned = docs.filter(col("source") === "src0").select("h").distinct()
-    val bf = banned.stat.bloomFilter("h", 10000L, 0.01)
-    val mightBeBanned = udf((x: String) => bf.mightContainString(x))
+    val bf = bannedBloom(banned, fpp)
+    // null-safe: a null text hashes to a null h, and
+    // mightContainString(null) throws — a null-text doc is provably
+    // not on the blocklist (the oracle's NOT EXISTS keeps it too)
+    val mightBeBanned = udf((x: String) => x != null && bf.mightContainString(x))
     val clean = docs.filter(!mightBeBanned(col("h")))
     val cleared = docs.filter(mightBeBanned(col("h")))
       .join(banned, Seq("h"), "left_anti")
@@ -133,11 +239,15 @@ object CurationOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q124_heavy_hitters" -> heavyHitterWords,
     "q125_source_quota" -> sourceQuota,
-    "q126_bloom_blocklist" -> bloomBlocklist)
+    "q126_bloom_blocklist" -> ((s: SparkSession, d: String) =>
+      bloomBlocklist(s, d)),
+    "q130_grouped_heavy_hitters" -> groupedHeavyHitters,
+    "q132_cooccur_heavy_hitters" -> cooccurHeavyHitters)
 
   val oracle: Map[String, String] = Map(
-    // q124 deliberately has NO oracle: sketch content is merge-order
-    // dependent (rows-only check; bounds proven in HeavyHittersSpec).
+    // q124/q130/q132 deliberately have NO oracle: sketch content is
+    // merge-order dependent (rows-only check; bounds proven in
+    // HeavyHittersSpec/CooccurSpec).
     "q125_source_quota" ->
       s"""WITH ranked AS (
          |  SELECT source, lang, n_chars,

@@ -174,6 +174,69 @@ object SimHashIvf {
       .limit(10)
   }
 
+  /** q131: quantized IVF with a recall curve — the composition a real
+    * ANN index ships: the IVF coarse quantizer prunes the scan to the
+    * `nprobe` cells whose centroid directions score highest for the
+    * query, and WITHIN the probed cells ranking uses the int8 quantized
+    * dot (q129's device: exact integer arithmetic through the native
+    * VecDot loop, 4× fewer bytes per vector). For each nprobe in
+    * {1,2,4} the query reports how many vectors were scanned and
+    * recall@10 against the EXACT brute-force float-dot top-10 — the
+    * cost/recall trade every IVF deployment tunes.
+    *
+    * Everything is deterministic (integer qdot, IEEE scale products,
+    * bit-exact float fold for the baseline; ties broken by vec_id), so
+    * unlike the sketch family this carries an exact DuckDB oracle.
+    * Scale: the candidate enumeration is the exhibit itself (scanned_
+    * vecs ≈ nprobe/K of the data); the per-nprobe top-10 is a
+    * WindowGroupLimit (per-partition heap, no global sort), and the
+    * 10-id exact set + K-row cell ranking travel as broadcasts.
+    * QuantizedIvfSpec pins recall monotonicity in nprobe and the
+    * nprobe=K endpoint ≡ brute-force quantized ranking. */
+  def quantizedIvfRecall(s: SparkSession, d: String): DataFrame =
+    quantizedIvfRecall(s, d, Seq(1, 2, 4))
+
+  private[queries] def quantizedIvfRecall(s: SparkSession, d: String,
+      probes: Seq[Int]): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VecOps.register(s)
+    val e = VectorOps.withQuantized(Tables.embeddings(s, d))
+      .withColumn("cell", cellExpr)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("qv").as("qq"), col("scale").as("qscale"),
+        col("embedding").as("qemb"))
+    // K rows: every cell ranked by its centroid's dot with the query
+    val dots = (0 until K).map(c =>
+      vec_dot(col("embedding"), typedlit(Centroids(c).toSeq)))
+    val qcells = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(posexplode(array(dots: _*)).as(Seq("cell", "cdot")))
+      .withColumn("crank",
+        row_number().over(Window.orderBy(col("cdot").desc, col("cell"))))
+      .select(col("cell"), col("crank"))
+    val data = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cell"),
+        (vec_dot(col("qv"), col("qq")) * col("scale") * col("qscale"))
+          .as("adot"),
+        vec_dot(col("embedding"), col("qemb")).as("edot"))
+    val exact10 = data.orderBy(col("edot").desc, col("vec_id")).limit(10)
+      .select(col("vec_id").as("evid"))
+    val cand = data
+      .join(broadcast(qcells), "cell")
+      .crossJoin(broadcast(probes.toDF("nprobe")))
+      .filter(col("crank") <= col("nprobe"))
+    val w = Window.partitionBy("nprobe").orderBy(col("adot").desc, col("vec_id"))
+    cand.join(broadcast(exact10), cand("vec_id") === col("evid"), "left")
+      .withColumn("rn", row_number().over(w))
+      .groupBy("nprobe")
+      .agg(count(lit(1)).as("scanned_vecs"),
+        sum(when(col("rn") <= 10 && col("evid").isNotNull, 1L).otherwise(0L))
+          .as("hits"))
+      .select(col("nprobe"), col("scanned_vecs"), col("hits"),
+        (col("hits").cast("double") / 10.0).as("recall_at_10"))
+  }
+
   /** Full Lloyd's k-means over the embeddings — the IVF index TRAINING
     * loop kmeansStep is one iteration of. Each iteration: broadcast the
     * K×dims centroid matrix (tiny — driver-side is the right place for
@@ -245,7 +308,8 @@ object SimHashIvf {
     "q38_ivf_cells" -> withVecFns(ivfCells),
     "q39_ann_ivf" -> withVecFns(annIvf),
     "q93_kmeans_step" -> withVecFns(kmeansStep),
-    "q98_ann_ivf_nprobe2" -> withVecFns(annIvfMultiProbe))
+    "q98_ann_ivf_nprobe2" -> withVecFns(annIvfMultiProbe),
+    "q131_quantized_ivf" -> withVecFns((s, d) => quantizedIvfRecall(s, d)))
 
   // ---- oracle twins ----
 
@@ -337,6 +401,54 @@ object SimHashIvf {
       |FROM assigned, sel
       |WHERE vec_id <> 0 AND (cell = qc1 OR cell = qc2)
       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+    },
+    "q131_quantized_ivf" -> {
+      val ds = (0 until K).map(c => duckDot("embedding", centroidLit(c)))
+        .mkString(",\n      ")
+      s"""WITH b AS (
+      |  SELECT vec_id, embedding,
+      |    greatest(list_max(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS ma
+      |  FROM embeddings),
+      |qz AS (
+      |  SELECT vec_id, embedding, ma / 127.0 AS scale,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5)
+      |        AS BIGINT)) AS qv,
+      |    $duckCellExpr AS cell
+      |  FROM b),
+      |q AS (SELECT qv AS qq, scale AS qscale, embedding AS qemb
+      |  FROM qz WHERE vec_id = 0),
+      |qd AS (SELECT [$ds] AS ds FROM embeddings WHERE vec_id = 0),
+      |qcells AS (
+      |  SELECT cell, row_number() OVER (ORDER BY cdot DESC, cell) AS crank
+      |  FROM (SELECT unnest(range(0, $K)) AS cell, unnest(ds) AS cdot
+      |        FROM qd)),
+      |dat AS (
+      |  SELECT z.vec_id, z.cell,
+      |    CAST(list_sum(list_transform(list_zip(z.qv, q.qq),
+      |      x -> x[1] * x[2])) AS BIGINT) AS qdot,
+      |    z.scale, q.qscale,
+      |    ${duckDot("z.embedding", "q.qemb")} AS edot
+      |  FROM qz z, q WHERE z.vec_id <> 0),
+      |dat2 AS (
+      |  SELECT vec_id, cell, CAST(qdot AS DOUBLE) * scale * qscale AS adot,
+      |    edot
+      |  FROM dat),
+      |exact10 AS (SELECT vec_id FROM dat2 ORDER BY edot DESC, vec_id LIMIT 10),
+      |probes(nprobe) AS (VALUES (1), (2), (4)),
+      |ranked AS (
+      |  SELECT p.nprobe, d.vec_id, d.adot,
+      |    row_number() OVER (PARTITION BY p.nprobe
+      |      ORDER BY d.adot DESC, d.vec_id) AS rn
+      |  FROM dat2 d JOIN qcells c USING (cell) CROSS JOIN probes p
+      |  WHERE c.crank <= p.nprobe)
+      |SELECT nprobe, COUNT(*) AS scanned_vecs,
+      |  CAST(SUM(CASE WHEN rn <= 10 AND vec_id IN (SELECT vec_id FROM exact10)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+      |  CAST(SUM(CASE WHEN rn <= 10 AND vec_id IN (SELECT vec_id FROM exact10)
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / 10.0 AS recall_at_10
+      |FROM ranked GROUP BY nprobe""".stripMargin
     })
 }
 

@@ -170,20 +170,26 @@ object VectorOps {
     * are exact; the exact float dot rides alongside to exhibit the
     * quantization error. QuantizedTopKSpec asserts the top-10 overlap
     * vs the exact ranking and the per-row relative-error bound. */
-  def quantizedTopK(s: SparkSession, d: String): DataFrame = {
-    // qv is array<double> of exact small integers (|q_i| ≤ 127) so the
-    // quantized dot runs through the NATIVE codegen'd VecDot loop —
-    // every product and partial sum ≤ 64·127² < 2^20 is exactly
-    // representable, so the double fold IS integer arithmetic. (The
-    // remaining per-row cost is the quantize transform itself — a
-    // one-time index-build step in a real ANN deployment, amortized
-    // over every query, unlike this benchmark which re-quantizes.)
-    val e = Tables.embeddings(s, d)
-      .withColumn("ma",
-        array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+  // qv is array<double> of exact small integers (|q_i| ≤ 127) so the
+  // quantized dot runs through the NATIVE codegen'd VecDot loop —
+  // every product and partial sum ≤ 64·127² < 2^20 is exactly
+  // representable, so the double fold IS integer arithmetic. (The
+  // per-row quantize cost is a one-time index-build step in a real ANN
+  // deployment, amortized over every query.) clamp: an all-zero
+  // embedding makes max-abs 0 and the quantize divide NaN (and engines
+  // disagree on x/0) — clamped, it quantizes to the zero vector with
+  // dot 0, identically in both engines. Shared with the quantized IVF
+  // composition (q131, SimHashIvf).
+  private[queries] def withQuantized(df: DataFrame): DataFrame =
+    df.withColumn("ma", greatest(
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))),
+        lit(1e-12)))
       .withColumn("qv", transform(col("embedding"),
         x => floor(x.cast("double") * 127.0 / col("ma") + 0.5).cast("double")))
       .withColumn("scale", col("ma") / 127.0)
+
+  def quantizedTopK(s: SparkSession, d: String): DataFrame = {
+    val e = withQuantized(Tables.embeddings(s, d))
     val q = e.filter(col("vec_id") === 0)
       .select(col("qv").as("qq"), col("scale").as("qscale"),
         col("embedding").as("qemb"))
@@ -295,8 +301,8 @@ object VectorOps {
     "q129_quantized_topk" ->
       s"""WITH b AS (
          |  SELECT vec_id, label, embedding,
-         |    list_max(list_transform(embedding,
-         |      x -> abs(CAST(x AS DOUBLE)))) AS ma
+         |    greatest(list_max(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS ma
          |  FROM embeddings),
          |qz AS (
          |  SELECT vec_id, label, embedding, ma / 127.0 AS scale,

@@ -68,6 +68,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(4000))
   }
 
+  test("q130_grouped_heavy_hitters plans with no join at all") {
+    // the production sketch shape: one map-side-combinable aggregate —
+    // q124's exact-count join (the bounds exhibit) must NOT appear here;
+    // if a Join node shows up, the every-distinct-token shuffle is back
+    val plan = planOf("q130_grouped_heavy_hitters")
+    assert(!plan.contains("Join"), plan.take(4000))
+    assert(plan.toLowerCase.contains("heavyhitters"), plan.take(4000))
+  }
+
   test("q112_tfidf_topk sorts only within doc partitions (no global sort)") {
     val plan = SparkEntry.queries("q112_tfidf_topk")(spark, d)
       .queryExecution.executedPlan

@@ -65,4 +65,40 @@ class QuotaBloomSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(got === Set(("src1", "en", 1L), ("src2", "de", 1L)))
   }
+
+  test("q126 bloom capacity is sized from the blocklist, not hardcoded") {
+    import spark.implicits._
+    // 3000 banned hashes (≠ the old 10000 default in either direction
+    // that matters: small enough that a fixed big capacity would hide
+    // sizing bugs, large enough that a fixed SMALL capacity would
+    // saturate) + 20000 clean probes. The realized false-positive rate
+    // on the clean probes must sit near the requested fpp — the
+    // property the hardcoded capacity destroyed once the blocklist
+    // outgrew it.
+    val banned = (0 until 3000).map(i => s"banned:$i").toDF("h")
+    val fpp = 0.01
+    val bf = CurationOps.bannedBloom(banned, fpp)
+    assert((0 until 3000).forall(i => bf.mightContainString(s"banned:$i")),
+      "no false negatives")
+    val fp = (0 until 20000).count(i => bf.mightContainString(s"clean:$i"))
+    val rate = fp.toDouble / 20000
+    // binomial σ ≈ sqrt(0.01*0.99/20000) ≈ 7e-4; allow a wide 3x band
+    // (bloomFilter rounds bits/hashes, so realized fpp can sit below)
+    assert(rate <= 3 * fpp, s"realized fpp $rate should be ≈ $fpp")
+  }
+
+  test("q126 null text is kept, not NPE'd") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_blk2").toString
+    val fixture = Seq(
+      (0L, "banned text", "en", "src0", 11L),
+      (1L, null.asInstanceOf[String], "en", "src1", 0L),
+      (2L, "clean", "en", "src1", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    fixture.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CurationOps.bloomBlocklist(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // the null-text doc is provably not on the blocklist → kept
+    assert(got === Set(("src1", "en", 2L)))
+  }
 }
