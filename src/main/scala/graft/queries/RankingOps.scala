@@ -81,6 +81,53 @@ object RankingOps {
           .as("docs_over_half"))
   }
 
+  /** q133: substring-level dedup REMOVAL — the acting counterpart of
+    * q113's statistics (Lee et al.: train on corpora with duplicated
+    * spans removed, not just measured). Keep-FIRST semantics: for every
+    * 8-gram that occurs more than once in the corpus, all occurrences
+    * except the first (ordered by doc_id, then position) have their
+    * 8-token span marked; documents are rebuilt from unmarked tokens.
+    * Exact duplicates therefore keep one intact copy and later copies
+    * collapse to nothing — the q24 exact-dedup decision falls out as a
+    * special case of the span rule.
+    *
+    * Plan: gram hashes with positions (native [[graft.functions
+    * .GramHashes]], 8-byte items on the one shuffle) → per-gram
+    * occurrence rank as a WINDOW over the gram partition (q113's
+    * device: linear, no self-join, no pair materialization, hence no df
+    * cap) → covered token positions exploded per marked span →
+    * collect_set per doc → rebuild with an indexed `filter` lambda over
+    * the original token array (codegen'd, no UDF). The cleaned text is
+    * rebuilt from token positions, so it is engine-exact and carries a
+    * full-text oracle. */
+  def spanDedup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GramOps.register(s)
+    val docs = Tables.documents(s, d)
+    val grams = docs.select(col("doc_id"),
+      posexplode(graft.functions.GramOps.gram_hashes(col("text"), 8))
+        .as(Seq("pos0", "gh")))
+      .select(col("doc_id"), (col("pos0") + 1).as("i"), col("gh"))
+    val rn = row_number().over(
+      Window.partitionBy("gh").orderBy("doc_id", "i"))
+    val gc = count(lit(1)).over(Window.partitionBy("gh"))
+    val covered = grams
+      .withColumn("rn", rn).withColumn("gc", gc)
+      .filter(col("gc") > 1 && col("rn") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + 7)).as("p"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("p")).as("cov"))
+    val t = split(col("text"), " ")
+    docs.join(covered, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), array().cast("array<int>")))
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(t).cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("removed_tokens"),
+        concat_ws(" ",
+          filter(t, (w, idx) => !array_contains(col("cov"), idx + 1)))
+          .as("clean_text"))
+  }
+
   /** q115: deterministic train/val split — hash the stable doc_id (not
     * position or random()), so the assignment is reproducible across
     * runs, engines and repartitions, and survives incremental corpus
@@ -98,7 +145,8 @@ object RankingOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_tfidf_topk" -> tfidfTopTerms,
     "q113_dup_ngram_stats" -> dupNgramStats,
-    "q115_train_val_split" -> trainValSplit)
+    "q115_train_val_split" -> trainValSplit,
+    "q133_span_dedup" -> spanDedup)
 
   val oracle: Map[String, String] = Map(
     "q112_tfidf_topk" ->
@@ -153,5 +201,50 @@ object RankingOps {
         |  THEN 'val' ELSE 'train' END AS split,
         |  lang, COUNT(*) AS docs,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens
-        |FROM documents GROUP BY 1, 2""".stripMargin)
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q133_span_dedup" -> ({
+      val hash = OracleHash.polySql("g")
+      s"""WITH toks AS (
+        |  SELECT doc_id, lang, source, string_split(text, ' ') AS t
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(1, len(t) - 7)) AS i
+        |  FROM toks),
+        |gstr AS (
+        |  SELECT doc_id, i, array_to_string(t[i:i + 7], ' ') AS g
+        |  FROM idx),
+        |grams AS (
+        |  SELECT doc_id, i, $hash AS gh
+        |  FROM gstr),""".stripMargin
+    } + "\n" +
+      """marked AS (
+        |  SELECT doc_id, i,
+        |    ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, i) AS rn,
+        |    COUNT(*) OVER (PARTITION BY gh) AS gc
+        |  FROM grams),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, unnest(generate_series(i, i + 7)) AS p
+        |  FROM marked WHERE gc > 1 AND rn > 1),
+        |words AS (
+        |  SELECT doc_id, j, t[j] AS w
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS j
+        |        FROM toks)),
+        |kept AS (
+        |  SELECT w.doc_id, w.j, w.w
+        |  FROM words w LEFT JOIN cov c ON c.doc_id = w.doc_id AND c.p = w.j
+        |  WHERE c.p IS NULL),
+        |rebuilt AS (
+        |  SELECT doc_id,
+        |    COALESCE(array_to_string(list(w ORDER BY j), ' '), '')
+        |      AS clean_text
+        |  FROM kept GROUP BY doc_id),
+        |ncov AS (SELECT doc_id, COUNT(*) AS removed FROM cov GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.source,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(n.removed, 0) AS BIGINT) AS removed_tokens,
+        |  COALESCE(r.clean_text, '') AS clean_text
+        |FROM documents d
+        |LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+        |LEFT JOIN ncov n ON n.doc_id = d.doc_id""".stripMargin))
 }

@@ -203,13 +203,17 @@ object SimHashIvf {
     graft.functions.VecOps.register(s)
     val e = VectorOps.withQuantized(Tables.embeddings(s, d))
       .withColumn("cell", cellExpr)
-    val q = e.filter(col("vec_id") === 0)
+    // limit(1): the query is ONE vector by definition — pinned in the
+    // plan so a corpus with replicated ids (the ×N ScaleProbe tables)
+    // cannot silently turn the broadcast side into N rows and the
+    // cross join into an N× blow-up; identical result on clean data
+    val q = e.filter(col("vec_id") === 0).limit(1)
       .select(col("qv").as("qq"), col("scale").as("qscale"),
         col("embedding").as("qemb"))
     // K rows: every cell ranked by its centroid's dot with the query
     val dots = (0 until K).map(c =>
       vec_dot(col("embedding"), typedlit(Centroids(c).toSeq)))
-    val qcells = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+    val qcells = Tables.embeddings(s, d).filter(col("vec_id") === 0).limit(1)
       .select(posexplode(array(dots: _*)).as(Seq("cell", "cdot")))
       .withColumn("crank",
         row_number().over(Window.orderBy(col("cdot").desc, col("cell"))))

@@ -61,4 +61,29 @@ class RankingOpsSpec extends AnyFunSuite {
     val again = RankingOps.trainValSplit(spark, d).collect()
     assert(out.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
+
+  test("span dedup: keep-first on a known fixture; exact dup collapses") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_span").toString
+    val eight = (1 to 8).map(i => s"w$i").mkString(" ") // one shared 8-gram
+    val fixture = Seq(
+      // doc 1: the first occurrence of every one of its grams → intact
+      (1L, s"alpha $eight beta", "en", "src0", 0L),
+      // doc 2: exact duplicate of doc 1 → collapses to nothing
+      (2L, s"alpha $eight beta", "en", "src0", 0L),
+      // doc 3: shares ONLY the 8-gram (its own grams containing gamma/
+      // delta are unique) → loses exactly the 8 tokens of that span
+      (3L, s"gamma $eight delta", "en", "src1", 0L),
+      // doc 4: too short for any 8-gram → untouched
+      (4L, "tiny doc", "en", "src1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    fixture.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = RankingOps.spanDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getString(5))))
+      .toMap
+    assert(got(1L) == ((10L, 0L, s"alpha $eight beta")), "first copy intact")
+    assert(got(2L) == ((10L, 10L, "")), "exact dup fully removed")
+    assert(got(3L) == ((10L, 8L, "gamma delta")), "only the shared span removed")
+    assert(got(4L) == ((2L, 0L, "tiny doc")), "short doc untouched")
+  }
 }
