@@ -99,7 +99,8 @@ object SimHashIvf {
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val cells = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
       col("label"), cellExpr.as("cell"))
-    val q = cells.filter(col("vec_id") === 0)
+    // limit(1): one query vector by contract (the q33/q131 pin)
+    val q = cells.filter(col("vec_id") === 0).limit(1)
       .select(col("embedding").as("qemb"), col("cell").as("qcell"))
     cells.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
@@ -148,7 +149,8 @@ object SimHashIvf {
     // the dominant cost). CollapseProject keeps the stages separate
     // because the aliases are non-cheap and multiply referenced.
     val dcols = (0 until K).map(c => col(s"d$c"))
-    val q0 = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+    // limit(1): one query vector by contract (the q33/q131 pin)
+    val q0 = Tables.embeddings(s, d).filter(col("vec_id") === 0).limit(1)
       .select(col("embedding").as("qemb") +:
         (0 until K).map(c =>
           vec_dot(col("embedding"), typedlit(Centroids(c).toSeq)).as(s"d$c")): _*)

@@ -60,7 +60,11 @@ object VectorOps {
     * as TakeOrdered (per-partition heap + driver merge — no full sort). */
   def cosineTopK(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+    // limit(1): the query is one vector by contract — keeps a corpus
+    // with replicated ids (×N probe tables) from inflating the
+    // broadcast side N× (same pin as q131; identical on clean data)
+    val q = e.filter(col("vec_id") === 0).limit(1)
+      .select(col("embedding").as("qemb"))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
@@ -190,7 +194,8 @@ object VectorOps {
 
   def quantizedTopK(s: SparkSession, d: String): DataFrame = {
     val e = withQuantized(Tables.embeddings(s, d))
-    val q = e.filter(col("vec_id") === 0)
+    // limit(1): one query vector by contract (the q33/q131 pin)
+    val q = e.filter(col("vec_id") === 0).limit(1)
       .select(col("qv").as("qq"), col("scale").as("qscale"),
         col("embedding").as("qemb"))
     e.filter(col("vec_id") =!= 0)
