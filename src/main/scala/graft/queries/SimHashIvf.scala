@@ -304,6 +304,57 @@ object SimHashIvf {
     } finally data.unpersist()
   }
 
+  /** IVF probe over TRAINED centroids — connects the Lloyd's loop
+    * ([[kmeansTrain]]) to the ANN search surface: assign every vector
+    * to its nearest trained centroid by squared L2 (argmin ‖x−c‖² =
+    * argmax x·c − ‖c‖²/2, so the kernel is still one [[graft.functions
+    * .VecDot]] per centroid plus a driver-side constant), probe the
+    * query's top-`nprobe` cells, rank by exact cosine. Spec-gated, no
+    * q-row: the training loop is not SQL-expressible (same posture as
+    * kmeansTrain itself); TrainedIvfSpec pins the invariants that hold
+    * for ANY centroid set — cells partition the data, nprobe=K ≡ the
+    * brute-force top-10 exactly, recall monotone in nprobe — plus the
+    * trained-vs-seed recall comparison at the probe budget. */
+  def annIvfTrained(s: SparkSession, d: String, nprobe: Int,
+      iterations: Int = 5): DataFrame = {
+    val (cents, _) = kmeansTrain(s, d, iterations)
+    annIvfWith(s, d, cents, nprobe)
+  }
+
+  private[queries] def annIvfWith(s: SparkSession, d: String,
+      cents: Array[Array[Double]], nprobe: Int): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VecOps.register(s)
+    val k = cents.length
+    // argmin ‖x−c‖² over c ≡ argmax (x·c − ‖c‖²/2); ties → lowest index
+    val scores = (0 until k).map { c =>
+      val half = cents(c).map(v => v * v).sum / 2
+      vec_dot(col("embedding"), typedlit(cents(c).toSeq)) - lit(half)
+    }
+    val best = greatest(scores: _*)
+    val cell = (0 until k).foldRight(lit(-1)) { (c, acc) =>
+      when(scores(c) === best, lit(c)).otherwise(acc)
+    }
+    val data = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"), cell.as("cell"))
+    val q = data.filter(col("vec_id") === 0).limit(1)
+      .select(col("embedding").as("qemb"))
+    val qcells = Tables.embeddings(s, d).filter(col("vec_id") === 0).limit(1)
+      .select(posexplode(array(scores: _*)).as(Seq("cell", "cscore")))
+      .withColumn("crank",
+        row_number().over(Window.orderBy(col("cscore").desc, col("cell"))))
+      .filter(col("crank") <= nprobe)
+      .select("cell")
+    data.filter(col("vec_id") =!= 0)
+      .join(broadcast(qcells), "cell")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        vec_cosine(col("embedding"), col("qemb")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   private def withVecFns(f: (SparkSession, String) => DataFrame)
       : (SparkSession, String) => DataFrame =
     (s, d) => { graft.functions.VecOps.register(s); f(s, d) }
