@@ -118,13 +118,17 @@ object RankingOps {
       .groupBy("doc_id")
       .agg(collect_set(col("p")).as("cov"))
     val t = split(col("text"), " ")
+    // rebuild via array_except(positions, covered): hash-set lookup —
+    // O(n + |cov|) per doc and order-preserving on the left operand. An
+    // indexed filter with array_contains would be O(n·|cov|), quadratic
+    // exactly on the worst case (a fully-duplicated long document)
+    val keepPos = array_except(sequence(lit(1), size(t)), col("cov"))
     docs.join(covered, Seq("doc_id"), "left")
       .withColumn("cov", coalesce(col("cov"), array().cast("array<int>")))
       .select(col("doc_id"), col("lang"), col("source"),
         size(t).cast("long").as("n_tokens"),
         size(col("cov")).cast("long").as("removed_tokens"),
-        concat_ws(" ",
-          filter(t, (w, idx) => !array_contains(col("cov"), idx + 1)))
+        concat_ws(" ", transform(keepPos, j => element_at(t, j)))
           .as("clean_text"))
   }
 
