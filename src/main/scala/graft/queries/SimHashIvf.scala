@@ -199,12 +199,42 @@ object SimHashIvf {
     quantizedIvfRecall(s, d, Seq(1, 2, 4))
 
   private[queries] def quantizedIvfRecall(s: SparkSession, d: String,
-      probes: Seq[Int]): DataFrame = {
+      probes: Seq[Int]): DataFrame =
+    // the seed ±1 directions all share norm √dims, so argmax dot ≡
+    // argmin L2 — plain dots are the cell scores (cellExpr's argmax)
+    quantizedIvfBody(s, d,
+      (0 until K).map(c => vec_dot(col("embedding"),
+        typedlit(Centroids(c).toSeq))), probes)
+
+  /** Quantized IVF over TRAINED centroids — the full composition an
+    * ANN deployment ships (Lloyd's-fitted coarse cells + int8 in-cell
+    * ranking): cell scores are x·c − ‖c‖²/2 (argmin L2 for arbitrary-
+    * norm centroids). Spec-gated (no q-row — the training loop is not
+    * SQL-expressible): TrainedIvfSpec pins the same invariant family
+    * as the float trained probe. */
+  def quantizedIvfTrained(s: SparkSession, d: String, probes: Seq[Int],
+      iterations: Int = 5): DataFrame = {
+    graft.functions.VecOps.register(s)
+    val cents = kmeansTrain(s, d, iterations)._1
+    quantizedIvfBody(s, d,
+      cents.indices.map { c =>
+        val half = cents(c).map(v => v * v).sum / 2
+        vec_dot(col("embedding"), typedlit(cents(c).toSeq)) - lit(half)
+      }, probes)
+  }
+
+  private def quantizedIvfBody(s: SparkSession, d: String,
+      scores: Seq[Column], probes: Seq[Int]): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     graft.functions.VecOps.register(s)
+    val k = scores.length
+    val best = greatest(scores: _*)
+    val cell = (0 until k).foldRight(lit(-1)) { (c, acc) =>
+      when(scores(c) === best, lit(c)).otherwise(acc)
+    }
     val e = VectorOps.withQuantized(Tables.embeddings(s, d))
-      .withColumn("cell", cellExpr)
+      .withColumn("cell", cell)
     // limit(1): the query is ONE vector by definition — pinned in the
     // plan so a corpus with replicated ids (the ×N ScaleProbe tables)
     // cannot silently turn the broadcast side into N rows and the
@@ -212,11 +242,9 @@ object SimHashIvf {
     val q = e.filter(col("vec_id") === 0).limit(1)
       .select(col("qv").as("qq"), col("scale").as("qscale"),
         col("embedding").as("qemb"))
-    // K rows: every cell ranked by its centroid's dot with the query
-    val dots = (0 until K).map(c =>
-      vec_dot(col("embedding"), typedlit(Centroids(c).toSeq)))
+    // k rows: every cell ranked by its score for the query vector
     val qcells = Tables.embeddings(s, d).filter(col("vec_id") === 0).limit(1)
-      .select(posexplode(array(dots: _*)).as(Seq("cell", "cdot")))
+      .select(posexplode(array(scores: _*)).as(Seq("cell", "cdot")))
       .withColumn("crank",
         row_number().over(Window.orderBy(col("cdot").desc, col("cell"))))
       .select(col("cell"), col("crank"))

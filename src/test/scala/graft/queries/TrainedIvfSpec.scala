@@ -61,4 +61,20 @@ class TrainedIvfSpec extends AnyFunSuite {
     assert(recalls(1) >= seed2 - 0.1,
       s"trained nprobe=2 recall ${recalls(1)} collapsed vs seed $seed2")
   }
+
+  test("quantized × trained composition: monotone, full scan at K") {
+    val k = trained.length
+    val got = SimHashIvf.quantizedIvfTrained(spark, sf, Seq(1, 2, k))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(3)))
+      .toMap
+    val n = graft.Tables.embeddings(spark, sf).count()
+    assert(got(k)._1 == n - 1, "nprobe=K must scan every vector")
+    val recalls = Seq(1, 2, k).map(got(_)._2)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"not monotone: $recalls")
+    // at nprobe=K the probe vanishes: ranking is the q129 quantized
+    // brute force, whose exact-top-10 overlap is the quantization
+    // error alone (QuantizedTopKSpec pins ≥ 8/10 for the seed path)
+    assert(got(k)._2 >= 0.7, s"full-scan quantized recall ${got(k)._2}")
+  }
 }
