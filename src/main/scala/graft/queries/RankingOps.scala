@@ -96,10 +96,10 @@ object RankingOps {
     * occurrence rank as a WINDOW over the gram partition (q113's
     * device: linear, no self-join, no pair materialization, hence no df
     * cap) → covered token positions exploded per marked span →
-    * collect_set per doc → rebuild with an indexed `filter` lambda over
-    * the original token array (codegen'd, no UDF). The cleaned text is
-    * rebuilt from token positions, so it is engine-exact and carries a
-    * full-text oracle. */
+    * collect_set per doc → rebuild via `array_except` over the position
+    * array (hash-set pass, order-preserving; no UDF). The cleaned text
+    * is rebuilt from token positions, so it is engine-exact and carries
+    * a full-text oracle. */
   def spanDedup(s: SparkSession, d: String): DataFrame = {
     graft.functions.GramOps.register(s)
     val docs = Tables.documents(s, d)
