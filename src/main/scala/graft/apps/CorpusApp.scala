@@ -102,6 +102,43 @@ object CorpusApp {
     * steady state — the iterator is discarded without buffering
     * anything. CorpusAppSpec proves equivalence with the naive
     * sort-then-scan admission on shuffled arrival orders. */
+  /** The pure admission kernel of [[budgetGate]] — one unordered pass
+    * over a group's docs with a bounded candidate heap. Extracted so
+    * the heap logic is property-testable without Spark
+    * (BudgetAdmitProperties checks it against naive sort-then-scan
+    * over random streams). Returns (admitted docs in (ts, id) order,
+    * final spent). */
+  private[apps] def admitBounded(docs: Iterator[CleanDoc], spent0: Long,
+      budgetTokens: Long): (List[CleanDoc], Long) = {
+    val remaining = budgetTokens - spent0
+    if (remaining <= 0L) return (Nil, spent0)
+    val ord = Ordering.by[CleanDoc, (Long, Long)](d =>
+      (d.ingest_ts.getTime, d.doc_id))
+    val heap = scala.collection.mutable.PriorityQueue.empty[CleanDoc](ord)
+    var heapTokens = 0L
+    // min (ts, id) ever evicted: everything at-or-after it is
+    // certainly rejected, so it never needs to enter the heap
+    var cutTs = Long.MaxValue; var cutId = Long.MaxValue
+    docs.foreach { d =>
+      val key = (d.ingest_ts.getTime, d.doc_id)
+      if (key._1 < cutTs || (key._1 == cutTs && key._2 < cutId)) {
+        heap.enqueue(d); heapTokens += d.ws_tokens
+        while (heap.length > 1 &&
+            heapTokens - heap.head.ws_tokens >= remaining) {
+          val ev = heap.dequeue()
+          heapTokens -= ev.ws_tokens
+          cutTs = ev.ingest_ts.getTime; cutId = ev.doc_id
+        }
+      }
+    }
+    var spent = spent0
+    val out = heap.dequeueAll.reverseIterator.flatMap { (d: CleanDoc) =>
+      if (spent < budgetTokens) { spent += d.ws_tokens; Some(d) }
+      else None
+    }.toList
+    (out, spent)
+  }
+
   def budgetGate(cleaned: DataFrame, budgetTokens: Long): DataFrame = {
     import cleaned.sparkSession.implicits._
     val streaming = cleaned.isStreaming
@@ -111,36 +148,9 @@ object CorpusApp {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_, docs, state: GroupState[Long]) =>
           val spent0 = state.getOption.getOrElse(0L)
-          val remaining = budgetTokens - spent0
-          if (remaining <= 0L) Iterator.empty
-          else {
-            val ord = Ordering.by[CleanDoc, (Long, Long)](d =>
-              (d.ingest_ts.getTime, d.doc_id))
-            val heap = scala.collection.mutable.PriorityQueue.empty[CleanDoc](ord)
-            var heapTokens = 0L
-            // min (ts, id) ever evicted: everything at-or-after it is
-            // certainly rejected, so it never needs to enter the heap
-            var cutTs = Long.MaxValue; var cutId = Long.MaxValue
-            docs.foreach { d =>
-              val key = (d.ingest_ts.getTime, d.doc_id)
-              if (key._1 < cutTs || (key._1 == cutTs && key._2 < cutId)) {
-                heap.enqueue(d); heapTokens += d.ws_tokens
-                while (heap.length > 1 &&
-                    heapTokens - heap.head.ws_tokens >= remaining) {
-                  val ev = heap.dequeue()
-                  heapTokens -= ev.ws_tokens
-                  cutTs = ev.ingest_ts.getTime; cutId = ev.doc_id
-                }
-              }
-            }
-            var spent = spent0
-            val out = heap.dequeueAll.reverseIterator.flatMap { (d: CleanDoc) =>
-              if (spent < budgetTokens) { spent += d.ws_tokens; Some(d) }
-              else None
-            }.toList
-            if (streaming) state.update(spent)
-            out.iterator
-          }
+          val (out, spent) = admitBounded(docs, spent0, budgetTokens)
+          if (streaming && spent != spent0) state.update(spent)
+          out.iterator
       }.toDF()
   }
 
