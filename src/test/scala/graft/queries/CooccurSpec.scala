@@ -36,4 +36,25 @@ class CooccurSpec extends AnyFunSuite {
         s"example '$example' does not hash to $gh")
     }
   }
+
+  test("boilerplate fixture: the true collocation is found and ranked #1") {
+    // the driver corpus is near-uniform (no heavy hitters to find — the
+    // honest caveat in the q132 scaladoc); this fixture is the corpus
+    // the operator exists for: 400 docs share one boilerplate bigram,
+    // filler bigrams are unique per doc, so "click here" holds ~8% of
+    // the mass — far above the n/(m+1) presence threshold
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_boiler").toString
+    val docs = (0 until 400).map { i =>
+      (i.toLong, s"f${i}a f${i}b click here f${i}c f${i}d", "en", "web", 30L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = CurationOps.cooccurHeavyHitters(spark, dir).collect()
+    val top = rows.minBy(_.getLong(0)) // rank 1
+    assert(top.getString(2) == "click here",
+      s"expected the boilerplate bigram first, got '${top.getString(2)}'")
+    val n = rows.head.getLong(4)
+    assert(top.getLong(3) >= 400L - n / 257,
+      "presence bound must hold for the dominant collocation")
+  }
 }
