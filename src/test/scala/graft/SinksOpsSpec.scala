@@ -43,6 +43,27 @@ class SinksOpsSpec extends AnyFunSuite {
     assert(empty.getMessage.contains("no parquet files"))
   }
 
+  test("readEvolved pins the type-conflict edge: widening is NOT merged") {
+    // mergeSchema unifies by NAME (new/missing columns) but refuses
+    // type changes — int→long across snapshots fails at schema merge,
+    // not silently coerces. Pinned so an ingest that widens a column
+    // knows it must rewrite old snapshots (or read with an explicit
+    // schema), rather than discovering it from a deep stack trace.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_widen").toString
+    Seq((1, 10)).toDF("id", "v").write.parquet(s"$dir/v1") // v: int
+    Seq((2L, 20L)).toDF("id", "v").write.parquet(s"$dir/v2") // v: long
+    val e = intercept[Throwable] {
+      graft.sources.Sources.readEvolved(spark, Seq(s"$dir/v1", s"$dir/v2"))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m =>
+      m.toLowerCase.contains("merge") || m.toLowerCase.contains("incompatible")),
+      s"expected a schema-merge failure, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("readEvolved unifies widened snapshots; plain read drops columns") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
