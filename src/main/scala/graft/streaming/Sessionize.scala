@@ -22,6 +22,15 @@ object Sessionize {
 
   case class PendingEntry(ts: Long)
 
+  /** Buffered page event for the streaming bounce machine: only the
+    * fields the strict-next decision needs. */
+  case class BufEv(ts: Long, entry: Boolean)
+
+  /** Streaming bounce state: the open session entry (if any) plus the
+    * not-yet-finalizable events (ts > watermark). The buffer is what
+    * makes out-of-order streams safe — see [[detectBounces]]. */
+  case class BounceState(pending: Option[Long], buf: Seq[BufEv])
+
   case class FunnelState(anchorTs: Long, stepsReached: Int, lastStepTs: Long,
       done: Boolean)
 
@@ -201,20 +210,31 @@ object Sessionize {
         TimeMode.EventTime(), OutputMode.Append)
   }
 
+  /** Strict-next bounce detection. BATCH: input is complete, so the
+    * machine runs once over the mid's full ts-ordered history
+    * (end-of-input ≡ timeout) — this is the q19 oracle path and is
+    * byte-stable. STREAMING: decisions are only finalized as the
+    * WATERMARK passes them — arrival order proves nothing about
+    * event-time order across micro-batches, so deciding on arrival
+    * (the pre-round-7 behavior) could emit a bounce that an on-time
+    * out-of-order successor later invalidates, or cancel one that a
+    * late-but-on-time entry re-establishes. Events above the watermark
+    * buffer in state (the same buffered-replay semantics Flink CEP
+    * applies under `within`); each watermark advance drains the ripe
+    * prefix through the batch machine. Buffer size is bounded by the
+    * watermark delay × the mid's event rate — the price of
+    * out-of-order correctness, paid per active session only. */
   def detectBounces(ds: Dataset[PageEvent], windowMs: Long = 10000)
       : Dataset[Bounce] = {
     import ds.sparkSession.implicits._
     val streaming = ds.isStreaming
     ds.groupByKey(_.mid)
-      .flatMapGroupsWithState[PendingEntry, Bounce](
+      .flatMapGroupsWithState[BounceState, Bounce](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (mid, events, state: GroupState[PendingEntry]) =>
-          if (state.hasTimedOut) {
-            val out = state.getOption.map(p => Bounce(mid, p.ts)).iterator
-            state.remove()
-            out
-          } else {
-            var pending: Option[Long] = state.getOption.map(_.ts)
+        (mid, events, state: GroupState[BounceState]) =>
+          if (!streaming) {
+            // complete input: one in-order pass, flush trailing pending
+            var pending: Option[Long] = None
             val out = Seq.newBuilder[Bounce]
             events.toSeq.sortBy(_.ts).foreach { e =>
               val isEntry = e.lastPageId.isEmpty
@@ -233,20 +253,45 @@ object Sessionize {
                   if (isEntry) pending = Some(e.ts)
               }
             }
-            if (streaming) {
+            pending.foreach(p => out += Bounce(mid, p)) // end-of-input flush
+            out.result().iterator
+          } else {
+            val prev = state.getOption.getOrElse(BounceState(None, Nil))
+            val arrived =
+              if (state.hasTimedOut) Nil
+              else events.map(e => BufEv(e.ts, e.lastPageId.isEmpty)).toSeq
+            val wm = state.getCurrentWatermarkMs
+            // ripe = finalizable: nothing with a smaller ts can still arrive
+            val (ripe, rest) = (prev.buf ++ arrived).partition(_.ts <= wm)
+            var pending = prev.pending
+            val out = Seq.newBuilder[Bounce]
+            ripe.sortBy(e => (e.ts, e.entry)).foreach { e =>
               pending match {
                 case Some(p) =>
-                  state.update(PendingEntry(p))
-                  // clamp past the watermark: a LATE entry event still
-                  // reaches this function (flatMapGroupsWithState does not
-                  // drop late rows) and an un-clamped timeout ≤ watermark
-                  // kills the query with IllegalArgumentException
-                  state.setTimeoutTimestamp(
-                    math.max(p + windowMs, state.getCurrentWatermarkMs + 1))
-                case None => state.remove()
+                  if (e.ts - p > windowMs) {
+                    out += Bounce(mid, p)
+                    pending = if (e.entry) Some(e.ts) else None
+                  } else if (e.entry) {
+                    out += Bounce(mid, p)
+                    pending = Some(e.ts)
+                  } else pending = None
+                case None =>
+                  if (e.entry) pending = Some(e.ts)
               }
-            } else {
-              pending.foreach(p => out += Bounce(mid, p)) // batch flush
+            }
+            // the open entry's window has fully passed the watermark with
+            // no successor → the CEP timeout branch
+            pending.foreach { p =>
+              if (wm > p + windowMs) { out += Bounce(mid, p); pending = None }
+            }
+            if (pending.isEmpty && rest.isEmpty) state.remove()
+            else {
+              state.update(BounceState(pending, rest))
+              // wake when the pending window can expire or the earliest
+              // buffered event can ripen — both strictly above wm
+              val wake = (pending.map(_ + windowMs + 1).toSeq ++
+                (if (rest.nonEmpty) Seq(rest.map(_.ts).min) else Nil)).min
+              state.setTimeoutTimestamp(math.max(wake, wm + 1))
             }
             out.result().iterator
           }

@@ -221,4 +221,34 @@ class StatefulOpsSpec extends AnyFunSuite {
       assert(spark.table("bn_out").as[Bounce].collect().map(_.ts).toSeq == Seq(1000L))
     } finally q.stop()
   }
+
+  test("bounce (streaming) out-of-order on-time navigation cancels") {
+    // the arrival order says "nothing followed the entry for 14 s" but
+    // the EVENT order contains an on-time navigation at +2 s that
+    // arrives one micro-batch later (inside the 30 s watermark delay).
+    // Deciding on arrival would emit a false bounce for ts=1000; the
+    // watermark-buffered machine must emit none for m1
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[PageEvent]
+    val withWm = mem.toDS()
+      .withColumn("eventTime", ($"ts" / 1000).cast("timestamp"))
+      .withWatermark("eventTime", "30 seconds")
+      .as[PageEvent]
+    val q = Sessionize.detectBounces(withWm)
+      .writeStream.format("memory").queryName("bn_ooo")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(entry("m1", 1000), page("m1", 15000)) // gap > window on arrival
+      q.processAllAvailable()
+      mem.addData(page("m1", 3000)) // on-time (wm = -15s), strict-NEXT of the entry
+      q.processAllAvailable()
+      mem.addData(page("m2", 90000)) // watermark → 60 s, finalize everything
+      q.processAllAvailable()
+      mem.addData(page("m2", 91000)) // evaluate timers under the new watermark
+      q.processAllAvailable()
+      val got = spark.table("bn_ooo").as[Bounce].collect().filter(_.mid == "m1")
+      assert(got.isEmpty,
+        s"entry@1000 was navigated at +2s (arriving late); got ${got.toSeq}")
+    } finally q.stop()
+  }
 }
