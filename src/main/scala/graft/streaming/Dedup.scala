@@ -191,7 +191,17 @@ object Dedup {
     * of each key per UTC day (ref DwdTrafficUniqueVisitorDetail
     * .java:60-109: ValueState[lastDate], 1-day TTL). State = last seen
     * date; reaped via event-time timeout ~2 days after the last write
-    * (the reference's OnCreateAndWrite TTL analog). */
+    * (the reference's OnCreateAndWrite TTL analog).
+    *
+    * Ordering contract: like the reference's ValueState pattern, the
+    * last-date comparison assumes PER-KEY in-order delivery — which the
+    * reference gets implicitly from Kafka partitioning by mid, and this
+    * operator preserves (each micro-batch is sorted by ts and batches
+    * process sequentially, so a key-partitioned ordered source stays
+    * ordered). Under genuine cross-batch event-time disorder it can
+    * re-emit a day (exactly as the reference would); contrast
+    * [[Sessionize.detectBounces]], whose reference (Flink CEP) buffers
+    * to the watermark and whose port therefore does too. */
   def dailyFirst(ds: Dataset[KeyedEvent]): Dataset[DailyFirst] = {
     import ds.sparkSession.implicits._
     val streaming = ds.isStreaming
