@@ -39,7 +39,9 @@ object SparkEntry {
       graft.queries.RankingOps.queries ++
       graft.queries.PipelineOps.queries ++
       graft.queries.CurationOps.queries ++
-      graft.queries.PackingOps.queries
+      graft.queries.PackingOps.queries ++
+      graft.queries.SelectionOps.queries ++
+      graft.queries.SuffixOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -68,5 +70,7 @@ object SparkEntry {
       graft.queries.RankingOps.oracle ++
       graft.queries.PipelineOps.oracle ++
       graft.queries.CurationOps.oracle ++
-      graft.queries.PackingOps.oracle
+      graft.queries.PackingOps.oracle ++
+      graft.queries.SelectionOps.oracle ++
+      graft.queries.SuffixOps.oracle
 }

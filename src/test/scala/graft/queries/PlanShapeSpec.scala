@@ -77,6 +77,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.toLowerCase.contains("heavyhitters"), plan.take(4000))
   }
 
+  test("q134_dsir_select broadcasts both histograms and heap-selects") {
+    // the DSIR scale shape: the 64-row histograms must reach the
+    // occurrence stream as broadcast hash joins (a shuffled join here
+    // would re-shuffle the whole exploded corpus twice), and the top-k
+    // must be TakeOrderedAndProject (per-partition heaps), never a
+    // global sort
+    val plan = SparkEntry.queries("q134_dsir_select")(spark, d)
+      .queryExecution.executedPlan
+    val s = plan.toString
+    assert(s.contains("TakeOrderedAndProject"), s.take(4000))
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      s.take(4000))
+    assert("BroadcastHashJoin".r.findAllIn(s).length == 2, s.take(4000))
+  }
+
+  test("q135_bpe_pair_counts explodes only the vocabulary") {
+    // phase 1 must reduce the corpus to (word, cnt) BEFORE the 2-char
+    // window explode — the generator must sit above the word aggregate,
+    // so the plan has exactly two aggregate pairs and one Generate whose
+    // child already aggregated; a Generate below the first aggregate
+    // would mean per-occurrence explosion (corpus-scale pair strings)
+    // NOTE: collect() does not see through AdaptiveSparkPlanExec (AQE
+    // nodes have no children), so the check reads the tree string —
+    // parent lines precede child lines, so "above" = smaller index
+    val lines = SparkEntry.queries("q135_bpe_pair_counts")(spark, d)
+      .queryExecution.executedPlan.toString.linesIterator.toSeq
+    val pairGen = lines.indexWhere(l =>
+      l.contains("Generate") && l.contains("substring"))
+    val wordAgg = lines.indexWhere(l =>
+      l.contains("HashAggregate(keys=[word"))
+    assert(pairGen >= 0, lines.mkString("\n").take(4000))
+    assert(wordAgg >= 0, lines.mkString("\n").take(4000))
+    assert(pairGen < wordAgg,
+      "pair explode must run above the word-count aggregate:\n" +
+        lines.mkString("\n").take(4000))
+  }
+
   test("q112_tfidf_topk sorts only within doc partitions (no global sort)") {
     val plan = SparkEntry.queries("q112_tfidf_topk")(spark, d)
       .queryExecution.executedPlan
