@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q136/q137 invariants beyond the oracle rows. The oracle already
+  * checks the suffix ranks against DuckDB's string sort; here the whole
+  * pipeline is re-derived a THIRD way (plain Scala suffix sort on the
+  * collected capped corpus) and on crafted fixtures where the answers
+  * are known by construction — contained docs, exact duplicates, and a
+  * repeat-free corpus.
+  */
+class SuffixOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def cappedDocs(d: String): Array[(Long, String)] =
+    spark.read.parquet(s"$d/documents.parquet")
+      .filter("doc_id < 100 AND length(text) > 0")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+  /** (doc, pos, suffix) sorted lexicographically, ties by (doc, pos). */
+  private def sortedSuffixes(docs: Array[(Long, String)]) =
+    docs.flatMap { case (id, t) =>
+      (0 until t.length).map(p => (id, p.toLong, t.substring(p)))
+    }.sortBy(s => (s._3, s._1, s._2))
+
+  test("q136 matches a driver-side suffix sort exactly") {
+    val sorted = sortedSuffixes(cappedDocs(sf))
+    // dense rank: identical suffixes share a rank
+    val want = collection.mutable.Map.empty[(Long, Long), Long]
+    var rank = 0L
+    var prev: String = null
+    sorted.foreach { case (id, p, suf) =>
+      if (suf != prev) { rank += 1; prev = suf }
+      want((id, p)) = rank
+    }
+    val got = SuffixOps.suffixRanks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size == want.size)
+    assert(got == want)
+  }
+
+  test("q137 matches a driver-side adjacent-LCP scan exactly") {
+    def lcp(a: String, b: String): Long = {
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n && a.charAt(i) == b.charAt(i)) i += 1
+      i.toLong
+    }
+    val sorted = sortedSuffixes(cappedDocs(sf))
+    val lNext = sorted.indices.map { i =>
+      if (i + 1 < sorted.length) lcp(sorted(i)._3, sorted(i + 1)._3) else 0L
+    }
+    val perDoc = collection.mutable.Map.empty[Long, (Long, Long)]
+    sorted.indices.foreach { i =>
+      val v = math.max(lNext(i), if (i > 0) lNext(i - 1) else 0L)
+      val (mx, cnt) = perDoc.getOrElse(sorted(i)._1, (0L, 0L))
+      perDoc(sorted(i)._1) =
+        (math.max(mx, v), cnt + (if (v >= 20L) 1L else 0L))
+    }
+    val got = SuffixOps.longestRepeat(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == perDoc.toMap)
+  }
+
+  test("fixtures: containment, duplication, and repeat-free corpora") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sfx").toString
+    Seq(
+      (0L, "abcdefgh", "en", "src0", 8L), // contains doc 1's text
+      (1L, "cdef", "en", "src1", 4L), // fully contained in doc 0
+      (2L, "abcdefgh", "en", "src2", 8L), // exact duplicate of doc 0
+      (3L, "zyxw", "en", "src3", 4L)) // shares nothing
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SuffixOps.longestRepeat(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // duplicates repeat their whole text; the contained doc repeats all
+    // of itself; the disjoint doc repeats nothing
+    assert(got == Map(0L -> 8L, 1L -> 4L, 2L -> 8L, 3L -> 0L))
+    // and the suffix ranks tie exactly on the duplicated suffixes:
+    // every suffix of doc 0 has an identical twin in doc 2
+    val ranks = SuffixOps.suffixRanks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byRank = ranks.groupBy(_._3)
+    ranks.filter(_._1 == 0L).foreach { case (_, pos, rk) =>
+      assert(byRank(rk).exists(t => t._1 == 2L && t._2 == pos),
+        s"suffix at pos $pos of doc 0 must tie with doc 2")
+    }
+  }
+}
