@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -13,30 +13,38 @@ import org.apache.spark.sql.types.LongType
   * array over the corpus. This pack builds one distributively:
   *
   *  - [[suffixRanks]] (q136): the lexicographic rank of every suffix of
-  *    every (capped) document, by prefix doubling — ⌈log₂ maxlen⌉
-  *    rounds, each ONE distributed sort of (rank, rank-at-offset) pairs
-  *    plus an equi-join to pull the offset rank. No suffix string is
-  *    ever materialized: the corpus stays (doc, pos, 8-byte rank) rows,
-  *    so 100 TB of text is ~3 columns × corpus-chars rows, shuffled
-  *    ⌈log₂ maxlen⌉ times — the literature's DC3/prefix-doubling
-  *    trade stated in DataFrame terms. The oracle materializes the
-  *    suffix STRINGS and window-sorts them (`dense_rank OVER (ORDER BY
-  *    substr(text, pos+1))`) — same answer, opposite algorithm, which
-  *    is what makes the check meaningful.
+  *    every (capped) document, by radix-4 prefix doubling: an initial
+  *    dense rank of the 8-char block at every position, then
+  *    ⌈log₄(maxlen/8)⌉ rounds, each ONE distributed sort of
+  *    (rank, rank@+L, rank@+2L, rank@+3L) tuples plus equi-joins to
+  *    pull the offset ranks (prefix length ×4 per round — half the
+  *    shuffle passes of the classic ×2 scheme, the k-ary trade from
+  *    the distributed suffix-sorting literature). No suffix string is
+  *    ever materialized: the corpus stays (doc, pos, 8-byte rank) rows
+  *    through every round. The oracle materializes the suffix STRINGS
+  *    and window-sorts them (`dense_rank OVER (ORDER BY substr(text,
+  *    pos+1))`) — same answer, opposite algorithm, which is what makes
+  *    the check meaningful.
   *  - [[longestRepeat]] (q137): per document, the length of the longest
   *    substring that occurs ≥ 2 times in the (capped) corpus with an
   *    occurrence in this document — max LCP between rank-adjacent
-  *    suffixes, computed by binary lifting over the retained doubling
-  *    levels (descending: if the level-L ranks at the current offset
-  *    agree, the suffixes share ≥ L more characters). Clamped by
-  *    remaining document length because equal TRUNCATED ranks at level
-  *    L mean fully-equal suffixes, where the true LCP is min(len).
+  *    suffixes. LCP = greedy lifting over the retained levels
+  *    (descending; up to 3 adds per level = the base-4 digits, 1 at
+  *    the top), then a ≤7-char residual comparison against the
+  *    broadcast document texts (the level-8 rank at the final offset
+  *    is known unequal, so the first mismatch lies within the next 8
+  *    chars). Clamped by remaining document length because equal
+  *    TRUNCATED ranks mean fully-equal suffixes, where the true LCP is
+  *    min(len).
   *
   * Ranks are dense (0-based contiguous): each round assigns new ranks
-  * by globally sorting the DISTINCT (r1, r2) pairs and zipping indices
-  * in sorted-partition order — order-preserving, distributed, never a
-  * single-partition window. Equal pairs keep equal ranks, so identical
-  * cross-doc suffixes tie exactly like the oracle's dense_rank.
+  * by globally sorting the DISTINCT rank tuples and zipping indices in
+  * sorted-partition order — order-preserving, distributed, never a
+  * single-partition window. Equal tuples keep equal ranks, so identical
+  * cross-doc suffixes tie exactly like the oracle's dense_rank. The
+  * 8-char block rank is order-isomorphic to truncated-substring
+  * comparison (substring shortens at doc end; shorter-prefix-first in
+  * both engines), which is exactly the level-8 invariant.
   *
   * The doc cap (default 100) bounds the oracle's string
   * materialization, same posture as q31/q105's `doc_id < 100` — the
@@ -46,59 +54,77 @@ object SuffixOps {
 
   private val DocCap = 100
   private val MinRep = 20L // span length a dedup pass would act on
+  private val Block = 8L // initial rank granularity (chars)
+  private val Radix = 4L // prefix-length multiplier per round
 
-  /** (doc_id, pos, ch): one row per character of the capped corpus. */
-  private def chars(s: SparkSession, d: String, cap: Int): DataFrame =
+  private def docsCapped(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .filter(col("doc_id") < cap && length(col("text")) > 0)
-      .select(col("doc_id"), col("text"),
-        explode(expr("sequence(0, length(text) - 1)")).as("p"))
-      .select(col("doc_id"), col("p").cast("long").as("pos"),
-        expr("substring(text, p + 1, 1)").as("ch"))
+      .filter(col("doc_id") < DocCap && length(col("text")) > 0)
 
   /** Append a contiguous 0-based index in the DataFrame's CURRENT order
     * (call on a just-sorted frame): `zipWithIndex` numbers partitions
     * in order, and a range-shuffled sort leaves partitions globally
     * ordered, so the indices are the global sort ranks. */
   private def zipOrdered(df: DataFrame, idxCol: String): DataFrame = {
-    val schema = df.schema.add(idxCol, LongType, nullable = false)
-    val rdd = df.rdd.zipWithIndex().map { case (row, i) =>
+    // snapshot the sorted partitions first: zipWithIndex runs an extra
+    // size-count job over its parent, and downstream consumers
+    // materialize the RDD again — without the checkpoint each of those
+    // re-runs the sort
+    val snapped = df.localCheckpoint()
+    val schema = snapped.schema.add(idxCol, LongType, nullable = false)
+    val rdd = snapped.rdd.zipWithIndex().map { case (row, i) =>
       Row.fromSeq(row.toSeq :+ i)
     }
-    df.sparkSession.createDataFrame(rdd, schema)
+    snapped.sparkSession.createDataFrame(rdd, schema)
   }
 
-  /** All doubling levels: (L, ranks of the length-L prefix of every
-    * suffix), L = 1, 2, 4, … ≥ maxlen. The last level's ranks are the
-    * full suffix ranks. Each level is localCheckpointed — the loop is
-    * iterative and the lineage must not compound (kmeansTrain rule). */
+  /** All levels: (L, dense rank of the length-L truncated prefix of
+    * every suffix), L = Block, Block·Radix, … ≥ maxlen. The last
+    * level's ranks are the full suffix ranks. Each level is
+    * localCheckpointed — the loop is iterative and the lineage must
+    * not compound (kmeansTrain rule). */
   private[queries] def suffixLevels(
-      s: SparkSession, d: String, cap: Int = DocCap): Seq[(Long, DataFrame)] = {
-    val base = chars(s, d, cap)
+      s: SparkSession, d: String): Seq[(Long, DataFrame)] = {
+    val docs = docsCapped(s, d)
+    val blocks = docs
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0, length(text) - 1)")).as("p"))
+      .select(col("doc_id"), col("p").cast("long").as("pos"),
+        expr(s"substring(text, p + 1, ${Block.toInt})").as("blk"))
     val alphabet = zipOrdered(
-      base.select("ch").distinct().orderBy("ch"), "r")
-    var ranks = base.join(alphabet, Seq("ch"))
+      blocks.select("blk").distinct().orderBy("blk"), "r")
+    var ranks = blocks.join(alphabet, Seq("blk"))
       .select(col("doc_id"), col("pos"), col("r"))
       .localCheckpoint()
-    val maxLen = Tables.documents(s, d).filter(col("doc_id") < cap)
-      .agg(max(length(col("text")))).head().getInt(0).toLong
+    val maxLen = docs.agg(max(length(col("text")))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getInt(0).toLong
+    }
     val levels = Seq.newBuilder[(Long, DataFrame)]
-    levels += ((1L, ranks))
-    var len = 1L
+    levels += ((Block, ranks))
+    var len = Block
     while (len < maxLen) {
-      val offset = ranks.select(col("doc_id").as("odoc"),
-        col("pos").as("opos"), col("r").as("or"))
-      val pairs = ranks.join(offset,
-        col("odoc") === col("doc_id") && col("opos") === col("pos") + len,
-        "left")
-        .select(col("doc_id"), col("pos"), col("r").as("r1"),
-          coalesce(col("or"), lit(-1L)).as("r2"))
+      // (r, r@+L, r@+2L, r@+3L): the base-4 digit block of the next level
+      var pairs = ranks
+      (1L until Radix).foreach { k =>
+        val off = ranks.select(col("doc_id").as("odoc"),
+          col("pos").as("opos"), col("r").as(s"r$k"))
+        pairs = pairs.join(off,
+          col("odoc") === col("doc_id") &&
+            col("opos") === col("pos") + lit(k * len), "left")
+          .drop("odoc", "opos")
+          .withColumn(s"r$k", coalesce(col(s"r$k"), lit(-1L)))
+      }
+      val keys = "r" +: (1L until Radix).map(k => s"r$k")
+      pairs = pairs.select(col("doc_id") +: col("pos") +: keys.map(col): _*)
+        .localCheckpoint() // used twice: id assignment + the join back
       val ids = zipOrdered(
-        pairs.select("r1", "r2").distinct().orderBy("r1", "r2"), "nr")
-      ranks = pairs.join(ids, Seq("r1", "r2"))
+        pairs.select(keys.map(col): _*).distinct()
+          .orderBy(keys.map(col): _*), "nr")
+      ranks = pairs.join(ids, keys)
         .select(col("doc_id"), col("pos"), col("nr").as("r"))
         .localCheckpoint()
-      len *= 2
+      len *= Radix
       levels += ((len, ranks))
     }
     levels.result()
@@ -109,6 +135,20 @@ object SuffixOps {
   def suffixRanks(s: SparkSession, d: String): DataFrame =
     suffixLevels(s, d).last._2
       .select(col("doc_id"), col("pos"), (col("r") + 1L).as("srank"))
+
+  /** ≤(Block−1)-char LCP extension by direct text comparison at offset
+    * `off`: the level-Block ranks at this offset are known unequal, so
+    * the first mismatch is within the next Block chars. 1-based char
+    * j of the suffix tail is string position pos + off + j. */
+  private def residual(): Column = {
+    def ch(t: String, p: String, j: Int): String =
+      s"substring($t, CAST($p + off + $j AS INT), 1)"
+    val cases = (1 to (Block - 1).toInt).map { j =>
+      s"WHEN ${ch("atext", "apos", j)} <> ${ch("btext", "bpos", j)} " +
+        s"OR ${ch("atext", "apos", j)} = '' THEN ${j - 1}"
+    }.mkString(" ")
+    expr(s"CASE $cases ELSE ${Block - 1} END").cast("long")
+  }
 
   /** q137: per capped doc, the longest repeated span touching it and
     * how many of its positions start a repeat ≥ MinRep chars (the rows
@@ -127,8 +167,13 @@ object SuffixOps {
       Seq("i"))
       .select(col("i"), col("doc_id").as("adoc"), col("pos").as("apos"),
         col("bdoc"), col("bpos"), lit(0L).as("off"))
-    // binary lifting, highest level first
-    levels.reverse.foreach { case (len, rk) =>
+    // greedy lifting, highest level first: up to Radix−1 adds per level
+    // (the base-4 digits), 1 at the top (lcp < maxlen ≤ top). One fused
+    // plan per level — every rk input is already checkpointed.
+    val steps = levels.reverse.zipWithIndex.flatMap { case ((l, rk), ix) =>
+      Seq.fill(if (ix == 0) 1 else (Radix - 1).toInt)((l, rk))
+    }
+    steps.foreach { case (len, rk) =>
       val ra = rk.select(col("doc_id").as("xad"), col("pos").as("xap"),
         col("r").as("ar"))
       val rb = rk.select(col("doc_id").as("xbd"), col("pos").as("xbp"),
@@ -141,17 +186,16 @@ object SuffixOps {
         .withColumn("off", when(col("ar").isNotNull &&
           col("ar") === col("br"), col("off") + len).otherwise(col("off")))
         .select("i", "adoc", "apos", "bdoc", "bpos", "off")
-        .localCheckpoint()
     }
-    val lens = Tables.documents(s, d).filter(col("doc_id") < DocCap)
-      .select(col("doc_id"), length(col("text")).cast("long").as("dlen"))
+    val texts = docsCapped(s, d)
+      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("dlen"))
     val lcps = pairs
-      .join(broadcast(lens.select(col("doc_id").as("adoc"),
-        col("dlen").as("alen"))), Seq("adoc"))
-      .join(broadcast(lens.select(col("doc_id").as("bdoc"),
-        col("dlen").as("blen"))), Seq("bdoc"))
+      .join(broadcast(texts.select(col("doc_id").as("adoc"),
+        col("text").as("atext"), col("dlen").as("alen"))), Seq("adoc"))
+      .join(broadcast(texts.select(col("doc_id").as("bdoc"),
+        col("text").as("btext"), col("dlen").as("blen"))), Seq("bdoc"))
       .select(col("i"),
-        least(col("off"), col("alen") - col("apos"),
+        least(col("off") + residual(), col("alen") - col("apos"),
           col("blen") - col("bpos")).as("l"))
     // each row's repeat = max(LCP with rank-predecessor, with successor)
     ordered
