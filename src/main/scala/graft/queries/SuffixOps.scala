@@ -57,9 +57,9 @@ object SuffixOps {
   private val Block = 8L // initial rank granularity (chars)
   private val Radix = 4L // prefix-length multiplier per round
 
-  private def docsCapped(s: SparkSession, d: String): DataFrame =
+  private def docsCapped(s: SparkSession, d: String, cap: Int): DataFrame =
     Tables.documents(s, d)
-      .filter(col("doc_id") < DocCap && length(col("text")) > 0)
+      .filter(col("doc_id") < cap && length(col("text")) > 0)
 
   /** Append a contiguous 0-based index in the DataFrame's CURRENT order
     * (call on a just-sorted frame): `zipWithIndex` numbers partitions
@@ -84,8 +84,8 @@ object SuffixOps {
     * localCheckpointed — the loop is iterative and the lineage must
     * not compound (kmeansTrain rule). */
   private[queries] def suffixLevels(
-      s: SparkSession, d: String): Seq[(Long, DataFrame)] = {
-    val docs = docsCapped(s, d)
+      s: SparkSession, d: String, cap: Int = DocCap): Seq[(Long, DataFrame)] = {
+    val docs = docsCapped(s, d, cap)
     val blocks = docs
       .select(col("doc_id"), col("text"),
         explode(expr("sequence(0, length(text) - 1)")).as("p"))
@@ -133,7 +133,13 @@ object SuffixOps {
   /** q136: (doc_id, pos, srank) — 1-based dense lexicographic rank of
     * the suffix starting at pos, identical suffixes sharing a rank. */
   def suffixRanks(s: SparkSession, d: String): DataFrame =
-    suffixLevels(s, d).last._2
+    suffixRanksAt(s, d, DocCap)
+
+  /** Probe entry: same query at a chosen doc cap (the scale knob — the
+    * corpus under the suffix sort grows linearly with it). */
+  private[graft] def suffixRanksAt(
+      s: SparkSession, d: String, cap: Int): DataFrame =
+    suffixLevels(s, d, cap).last._2
       .select(col("doc_id"), col("pos"), (col("r") + 1L).as("srank"))
 
   /** ≤(Block−1)-char LCP extension by direct text comparison at offset
@@ -153,8 +159,12 @@ object SuffixOps {
   /** q137: per capped doc, the longest repeated span touching it and
     * how many of its positions start a repeat ≥ MinRep chars (the rows
     * a span-dedup pass like q133 would rewrite). */
-  def longestRepeat(s: SparkSession, d: String): DataFrame = {
-    val levels = suffixLevels(s, d)
+  def longestRepeat(s: SparkSession, d: String): DataFrame =
+    longestRepeatAt(s, d, DocCap)
+
+  private[graft] def longestRepeatAt(
+      s: SparkSession, d: String, cap: Int): DataFrame = {
+    val levels = suffixLevels(s, d, cap)
     val full = levels.last._2
     val ordered = zipOrdered(
       full.orderBy(col("r"), col("doc_id"), col("pos")), "i")
@@ -187,7 +197,7 @@ object SuffixOps {
           col("ar") === col("br"), col("off") + len).otherwise(col("off")))
         .select("i", "adoc", "apos", "bdoc", "bpos", "off")
     }
-    val texts = docsCapped(s, d)
+    val texts = docsCapped(s, d, cap)
       .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("dlen"))
     val lcps = pairs
       .join(broadcast(texts.select(col("doc_id").as("adoc"),

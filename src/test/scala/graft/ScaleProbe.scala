@@ -51,7 +51,34 @@ object ScaleProbe {
     }
   }
 
+  /** `suffix` mode: q136/q137 cost vs the doc cap (their scale knob —
+    * the ×N replicated-table probe does not apply because it duplicates
+    * (doc_id, pos) keys, which a suffix array treats as one corpus with
+    * a broken primary key; growing the cap grows the REAL corpus under
+    * the sort linearly). */
+  def suffixProbe(spark: SparkSession, caps: Seq[Int]): Unit = {
+    val src = "/root/testdata/sf0.1"
+    caps.foreach { cap =>
+      var t0 = System.nanoTime()
+      val n = graft.queries.SuffixOps.suffixRanksAt(spark, src, cap).count()
+      println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  suffixRanks cap=$cap (positions=$n)")
+      t0 = System.nanoTime()
+      val m = graft.queries.SuffixOps.longestRepeatAt(spark, src, cap).count()
+      println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  longestRepeat cap=$cap (docs=$m)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("suffix")) {
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      suffixProbe(spark, if (args.length > 1) args.drop(1).toSeq.map(_.toInt)
+        else Seq(100, 300, 1000))
+      spark.stop(); return
+    }
     if (args.headOption.contains("skew")) {
       val spark = SparkSession.builder().master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
