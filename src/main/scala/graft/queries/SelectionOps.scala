@@ -169,9 +169,40 @@ object SelectionOps {
       case (syms, (a, b)) => applyMerge(syms, a, b)
     }
 
+  // ---- q138 BPE encode (train → apply, corpus-scale) ----
+
+  private val EncodeMerges = 16
+
+  /** Apply `EncodeMerges` learned merges to the whole corpus and report
+    * per-source token accounting (chars / whitespace tokens / BPE
+    * tokens — the real version of q27's 4-chars-per-token estimate).
+    * The corpus pass only counts words; tokenization happens ONCE per
+    * distinct word on the driver (|vocab| ≪ |corpus| always) and
+    * rejoins as a broadcast map — so the expensive path is two
+    * corpus-scale aggregations, no per-occurrence string work.
+    * Rows-only: the merge learner is not SQL-expressible (kmeansTrain
+    * posture); SelectionOpsSpec proves the per-source counts equal an
+    * independent driver-side tokenization of every document. */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeTrain(s, d, EncodeMerges)
+    val vocabTokens = TextOps.words(s, d).groupBy("word").count()
+      .collect().map(r => (r.getString(0), bpeTokenize(r.getString(0), merges).length.toLong))
+    import s.implicits._
+    val vt = broadcast(vocabTokens.toSeq.toDF("word", "n_tok"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("word"))
+      .join(vt, Seq("word"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("ws_tokens"),
+        sum(length(col("word"))).as("word_chars"),
+        sum(col("n_tok")).as("bpe_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_dsir_select" -> dsirSelect,
-    "q135_bpe_pair_counts" -> bpePairCounts)
+    "q135_bpe_pair_counts" -> bpePairCounts,
+    "q138_bpe_encode" -> bpeEncode)
 
   private def polyMod(g: String) = s"(${OracleHash.polySql(g)}) % $B"
 

@@ -90,6 +90,26 @@ class SelectionOpsSpec extends AnyFunSuite {
     assert(SelectionOps.bpeTokenize("hugs", merges) == Vector("hug", "s"))
   }
 
+  test("q138 bpe encode matches an independent per-document tokenization") {
+    val merges = SelectionOps.bpeTrain(spark, sf, 16)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = docs.groupBy(_._1).view.mapValues { ds =>
+      val words = ds.flatMap(_._2.split(" ", -1))
+      (words.length.toLong, words.map(_.length.toLong).sum,
+        words.map(w => SelectionOps.bpeTokenize(w, merges).length.toLong).sum)
+    }.toMap
+    val got = SelectionOps.bpeEncode(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == want)
+    // sanity: a BPE token is >= 1 char and each word is >= 1 token
+    got.values.foreach { case (ws, chars, bpe) =>
+      assert(bpe >= ws && bpe <= chars)
+    }
+  }
+
   test("bpeTrain on the corpus: monotone token counts, deterministic") {
     val m1 = SelectionOps.bpeTrain(spark, sf, 8)
     val m2 = SelectionOps.bpeTrain(spark, sf, 8)
