@@ -130,12 +130,18 @@ object SelectionOps {
     * is the word count; merges iterate over the collected vocabulary
     * (tie-break: highest count, then lexicographic (a, b) — fully
     * deterministic). Returns the merges in learned order. */
-  def bpeTrain(s: SparkSession, d: String, nMerges: Int): Seq[(String, String)] = {
-    val vocab0: Array[(Vector[String], Long)] =
-      TextOps.words(s, d).groupBy("word").agg(count(lit(1)).as("cnt"))
-        .collect()
-        .map(r => (r.getString(0).map(_.toString).toVector, r.getLong(1)))
-    var vocab = vocab0
+  def bpeTrain(s: SparkSession, d: String, nMerges: Int): Seq[(String, String)] =
+    bpeTrainFrom(collectVocab(s, d), nMerges)
+
+  /** One corpus-scale pass: the collected (word, frequency) vocab. */
+  private def collectVocab(s: SparkSession, d: String): Array[(String, Long)] =
+    TextOps.words(s, d).groupBy("word").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+  private def bpeTrainFrom(
+      vocab0: Array[(String, Long)], nMerges: Int): Seq[(String, String)] = {
+    var vocab: Array[(Vector[String], Long)] =
+      vocab0.map { case (w, c) => (w.map(_.toString).toVector, c) }
     val merges = Seq.newBuilder[(String, String)]
     var m = 0
     var done = false
@@ -184,9 +190,10 @@ object SelectionOps {
     * posture); SelectionOpsSpec proves the per-source counts equal an
     * independent driver-side tokenization of every document. */
   def bpeEncode(s: SparkSession, d: String): DataFrame = {
-    val merges = bpeTrain(s, d, EncodeMerges)
-    val vocabTokens = TextOps.words(s, d).groupBy("word").count()
-      .collect().map(r => (r.getString(0), bpeTokenize(r.getString(0), merges).length.toLong))
+    val vocab = collectVocab(s, d) // the ONE corpus-scale vocab pass
+    val merges = bpeTrainFrom(vocab, EncodeMerges)
+    val vocabTokens = vocab.map { case (w, _) =>
+      (w, bpeTokenize(w, merges).length.toLong) }
     import s.implicits._
     val vt = broadcast(vocabTokens.toSeq.toDF("word", "n_tok"))
     Tables.documents(s, d)

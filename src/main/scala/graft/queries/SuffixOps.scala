@@ -91,14 +91,15 @@ object SuffixOps {
         explode(expr("sequence(0, length(text) - 1)")).as("p"))
       .select(col("doc_id"), col("p").cast("long").as("pos"),
         expr(s"substring(text, p + 1, ${Block.toInt})").as("blk"))
+      .localCheckpoint() // used twice (alphabet + join) and for maxLen
     val alphabet = zipOrdered(
       blocks.select("blk").distinct().orderBy("blk"), "r")
     var ranks = blocks.join(alphabet, Seq("blk"))
       .select(col("doc_id"), col("pos"), col("r"))
       .localCheckpoint()
-    val maxLen = docs.agg(max(length(col("text")))).head() match {
+    val maxLen = blocks.agg(max(col("pos"))).head() match {
       case r if r.isNullAt(0) => 0L
-      case r => r.getInt(0).toLong
+      case r => r.getLong(0) + 1L
     }
     val levels = Seq.newBuilder[(Long, DataFrame)]
     levels += ((Block, ranks))
@@ -207,6 +208,11 @@ object SuffixOps {
       .select(col("i"),
         least(col("off") + residual(), col("alen") - col("apos"),
           col("blen") - col("bpos")).as("l"))
+    // lcps is consumed twice below (lnext + shifted lprev) but is
+    // deliberately NOT checkpointed: the duplicate lifting subtrees
+    // schedule concurrently inside one job, while an eager checkpoint
+    // serializes two jobs — measured 4.2 → 5.9 s at sf0.1 (the q132
+    // localCheckpoint lesson again; see PLANS.md)
     // each row's repeat = max(LCP with rank-predecessor, with successor)
     ordered
       .join(lcps.select(col("i"), col("l").as("lnext")), Seq("i"), "left")
