@@ -163,8 +163,10 @@ object SuffixOps {
   def longestRepeat(s: SparkSession, d: String): DataFrame =
     longestRepeatAt(s, d, DocCap)
 
-  private[graft] def longestRepeatAt(
-      s: SparkSession, d: String, cap: Int): DataFrame = {
+  /** Shared core of q137/q139: the suffix order (doc_id, pos, i) and
+    * the LCP `l` between rank-adjacent rows i and i+1. */
+  private def orderedLcps(
+      s: SparkSession, d: String, cap: Int): (DataFrame, DataFrame) = {
     val levels = suffixLevels(s, d, cap)
     val full = levels.last._2
     val ordered = zipOrdered(
@@ -208,11 +210,17 @@ object SuffixOps {
       .select(col("i"),
         least(col("off") + residual(), col("alen") - col("apos"),
           col("blen") - col("bpos")).as("l"))
-    // lcps is consumed twice below (lnext + shifted lprev) but is
-    // deliberately NOT checkpointed: the duplicate lifting subtrees
-    // schedule concurrently inside one job, while an eager checkpoint
-    // serializes two jobs — measured 4.2 → 5.9 s at sf0.1 (the q132
-    // localCheckpoint lesson again; see PLANS.md)
+    // lcps is consumed twice by every caller (lnext + shifted lprev)
+    // but is deliberately NOT checkpointed: the duplicate lifting
+    // subtrees schedule concurrently inside one job, while an eager
+    // checkpoint serializes two jobs — measured 4.2 → 5.9 s at sf0.1
+    // (the q132 localCheckpoint lesson again; see PLANS.md)
+    (ordered, lcps)
+  }
+
+  private[graft] def longestRepeatAt(
+      s: SparkSession, d: String, cap: Int): DataFrame = {
+    val (ordered, lcps) = orderedLcps(s, d, cap)
     // each row's repeat = max(LCP with rank-predecessor, with successor)
     ordered
       .join(lcps.select(col("i"), col("l").as("lnext")), Seq("i"), "left")
@@ -225,9 +233,70 @@ object SuffixOps {
         sum(when(col("v") >= MinRep, 1L).otherwise(0L)).as("n_pos_rep"))
   }
 
+  /** q139: exact keep-first span-dedup REMOVAL — q133's rebuild driven
+    * by the suffix array instead of fixed 8-grams (the exact method of
+    * Lee et al. 2022). Semantics: group suffixes into maximal
+    * rank-adjacent RUNS whose adjacent LCP is ≥ MinRep (within a run,
+    * every pair shares a ≥ MinRep-char prefix, because pairwise LCP is
+    * the min of the adjacent LCPs between them); in each run the
+    * smallest (doc_id, pos) is the kept first occurrence, every other
+    * member marks its next MinRep chars for removal; documents are
+    * rebuilt from unmarked characters. A ≥ MinRep-long exact duplicate
+    * of an earlier doc erases itself entirely.
+    *
+    * The run id is a two-phase prefix sum over the break flags (q128's
+    * device): per-4096-bucket break totals (tiny) window once, and each
+    * row adds its bucket-local ROWS-frame cumsum — never a full-corpus
+    * single-partition window. */
+  def spanDedupExact(s: SparkSession, d: String): DataFrame =
+    spanDedupExactAt(s, d, DocCap)
+
+  private[graft] def spanDedupExactAt(
+      s: SparkSession, d: String, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (ordered, lcps) = orderedLcps(s, d, cap)
+    // break before row i ⇔ it does not extend the previous row's run
+    val rows = ordered
+      .join(lcps.select((col("i") + 1L).as("i"), col("l").as("lprev")),
+        Seq("i"), "left")
+      .withColumn("brk",
+        when(coalesce(col("lprev"), lit(-1L)) < MinRep, 1L).otherwise(0L))
+      .withColumn("bkt", expr("i div 4096"))
+    val wIn = Window.partitionBy("bkt").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = rows.withColumn("run_in", sum(col("brk")).over(wIn))
+      .localCheckpoint() // feeds the bucket totals AND the run join
+    val wB = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bpre = local.groupBy("bkt").agg(sum(col("brk")).as("btot"))
+      .withColumn("bpre", coalesce(sum(col("btot")).over(wB), lit(0L)))
+    val runs = local.join(broadcast(bpre.select("bkt", "bpre")), Seq("bkt"))
+      .withColumn("run", col("bpre") + col("run_in"))
+    val runMin = runs.groupBy("run")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("rm"))
+    val cov = runs.join(runMin, Seq("run"))
+      .filter(struct(col("doc_id"), col("pos")) =!= col("rm"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos") + 1L, col("pos") + lit(MinRep))).as("p"))
+      .groupBy("doc_id").agg(collect_set(col("p")).as("cov"))
+    docsCapped(s, d, cap).join(cov, Seq("doc_id"), "left")
+      .withColumn("cov",
+        coalesce(col("cov"), expr("CAST(array() AS array<bigint>)")))
+      // array_except: hash-set pass, order-preserving (the q133 rule)
+      .withColumn("keep", expr(
+        "array_except(sequence(1L, CAST(length(text) AS BIGINT)), cov)"))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("cov")).cast("long").as("removed_chars"),
+        md5(expr(
+          "concat_ws('', transform(keep, j -> substring(text, CAST(j AS INT), 1)))"))
+          .as("clean_hash"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_suffix_ranks" -> suffixRanks,
-    "q137_longest_repeat" -> longestRepeat)
+    "q137_longest_repeat" -> longestRepeat,
+    "q139_span_dedup_exact" -> spanDedupExact)
 
   private val posCte =
     s"""WITH p AS (
@@ -269,5 +338,56 @@ object SuffixOps {
       |SELECT doc_id, CAST(MAX(v) AS BIGINT) AS longest_repeat,
       |  CAST(SUM(CASE WHEN v >= $MinRep THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_pos_rep
-      |FROM v GROUP BY doc_id""".stripMargin)
+      |FROM v GROUP BY doc_id""".stripMargin,
+    "q139_span_dedup_exact" -> s"""$posCte,
+      |s AS (SELECT doc_id, pos, substr(text, pos + 1) AS suf FROM p),
+      |o AS (SELECT doc_id, pos, suf,
+      |        lead(suf) OVER (ORDER BY suf, doc_id, pos) AS nsuf
+      |      FROM s),
+      |lp AS (SELECT doc_id, pos, suf,
+      |         LEAST(len(suf), len(nsuf)) AS ml,
+      |         list_position(list_transform(
+      |           range(1, LEAST(len(suf), len(nsuf)) + 1),
+      |           j -> substr(suf, j, 1) = substr(nsuf, j, 1)), false) AS fp
+      |       FROM o WHERE nsuf IS NOT NULL),
+      |ln AS (SELECT doc_id, pos, suf,
+      |         CAST(COALESCE(NULLIF(fp, 0) - 1, ml) AS BIGINT) AS lnext
+      |       FROM lp
+      |       UNION ALL
+      |       SELECT doc_id, pos, suf, 0 FROM o WHERE nsuf IS NULL),
+      |b AS (SELECT doc_id, pos, suf,
+      |        CASE WHEN COALESCE(
+      |              lag(lnext) OVER (ORDER BY suf, doc_id, pos), -1)
+      |            < $MinRep THEN 1 ELSE 0 END AS brk
+      |      FROM ln),
+      |r AS (SELECT doc_id, pos,
+      |        SUM(brk)
+      |          OVER (ORDER BY suf, doc_id, pos ROWS UNBOUNDED PRECEDING)
+      |          AS run
+      |      FROM b),
+      |dups AS (SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos, ROW_NUMBER()
+      |      OVER (PARTITION BY run ORDER BY doc_id, pos) AS rr
+      |    FROM r) WHERE rr > 1),
+      |cov AS (SELECT DISTINCT doc_id,
+      |          unnest(generate_series(pos + 1, pos + $MinRep)) AS jc
+      |        FROM dups),
+      |chars AS (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS j
+      |          FROM documents WHERE doc_id < $DocCap AND len(text) > 0),
+      |kept AS (SELECT c.doc_id, c.j, substr(c.text, c.j, 1) AS ch
+      |         FROM chars c LEFT JOIN cov v
+      |           ON v.doc_id = c.doc_id AND v.jc = c.j
+      |         WHERE v.jc IS NULL),
+      |reb AS (SELECT doc_id,
+      |          COALESCE(array_to_string(list(ch ORDER BY j), ''), '')
+      |            AS ct
+      |        FROM kept GROUP BY doc_id),
+      |ncov AS (SELECT doc_id, COUNT(*) AS removed FROM cov GROUP BY 1)
+      |SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars,
+      |  CAST(COALESCE(n.removed, 0) AS BIGINT) AS removed_chars,
+      |  md5(COALESCE(r2.ct, '')) AS clean_hash
+      |FROM documents d
+      |LEFT JOIN reb r2 ON r2.doc_id = d.doc_id
+      |LEFT JOIN ncov n ON n.doc_id = d.doc_id
+      |WHERE d.doc_id < $DocCap AND len(d.text) > 0""".stripMargin)
 }

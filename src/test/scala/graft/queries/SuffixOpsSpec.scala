@@ -65,6 +65,68 @@ class SuffixOpsSpec extends AnyFunSuite {
     assert(got == perDoc.toMap)
   }
 
+  test("q139 matches a driver-side keep-first span removal exactly") {
+    def lcp(a: String, b: String): Long = {
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n && a.charAt(i) == b.charAt(i)) i += 1
+      i.toLong
+    }
+    val docs = cappedDocs(sf)
+    val sorted = sortedSuffixes(docs)
+    // runs of rank-adjacent suffixes with adjacent lcp >= 20
+    val covered = collection.mutable.Map.empty[Long, collection.mutable.Set[Long]]
+    var runStart = 0
+    def closeRun(endExcl: Int): Unit = {
+      val run = sorted.slice(runStart, endExcl)
+      if (run.length > 1) {
+        val keeper = run.minBy(t => (t._1, t._2))
+        run.filter(_ != keeper).foreach { case (id, p, _) =>
+          val set = covered.getOrElseUpdate(id, collection.mutable.Set.empty)
+          ((p + 1) to (p + 20)).foreach(set += _)
+        }
+      }
+      runStart = endExcl
+    }
+    (1 until sorted.length).foreach { i =>
+      if (lcp(sorted(i - 1)._3, sorted(i)._3) < 20L) closeRun(i)
+    }
+    closeRun(sorted.length)
+    val want = docs.map { case (id, t) =>
+      val cov = covered.getOrElse(id, collection.mutable.Set.empty)
+      val clean = (1 to t.length).filterNot(j => cov.contains(j.toLong))
+        .map(j => t.charAt(j - 1)).mkString
+      id -> (t.length.toLong, cov.size.toLong,
+        java.security.MessageDigest.getInstance("MD5").digest(
+          clean.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    }.toMap
+    val got = SuffixOps.spanDedupExact(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got == want)
+    assert(got.values.exists(_._2 > 0L), "the corpus has real repeats")
+  }
+
+  test("q139 fixture: an exact duplicate of an earlier doc erases itself") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sfx139").toString
+    val long = "the quick brown fox jumps over the lazy dog again and again"
+    Seq(
+      (0L, long, "en", "src0", long.length.toLong), // kept intact
+      (1L, long, "en", "src1", long.length.toLong), // exact duplicate
+      (2L, "entirely unrelated words here", "en", "src2", 29L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SuffixOps.spanDedupExact(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    val md5empty = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.emptyByteArray).map("%02x".format(_)).mkString
+    assert(got(0L)._1 == 0L, "first occurrence keeps every char")
+    assert(got(1L) == (long.length.toLong, md5empty),
+      "the duplicate must erase itself entirely")
+    assert(got(2L)._1 == 0L, "the unrelated doc is untouched")
+  }
+
   test("fixtures: containment, duplication, and repeat-free corpora") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sfx").toString
