@@ -41,7 +41,8 @@ object SparkEntry {
       graft.queries.CurationOps.queries ++
       graft.queries.PackingOps.queries ++
       graft.queries.SelectionOps.queries ++
-      graft.queries.SuffixOps.queries
+      graft.queries.SuffixOps.queries ++
+      graft.queries.LmOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -72,5 +73,6 @@ object SparkEntry {
       graft.queries.CurationOps.oracle ++
       graft.queries.PackingOps.oracle ++
       graft.queries.SelectionOps.oracle ++
-      graft.queries.SuffixOps.oracle
+      graft.queries.SuffixOps.oracle ++
+      graft.queries.LmOps.oracle
 }
