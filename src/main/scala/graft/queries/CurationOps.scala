@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.GramOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -244,13 +245,61 @@ object CurationOps {
       .agg(count(lit(1)).as("kept_docs"))
   }
 
+  // ---- q141 source-overlap Jaccard matrix ----
+
+  private val OvN = 8 // token-window width (the q113/q133 gram family)
+
+  /** q141: exact pairwise Jaccard similarity of the distinct 8-token-
+    * gram sets of every source pair — the corpus-diagnostics matrix a
+    * curation pipeline reads before mixing sources (near-identical
+    * sources are crawl mirrors; high-overlap pairs inflate dedup
+    * pressure and double-count token budgets).
+    *
+    * Plan: distinct (source, gram-hash) via one map-side-combinable
+    * aggregate; gram → sorted source set (bounded by the source count
+    * S, a constant); per-gram pair explode fans out ≤ S(S−1)/2 rows
+    * per DISTINCT gram; set sizes broadcast back onto the pair counts.
+    * No self-join of the gram table and nothing corpus-scale after the
+    * second shuffle — at 100 TB the pair stream is (distinct grams) ×
+    * (a small constant), and both shuffles ship 8-byte hashes (the
+    * native [[graft.functions.GramHashes]] loop), never gram strings.
+    * Pairs with zero shared grams are absent from the output (inner
+    * semantics — the oracle mirrors this).
+    *
+    * jaccard_ppm is integer fixed-point: `(|A∩B| · 10⁶) div |A∪B|`
+    * (the q134 rule — no IEEE division anywhere near the oracle). */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    GramOps.register(s)
+    val g = Tables.documents(s, d)
+      .select(col("source"),
+        explode(GramOps.gram_hashes(col("text"), OvN)).as("h"))
+      .distinct()
+    val sizes = g.groupBy("source").agg(count(lit(1)).as("sz"))
+    g.groupBy("h").agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ss, (a, i) ->
+          |  transform(slice(ss, i + 2, size(ss)),
+          |    b -> struct(a AS src_a, b AS src_b))))""".stripMargin)).as("p"))
+      .select(col("p.src_a"), col("p.src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(
+        col("source").as("src_a"), col("sz").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(
+        col("source").as("src_b"), col("sz").as("n_b"))), Seq("src_b"))
+      .withColumn("jaccard_ppm",
+        expr("(inter * 1000000L) div (n_a + n_b - inter)"))
+      .select("src_a", "src_b", "n_a", "n_b", "inter", "jaccard_ppm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q124_heavy_hitters" -> heavyHitterWords,
     "q125_source_quota" -> sourceQuota,
     "q126_bloom_blocklist" -> ((s: SparkSession, d: String) =>
       bloomBlocklist(s, d)),
     "q130_grouped_heavy_hitters" -> groupedHeavyHitters,
-    "q132_cooccur_heavy_hitters" -> cooccurHeavyHitters)
+    "q132_cooccur_heavy_hitters" -> cooccurHeavyHitters,
+    "q141_source_overlap" -> sourceOverlap)
 
   val oracle: Map[String, String] = Map(
     // q124/q130/q132 deliberately have NO oracle: sketch content is
@@ -273,5 +322,36 @@ object CurationOps {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM documents b
         |  WHERE b.source = 'src0' AND md5(b.text) = md5(d.text))
-        |GROUP BY source, lang""".stripMargin)
+        |GROUP BY source, lang""".stripMargin,
+    // hashes evaluate once per DISTINCT gram string (the NOTES_r6
+    // oracle-cost rule), then Jaccard works on the hash sets exactly
+    // like the Spark side
+    "q141_source_overlap" -> ({
+      val hash = OracleHash.polySql("g")
+      s"""WITH toks AS (
+         |  SELECT source, string_split(text, ' ') AS t FROM documents),
+         |idx AS (
+         |  SELECT source, t,
+         |    unnest(generate_series(1, len(t) - ${OvN - 1})) AS i
+         |  FROM toks),
+         |gstr AS (
+         |  SELECT DISTINCT source,
+         |    array_to_string(t[i:i + ${OvN - 1}], ' ') AS g
+         |  FROM idx),
+         |gv AS MATERIALIZED (SELECT DISTINCT g FROM gstr),
+         |gh AS MATERIALIZED (SELECT g, $hash AS h FROM gv),
+         |sg AS (SELECT DISTINCT source, h FROM gstr JOIN gh USING (g)),
+         |sz AS (SELECT source, COUNT(*) AS sz FROM sg GROUP BY source),
+         |iv AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+         |  FROM sg a JOIN sg b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, sa.sz AS n_a, sb.sz AS n_b,
+         |  CAST(inter AS BIGINT) AS inter,
+         |  (CAST(inter AS BIGINT) * 1000000)
+         |    // (sa.sz + sb.sz - inter) AS jaccard_ppm
+         |FROM iv
+         |JOIN sz sa ON sa.source = iv.src_a
+         |JOIN sz sb ON sb.source = iv.src_b""".stripMargin
+    }))
 }
