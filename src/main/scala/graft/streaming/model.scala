@@ -25,6 +25,18 @@ case class LoginActivity(uid: String, date: String, ts: Long,
   * this event satisfies (caller maps event types to steps). */
 case class FunnelEvent(key: String, ts: Long, step: Int)
 
+/** A document arriving on an ingest stream (`ts` = epoch ms). */
+case class DocEvent(docId: Long, ts: Long, text: String)
+
+/** One LSH band row of a document's minhash signature: the bucket key
+  * is the minhash PAIR itself (the q30 convention). */
+case class BandRow(h1: Long, h2: Long, docId: Long, ts: Long)
+
+/** Streaming near-dup candidate: `docId` landed in band bucket
+  * (h1, h2) already claimed by the earlier `anchorDoc`. */
+case class LshCandidate(h1: Long, h2: Long, anchorDoc: Long,
+    anchorTs: Long, docId: Long, ts: Long)
+
 /** One outcome per key that reached step 0: either the pattern completed
   * (all steps in order, each within its gap timeout) or it expired with
   * `stepsReached` of them done. `anchorTs` is the step-0 event time. */
