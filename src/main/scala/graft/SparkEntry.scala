@@ -42,7 +42,8 @@ object SparkEntry {
       graft.queries.PackingOps.queries ++
       graft.queries.SelectionOps.queries ++
       graft.queries.SuffixOps.queries ++
-      graft.queries.LmOps.queries
+      graft.queries.LmOps.queries ++
+      graft.queries.IncrementalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -74,5 +75,6 @@ object SparkEntry {
       graft.queries.PackingOps.oracle ++
       graft.queries.SelectionOps.oracle ++
       graft.queries.SuffixOps.oracle ++
-      graft.queries.LmOps.oracle
+      graft.queries.LmOps.oracle ++
+      graft.queries.IncrementalOps.oracle
 }
