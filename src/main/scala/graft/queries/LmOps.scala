@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   *
   *  - q140: bigram LM with add-one smoothing trained on the `lang='en'`
   *    slice (the "Wikipedia" stand-in), scored over every document.
+  *  - q143: a learned quality classifier distilled FROM q140's buckets
+  *    (weak-label distillation — FineWeb/DCLM train their fasttext
+  *    filters from heuristic teachers the same way): logistic
+  *    regression over [0,1] surface features + the LM score, trained
+  *    as a driver loop of map-side-combinable gradient passes.
   *    CCNet proper scores log-space perplexity; logs are libm-dependent
   *    (the q134 rule: JVM `Math.log` vs DuckDB `std::log` may differ in
   *    the last ulp), so the emitted score is the integer-exact
@@ -111,8 +116,160 @@ object LmOps {
       .select("doc_id", "lang", "n_bigrams", "score_ppm", "bucket")
   }
 
+  // ---- q143 learned quality classifier (weak-label distillation) ----
+
+  /** Per-doc surface features + the LM score + the weak label, all in
+    * [0, 1]: the feature vector a fasttext-style quality classifier
+    * trains on (FineWeb/DCLM distill a filter from heuristic labels
+    * exactly this way — the LM tertile is the teacher, the classifier
+    * the cheap student). Single-word docs have no LM score and are out
+    * of scope (q140's contract). */
+  private[queries] def docFeatures(s: SparkSession, d: String): DataFrame = {
+    val surf = TextOps.words(s, d)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("word")).as("n_distinct"),
+        sum(length(col("word"))).as("n_word_chars"),
+        sum(when(col("word").isin("the", "a"), 1L).otherwise(0L))
+          .as("n_stop"))
+    lmPerplexityBuckets(s, d).select("doc_id", "score_ppm", "bucket")
+      .join(surf, Seq("doc_id"))
+      .join(Tables.documents(s, d).select("doc_id", "source"), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("bucket"),
+        (least(col("n_tokens"), lit(200L)) / 200.0).as("f1"),
+        (col("n_distinct") / col("n_tokens")).cast("double").as("f2"),
+        (col("n_stop") / col("n_tokens")).cast("double").as("f3"),
+        (col("n_word_chars") / col("n_tokens") / 20.0).as("f4"),
+        (col("score_ppm") / 1000000.0).as("f5"))
+  }
+
+  private val Feats = Seq("f1", "f2", "f3", "f4", "f5")
+
+  /** Logistic regression by ridge-regularized IRLS (Newton steps) as a
+    * DRIVER LOOP over Spark aggregates — the kmeansTrain/bpeTrain
+    * posture, and the same shape MLlib's GLM solvers reduce to: each
+    * iteration is ONE map-side-combinable pass computing the full
+    * gradient and 6×6 curvature (27 sums in a single selectExpr), and
+    * the 6×6 solve happens on the driver. Newton converges in a
+    * handful of passes where first-order descent needs hundreds — at
+    * 100 TB the iteration count IS the cost model. Head docs are the
+    * positive class, tail the negative; middle is left to the student.
+    * The ridge term (λ = 1e-4·n) keeps the system solvable when the
+    * classes are perfectly separable (they are here — the label is
+    * thresholded f5). Returns bias +: feature weights. */
+  private[queries] def qualityLrTrain(feats: DataFrame,
+      iters: Int = 8): Array[Double] = {
+    val labeled = feats.filter(col("bucket") =!= "middle")
+      .withColumn("y", when(col("bucket") === "head", 1.0).otherwise(0.0))
+      .select("y", Feats: _*)
+    // standardize (one stats pass): raw ratio features have tiny
+    // variance around a large mean, which makes every feature nearly
+    // collinear with the bias column — Newton on the raw system stalls
+    // (the ridge crushes exactly the small centered direction that
+    // separates the classes). Train on MATERIALIZED z columns (small,
+    // constant-size codegen per iteration), fold back below.
+    val st = labeled.selectExpr(Feats.flatMap(c =>
+      Seq(s"avg($c)", s"stddev_pop($c)")): _*).head()
+    val mu = Array.tabulate(Feats.length)(j => st.getDouble(2 * j))
+    val sd = Array.tabulate(Feats.length) { j =>
+      val s = st.getDouble(2 * j + 1); if (s < 1e-12) 1.0 else s }
+    val f = labeled.selectExpr("y" +: Feats.zipWithIndex.map { case (c, j) =>
+      s"(($c - (${mu(j)})) / (${sd(j)})) AS z$j" }: _*)
+      .localCheckpoint() // one corpus pass feeds every iteration
+    val xs = "1.0" +: Feats.indices.map(j => s"z$j")
+    val k = xs.length
+    val ridge = 1e-4 * f.count()
+    val w = Array.fill(k)(0.0)
+    // weights enter as a broadcast 1-row frame, NOT inlined literals:
+    // the generated code is then byte-identical across iterations, so
+    // Spark's codegen cache compiles the pass once (literal weights
+    // re-Janino-compile every iteration — measured ~0.5 s/iter of
+    // pure compile on a 5 000-row frame)
+    val margin = xs.zipWithIndex.map { case (c, j) => s"w$j * $c" }
+      .mkString(" + ")
+    val p = s"(1.0 / (1.0 + exp(-($margin))))"
+    val sw = s"($p * (1.0 - $p))"
+    val gE = xs.map(c => s"sum((y - $p) * $c)")
+    val aE = for { i <- 0 until k; j <- i until k }
+      yield s"sum($sw * ${xs(i)} * ${xs(j)})"
+    val spark = feats.sparkSession
+    import spark.implicits._
+    var it = 0
+    var moved = true
+    while (it < iters && moved) {
+      val wdf = Seq((w(0), w(1), w(2), w(3), w(4), w(5)))
+        .toDF(Array.tabulate(k)(j => s"w$j"): _*)
+      val row = f.crossJoin(broadcast(wdf)).selectExpr(gE ++ aE: _*).head()
+      val g = Array.tabulate(k)(row.getDouble)
+      val a = Array.ofDim[Double](k, k)
+      var idx = k
+      for (i <- 0 until k; j <- i until k) {
+        a(i)(j) = row.getDouble(idx); a(j)(i) = a(i)(j); idx += 1
+      }
+      for (i <- 0 until k) { a(i)(i) += ridge; g(i) -= ridge * w(i) }
+      val d = solve(a, g)
+      for (j <- 0 until k) w(j) += d(j)
+      moved = d.exists(x => math.abs(x) > 1e-9)
+      it += 1
+    }
+    // fold the z-space weights back to raw-feature space so scoreExpr
+    // stays a plain sigmoid over f1..f5
+    val raw = new Array[Double](k)
+    raw(0) = w(0)
+    for (j <- 1 until k) {
+      raw(j) = w(j) / sd(j - 1)
+      raw(0) -= w(j) * mu(j - 1) / sd(j - 1)
+    }
+    raw
+  }
+
+  /** Gaussian elimination with partial pivoting for the k×k Newton
+    * system (k = 6 — driver-side, O(k³) is nothing). */
+  private def solve(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
+    val k = b0.length
+    val a = a0.map(_.clone); val b = b0.clone
+    for (c <- 0 until k) {
+      val piv = (c until k).maxBy(r => math.abs(a(r)(c)))
+      val (ta, tb) = (a(c), b(c)); a(c) = a(piv); a(piv) = ta
+      b(c) = b(piv); b(piv) = tb
+      for (r <- c + 1 until k) {
+        val m = a(r)(c) / a(c)(c)
+        for (j <- c until k) a(r)(j) -= m * a(c)(j)
+        b(r) -= m * b(c)
+      }
+    }
+    val x = new Array[Double](k)
+    for (c <- k - 1 to 0 by -1) {
+      var s = b(c)
+      for (j <- c + 1 until k) s -= a(c)(j) * x(j)
+      x(c) = s / a(c)(c)
+    }
+    x
+  }
+
+  private[queries] def scoreExpr(w: Array[Double]): String = {
+    val margin = w(0) +: Feats.zipWithIndex.map { case (c, j) =>
+      s"(${w(j + 1)}) * $c" } mkString " + "
+    s"1.0 / (1.0 + exp(-($margin)))"
+  }
+
+  /** q143: train the classifier on its own weak labels, then report
+    * per-source keep counts at p ≥ 0.5 — the acting filter stage.
+    * Rows-only by design: the learner is not SQL-expressible (the
+    * q138/kmeansTrain posture) and the sigmoid is IEEE-transcendental;
+    * LmOpsSpec pins behavior on fixtures and the train slice. */
+  def qualityClassifierKeep(s: SparkSession, d: String): DataFrame = {
+    val feats = docFeatures(s, d).localCheckpoint() // feeds train + apply
+    val w = qualityLrTrain(feats)
+    feats.withColumn("p", expr(scoreExpr(w)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("p") >= 0.5, 1L).otherwise(0L)).as("kept_docs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q140_lm_perplexity_buckets" -> lmPerplexityBuckets)
+    "q140_lm_perplexity_buckets" -> lmPerplexityBuckets,
+    "q143_quality_classifier" -> qualityClassifierKeep)
 
   val oracle: Map[String, String] = Map(
     "q140_lm_perplexity_buckets" ->

@@ -78,6 +78,50 @@ class LmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q143 classifier reaches >=0.95 accuracy on its own train slice") {
+    // the weak labels ARE thresholded score_ppm, so feature f5 alone
+    // separates head from tail — a sanity floor any working learner
+    // must clear on the real corpus
+    val feats = LmOps.docFeatures(spark, sf).localCheckpoint()
+    val w = LmOps.qualityLrTrain(feats)
+    val rows = feats.filter(org.apache.spark.sql.functions.col("bucket") =!= "middle")
+      .withColumn("p", org.apache.spark.sql.functions.expr(LmOps.scoreExpr(w)))
+      .select("bucket", "p").collect()
+    val correct = rows.count { r =>
+      (r.getString(0) == "head") == (r.getDouble(1) >= 0.5) }
+    assert(rows.nonEmpty && correct.toDouble / rows.length >= 0.95,
+      s"train accuracy ${correct.toDouble / rows.length}")
+  }
+
+  test("q143 fixture: a quality gradient keeps clean sources, drops garbage") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lr").toString
+    // four 20-doc classes on a quality gradient; every doc is 'en' so
+    // the LM trains on the whole fixture. Deterministic token soup for
+    // the low classes (no RNG — doc-indexed synthetic tokens).
+    def junk(doc: Int, n: Int, tag: String) =
+      (1 to n).map(j => s"$tag${doc}x$j").mkString(" ")
+    val clean = (0 until 20).map { i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog and " +
+        s"the a the a cat ${i} sat on the mat", "clean") }
+    val semi = (0 until 20).map { i =>
+      (100L + i, "the quick brown fox " + junk(i, 8, "s"), "semi") }
+    val low = (0 until 20).map { i =>
+      (200L + i, "the " + junk(i, 12, "l"), "low") }
+    val garbage = (0 until 20).map { i =>
+      (300L + i, junk(i, 14, "g"), "garbage") }
+    (clean ++ semi ++ low ++ garbage)
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = LmOps.qualityClassifierKeep(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("clean")._1 == 20L && got("clean")._2 == 20L,
+      s"clean source fully kept: $got")
+    assert(got("garbage")._1 == 20L && got("garbage")._2 == 0L,
+      s"garbage source fully dropped: $got")
+  }
+
   test("q140 fixture: fluent text heads, gibberish tails") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_lm").toString
