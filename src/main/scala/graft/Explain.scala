@@ -27,7 +27,10 @@ object Explain {
       .foreach { case (name, fn) =>
         println(s"==== $name ====")
         val df = fn(spark, sfDir)
-        if (runFirst) df.count()
+        // execute the Dataset's OWN plan (df.count() would build a separate
+        // groupBy().count() QueryExecution, leaving this AdaptiveSparkPlanExec
+        // un-finalized and the explain below pre-execution)
+        if (runFirst) df.queryExecution.toRdd.count()
         df.explain("formatted")
       }
     spark.stop()

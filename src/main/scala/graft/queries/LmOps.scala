@@ -77,14 +77,23 @@ object LmOps {
     * are what q26/q117's length rules catch). High score = well
     * predicted = "head", matching CCNet's low-perplexity head. */
   def lmPerplexityBuckets(s: SparkSession, d: String): DataFrame = {
-    val bg = bigrams(s, d).localCheckpoint() // feeds LM counts + scoring
-    val train = bg.filter(col("lang") === TrainLang)
-    val cvw = train.groupBy("v", "w").agg(count(lit(1)).as("cnt_vw"))
-    val cv = train.groupBy("v").agg(count(lit(1)).as("cnt_v"))
+    // The corpus-scale bigram stream is deliberately NOT checkpointed
+    // (the q141/q132 trade: at 100 TB a localCheckpoint of ≈one row per
+    // token is a multi-PB executor-disk write; the duplicate scan is
+    // cheaper). It is consumed exactly twice — once reduced to the LM
+    // count table, once for scoring — because cnt_v and the vocabulary
+    // both DERIVE from cnt_vw: cnt_v = Σ_w cnt_vw, vocab = distinct
+    // words appearing in cvw keys. Only the vocab²-bounded cvw table is
+    // checkpointed (LM-scale, the q135/BPE argument).
+    val bg = bigrams(s, d)
+    val cvw = bg.filter(col("lang") === TrainLang)
+      .groupBy("v", "w").agg(count(lit(1)).as("cnt_vw"))
+      .localCheckpoint() // LM-scale; feeds cv + vsz + the scoring join
+    val cv = cvw.groupBy("v").agg(sum(col("cnt_vw")).as("cnt_v"))
     // vocabulary size = distinct words of the training slice (both
     // positions — the last word of a doc occurs only as `w`)
-    val vsz = train.select(col("v").as("word"))
-      .union(train.select(col("w").as("word")))
+    val vsz = cvw.select(col("v").as("word"))
+      .union(cvw.select(col("w").as("word")))
       .agg(countDistinct(col("word")).as("vsz"))
     val scored = bg
       .join(cvw, Seq("v", "w"), "left")
@@ -193,12 +202,18 @@ object LmOps {
     val aE = for { i <- 0 until k; j <- i until k }
       yield s"sum($sw * ${xs(i)} * ${xs(j)})"
     val spark = feats.sparkSession
-    import spark.implicits._
+    val wSchema = org.apache.spark.sql.types.StructType(
+      Array.tabulate(k)(j => org.apache.spark.sql.types.StructField(
+        s"w$j", org.apache.spark.sql.types.DoubleType, nullable = false)))
     var it = 0
     var moved = true
     while (it < iters && moved) {
-      val wdf = Seq((w(0), w(1), w(2), w(3), w(4), w(5)))
-        .toDF(Array.tabulate(k)(j => s"w$j"): _*)
+      // one-row weights frame built generically from the weight array —
+      // a Tuple6 literal here would compile but break at runtime the
+      // moment Feats changes length
+      val wdf = spark.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row.fromSeq(w.toSeq)), wSchema)
       val row = f.crossJoin(broadcast(wdf)).selectExpr(gE ++ aE: _*).head()
       val g = Array.tabulate(k)(row.getDouble)
       val a = Array.ofDim[Double](k, k)

@@ -208,7 +208,15 @@ object PipelineOps {
     * rollup — the near-dup stage is deliberately NOT chained here
     * because its cluster policy is corpus-dependent (q57/q110/q114/
     * q118 cover the variants). */
-  def curatedCorpus(s: SparkSession, d: String): DataFrame = {
+  def curatedCorpus(s: SparkSession, d: String): DataFrame =
+    curationGates(s, d).groupBy("lang", "source")
+      .agg(count(lit(1)).as("docs_in"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("docs_kept"),
+        sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("tokens_kept"))
+
+  /** Doc-level frame behind q119/q144: one row per non-benchmark doc
+    * with the three rule gates resolved into `keep`. */
+  private[queries] def curationGates(s: SparkSession, d: String): DataFrame = {
     val flags = gopherFlags(s, d)
       .filter(!isBenchmark)
       .withColumn("ok_rules",
@@ -227,16 +235,48 @@ object PipelineOps {
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val kept = flags
+    flags
       .join(contaminated.withColumn("contaminated", lit(true)),
         Seq("doc_id"), "left")
       .join(reps.withColumn("is_rep", lit(true)), Seq("doc_id"), "left")
       .withColumn("keep",
         col("ok_rules") && col("contaminated").isNull && col("is_rep").isNotNull)
-    kept.groupBy("lang", "source")
+  }
+
+  /** q144: q119's curation chain with the q143 LEARNED quality gate
+    * composed in as a fourth condition — FineWeb's actual pipeline
+    * shape (filter by a learned classifier distilled from heuristic
+    * teachers, THEN dedup/decontaminate). The classifier trains on the
+    * whole corpus's weak labels (q143's posture — the teacher is the
+    * LM tertile, label leakage into the benchmark split is irrelevant
+    * because the student never sees benchmark text at apply time:
+    * benchmark docs are already excluded by the gates frame). Output
+    * adds `docs_kept_rules` (the q119 number) next to `docs_kept`
+    * (rules ∧ classifier) so the gate's marginal effect is visible per
+    * (lang, source). Rows-only by design: the sigmoid is
+    * IEEE-transcendental (q143's posture); PipelineOpsSpec pins the
+    * membership change on a controlled fixture.
+    *
+    * Scale: one doc-scale localCheckpoint (feats — q143's audited
+    * trade), ≤8 bounded training passes, then a doc_id equi-join of
+    * two doc-scale frames; everything else is q119's audited plan. */
+  def curatedCorpusLearned(s: SparkSession, d: String): DataFrame = {
+    val feats = LmOps.docFeatures(s, d).localCheckpoint() // train + apply
+    val w = LmOps.qualityLrTrain(feats)
+    val scored = feats.select(col("doc_id"),
+      expr(LmOps.scoreExpr(w)).as("p"))
+    curationGates(s, d)
+      .join(scored, Seq("doc_id"), "left")
+      // docs out of LM scope (< 2 words) have no score; they fail
+      // ok_count long before this gate, so the false default is inert
+      .withColumn("clf_keep", coalesce(col("p") >= 0.5, lit(false)))
+      .groupBy("lang", "source")
       .agg(count(lit(1)).as("docs_in"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("docs_kept"),
-        sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("tokens_kept"))
+        sum(when(col("keep"), 1L).otherwise(0L)).as("docs_kept_rules"),
+        sum(when(col("keep") && col("clf_keep"), 1L).otherwise(0L))
+          .as("docs_kept"),
+        sum(when(col("keep") && col("clf_keep"), col("n_tok")).otherwise(0L))
+          .as("tokens_kept"))
   }
 
   /** q120: quality-weighted deterministic sampling — keep high-quality
@@ -275,7 +315,8 @@ object PipelineOps {
     "q117_gopher_quality" -> gopherQuality,
     "q118_semdedup" -> withVecFns((s, d) => semDedup(s, d)),
     "q119_curated_corpus" -> curatedCorpus,
-    "q120_quality_sampling" -> qualitySampling)
+    "q120_quality_sampling" -> qualitySampling,
+    "q144_curated_learned" -> curatedCorpusLearned)
 
   // ---- DuckDB oracle twins ----
 

@@ -70,7 +70,19 @@ object SelectionOps {
     * raw doc's own features are in the raw histogram, so the ratio is
     * always defined. Integer bounds: cnt ≤ total bigrams (~10⁶ at
     * sf0.1), n_feats ≤ doc tokens, so tgt_ip < 2⁴⁰ and
-    * tgt_ip · 10⁶ < 2⁶³ with room to spare. */
+    * tgt_ip · 10⁶ < 2⁶³ with room to spare.
+    *
+    * SCALE CEILING: tgt_ip ≤ n_feats · (max bucket count + 1), so the
+    * ·10⁶ fixed-point product stays below 2⁶³ only while
+    * n_feats · max_bucket_cnt < ~9.2·10¹² — comfortably true here
+    * (10⁴ · 10⁶), but a 100 TB corpus can push per-bucket counts to
+    * ~10¹³ and overflow int64 SILENTLY, corrupting the ratio ordering.
+    * At that scale, switch the score to pre-normalized per-bucket
+    * averages (sum of cnt_t/(cnt_t+cnt_r) ratios per doc, fixed-point
+    * per TERM rather than per sum: each term < 10⁶, so the doc sum is
+    * < n_feats·10⁶ < 2⁶³ regardless of corpus size) — the ordering DSIR
+    * needs survives the renormalization; the raw-count product does
+    * not. */
   def dsirSelect(s: SparkSession, d: String): DataFrame = {
     val f = feats(s, d).localCheckpoint() // feeds both histograms + scoring
     val tHist = f.filter(col("source") === TargetSrc)

@@ -236,7 +236,11 @@ object Sessionize {
             // complete input: one in-order pass, flush trailing pending
             var pending: Option[Long] = None
             val out = Seq.newBuilder[Bounce]
-            events.toSeq.sortBy(_.ts).foreach { e =>
+            // same deterministic tie-break as the streaming ripe drain:
+            // at equal ts, exits run before entries (arrival order would
+            // otherwise decide a same-ts entry+exit pair differently
+            // between runs and between the two modes)
+            events.toSeq.sortBy(e => (e.ts, e.lastPageId.isEmpty)).foreach { e =>
               val isEntry = e.lastPageId.isEmpty
               pending match {
                 case Some(p) =>

@@ -96,6 +96,62 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q144: the learned gate changes membership beyond the rule gates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q144").toString
+    // Four 20-doc classes on an LM-quality gradient, ALL constructed to
+    // pass every q119 rule gate (20+ tokens, sane word lengths, low
+    // repetition, >=2 stopwords, distinct texts) AND to share no 8-gram
+    // across docs (a doc-specific salt token at least every 6 positions),
+    // so rule-kept membership is total and any drop below it is the
+    // classifier's alone. Deterministic token soup — no RNG.
+    def junk(doc: Int, n: Int, tag: String) =
+      (1 to n).map(j => s"$tag${doc}x$j")
+    def salted(doc: Int, tag: String, fluent: Seq[String]): String = {
+      // interleave a salt token after every 5 fluent tokens
+      fluent.grouped(5).zipWithIndex
+        .flatMap { case (g, k) => g :+ s"$tag${doc}s$k" }.mkString(" ")
+    }
+    val fluent = ("the quick brown fox jumps over the lazy dog and " +
+      "it sat on the mat while the sun was warm today").split(" ").toSeq
+    val clean = (0 until 20).map { i =>
+      (i.toLong, salted(i, "c", fluent), "clean") }
+    val semi = (0 until 20).map { i =>
+      (100L + i, salted(i, "s", fluent.take(10) ++ junk(i, 10, "sj")), "semi") }
+    val low = (0 until 20).map { i =>
+      (200L + i,
+        salted(i, "l", fluent.take(4) ++ Seq("and") ++ junk(i, 15, "lj")),
+        "low") }
+    val garbage = (0 until 20).map { i =>
+      (300L + i, salted(i, "g", Seq("the", "and") ++ junk(i, 18, "gj")),
+        "garbage") }
+    (clean ++ semi ++ low ++ garbage)
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = PipelineOps.curatedCorpusLearned(spark, dir).collect()
+      .map(r => r.getString(r.fieldIndex("source")) ->
+        (r.getLong(r.fieldIndex("docs_in")),
+          r.getLong(r.fieldIndex("docs_kept_rules")),
+          r.getLong(r.fieldIndex("docs_kept")))).toMap
+    // the fixture passes every rule gate: rules keep everything in scope
+    got.foreach { case (src, (in, rules, kept)) =>
+      assert(rules == in, s"$src: rule gates were meant to pass all: $got")
+      assert(kept <= rules)
+    }
+    // the learned gate keeps the clean source and drops the garbage one —
+    // membership the rule gates alone cannot change
+    assert(got("clean")._2 > 0 && got("clean")._3 == got("clean")._2,
+      s"clean fully kept: $got")
+    assert(got("garbage")._2 > 0 && got("garbage")._3 == 0,
+      s"garbage fully dropped by the classifier: $got")
+    // q144's rule column agrees with q119 exactly (same gates frame)
+    val q119 = PipelineOps.curatedCorpus(spark, dir).collect()
+      .map(r => r.getString(r.fieldIndex("source")) ->
+        r.getLong(r.fieldIndex("docs_kept"))).toMap
+    got.foreach { case (src, (_, rules, _)) => assert(q119(src) == rules) }
+  }
+
   test("semdedup: kept <= vecs, threshold monotone, thr>1 keeps everything") {
     graft.functions.VecOps.register(spark)
     val base = PipelineOps.semDedup(spark, d).collect()
