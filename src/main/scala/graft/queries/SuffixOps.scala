@@ -53,6 +53,7 @@ import org.apache.spark.sql.types.LongType
 object SuffixOps {
 
   private val DocCap = 100
+  private val RebuildCap = 250 // q145: the full-text rebuild runs wider
   private val MinRep = 20L // span length a dedup pass would act on
   private val Block = 8L // initial rank granularity (chars)
   private val Radix = 4L // prefix-length multiplier per round
@@ -252,6 +253,51 @@ object SuffixOps {
     spanDedupExactAt(s, d, DocCap)
 
   private[graft] def spanDedupExactAt(
+      s: SparkSession, d: String, cap: Int): DataFrame =
+    docsCapped(s, d, cap).join(coveredChars(s, d, cap), Seq("doc_id"), "left")
+      .withColumn("cov",
+        coalesce(col("cov"), expr("CAST(array() AS array<bigint>)")))
+      // array_except: hash-set pass, order-preserving (the q133 rule)
+      .withColumn("keep", expr(
+        "array_except(sequence(1L, CAST(length(text) AS BIGINT)), cov)"))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("cov")).cast("long").as("removed_chars"),
+        md5(expr(
+          "concat_ws('', transform(keep, j -> substring(text, CAST(j AS INT), 1)))"))
+          .as("clean_hash"))
+
+  /** q145: the same exact removal emitting q133's OUTPUT CONTRACT — the
+    * full rebuilt text per doc, with lang/source carried through — at a
+    * 2.5× higher doc cap (250). This is the query that retires q133's
+    * fixed-8-gram approximation where exactness matters: identical
+    * semantics to q139 (keep-first at suffix-array granularity,
+    * MinRep-char spans), but the cleaned corpus itself is the output,
+    * hash-matched against DuckDB's opposite-algorithm rebuild. The cap
+    * bounds only the ORACLE's suffix-string materialization (~75k chars
+    * at 250 — measured trivial); the Spark side never builds a suffix
+    * string and ScaleProbe'd sub-linear to cap 1000. */
+  def spanDedupRebuild(s: SparkSession, d: String): DataFrame =
+    spanDedupRebuildAt(s, d, RebuildCap)
+
+  private[graft] def spanDedupRebuildAt(
+      s: SparkSession, d: String, cap: Int): DataFrame =
+    docsCapped(s, d, cap) // documents retain lang/source through the cap
+      .join(coveredChars(s, d, cap), Seq("doc_id"), "left")
+      .withColumn("cov",
+        coalesce(col("cov"), expr("CAST(array() AS array<bigint>)")))
+      .withColumn("keep", expr(
+        "array_except(sequence(1L, CAST(length(text) AS BIGINT)), cov)"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("cov")).cast("long").as("removed_chars"),
+        expr(
+          "concat_ws('', transform(keep, j -> substring(text, CAST(j AS INT), 1)))")
+          .as("clean_text"))
+
+  /** Shared core of q139/q145: per doc, the set of 1-based char
+    * positions covered by a non-first member of a ≥ MinRep repeat run. */
+  private def coveredChars(
       s: SparkSession, d: String, cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (ordered, lcps) = orderedLcps(s, d, cap)
@@ -274,29 +320,18 @@ object SuffixOps {
       .withColumn("run", col("bpre") + col("run_in"))
     val runMin = runs.groupBy("run")
       .agg(min(struct(col("doc_id"), col("pos"))).as("rm"))
-    val cov = runs.join(runMin, Seq("run"))
+    runs.join(runMin, Seq("run"))
       .filter(struct(col("doc_id"), col("pos")) =!= col("rm"))
       .select(col("doc_id"),
         explode(sequence(col("pos") + 1L, col("pos") + lit(MinRep))).as("p"))
       .groupBy("doc_id").agg(collect_set(col("p")).as("cov"))
-    docsCapped(s, d, cap).join(cov, Seq("doc_id"), "left")
-      .withColumn("cov",
-        coalesce(col("cov"), expr("CAST(array() AS array<bigint>)")))
-      // array_except: hash-set pass, order-preserving (the q133 rule)
-      .withColumn("keep", expr(
-        "array_except(sequence(1L, CAST(length(text) AS BIGINT)), cov)"))
-      .select(col("doc_id"),
-        length(col("text")).cast("long").as("n_chars"),
-        size(col("cov")).cast("long").as("removed_chars"),
-        md5(expr(
-          "concat_ws('', transform(keep, j -> substring(text, CAST(j AS INT), 1)))"))
-          .as("clean_hash"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_suffix_ranks" -> suffixRanks,
     "q137_longest_repeat" -> longestRepeat,
-    "q139_span_dedup_exact" -> spanDedupExact)
+    "q139_span_dedup_exact" -> spanDedupExact,
+    "q145_span_dedup_rebuild" -> spanDedupRebuild)
 
   private val posCte =
     s"""WITH p AS (
@@ -339,7 +374,20 @@ object SuffixOps {
       |  CAST(SUM(CASE WHEN v >= $MinRep THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_pos_rep
       |FROM v GROUP BY doc_id""".stripMargin,
-    "q139_span_dedup_exact" -> s"""$posCte,
+    "q139_span_dedup_exact" -> spanRemovalOracle(DocCap,
+      "md5(COALESCE(r2.ct, '')) AS clean_hash", ""),
+    "q145_span_dedup_rebuild" -> spanRemovalOracle(RebuildCap,
+      "COALESCE(r2.ct, '') AS clean_text", "d.lang, d.source, "))
+
+  /** q139/q145 oracle body — opposite algorithm by design: materialize
+    * every suffix string of the capped corpus, window-sort, run the
+    * identical run/keep-first/rebuild logic in pure SQL. `finalCol`
+    * chooses hash-vs-text output; `extraCols` carries lang/source. */
+  private def spanRemovalOracle(
+      cap: Int, finalCol: String, extraCols: String): String =
+    s"""WITH p AS (
+      |  SELECT doc_id, text, unnest(range(0, len(text))) AS pos
+      |  FROM documents WHERE doc_id < $cap),
       |s AS (SELECT doc_id, pos, substr(text, pos + 1) AS suf FROM p),
       |o AS (SELECT doc_id, pos, suf,
       |        lead(suf) OVER (ORDER BY suf, doc_id, pos) AS nsuf
@@ -373,7 +421,7 @@ object SuffixOps {
       |          unnest(generate_series(pos + 1, pos + $MinRep)) AS jc
       |        FROM dups),
       |chars AS (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS j
-      |          FROM documents WHERE doc_id < $DocCap AND len(text) > 0),
+      |          FROM documents WHERE doc_id < $cap AND len(text) > 0),
       |kept AS (SELECT c.doc_id, c.j, substr(c.text, c.j, 1) AS ch
       |         FROM chars c LEFT JOIN cov v
       |           ON v.doc_id = c.doc_id AND v.jc = c.j
@@ -383,11 +431,11 @@ object SuffixOps {
       |            AS ct
       |        FROM kept GROUP BY doc_id),
       |ncov AS (SELECT doc_id, COUNT(*) AS removed FROM cov GROUP BY 1)
-      |SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars,
+      |SELECT d.doc_id, ${extraCols}CAST(len(d.text) AS BIGINT) AS n_chars,
       |  CAST(COALESCE(n.removed, 0) AS BIGINT) AS removed_chars,
-      |  md5(COALESCE(r2.ct, '')) AS clean_hash
+      |  $finalCol
       |FROM documents d
       |LEFT JOIN reb r2 ON r2.doc_id = d.doc_id
       |LEFT JOIN ncov n ON n.doc_id = d.doc_id
-      |WHERE d.doc_id < $DocCap AND len(d.text) > 0""".stripMargin)
+      |WHERE d.doc_id < $cap AND len(d.text) > 0""".stripMargin
 }

@@ -120,4 +120,64 @@ object StreamingLsh {
     * Batch twin of the whole chain (same rule, (ts, docId) order). */
   def candidates(ds: Dataset[DocEvent]): Dataset[LshCandidate] =
     candidatesFromBands(bandsOf(ds))
+
+  /** md5 hex of the UTF-8 text — byte-identical to SQL `md5(text)`, so
+    * an online hit is comparable with q142's `priorMd5` probe. */
+  private[streaming] def md5Hex(text: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map(b => f"$b%02x").mkString
+  }
+
+  /** Content hashes of a document stream. Same watermark caveat as
+    * [[bandsOf]]: wrap the RESULT in `withMsWatermark`. */
+  def hashRows(ds: Dataset[DocEvent]): Dataset[HashRow] = {
+    import ds.sparkSession.implicits._
+    ds.map(e => HashRow(md5Hex(e.text), e.docId, e.ts))
+  }
+
+  /** The EXACT half of an online crawl-ingest verdict (q142's
+    * `exact_dup` probe as streaming state): keep-first per content
+    * hash; every later arrival of an already-claimed hash emits a hit
+    * against the first claimant. State/retention contract identical to
+    * [[candidatesFromBands]] — one (docId, ts) per DISTINCT hash,
+    * hash-partitioned, event-time reaped. Together with the candidate
+    * stream this closes the loop the q142 scaladoc promises: replaying
+    * an indexed-corpus-then-drop history through
+    * {hashRows → exactDupHits, bandsOf → candidatesFromBands} and
+    * keeping hits whose anchor is an indexed doc reproduces
+    * `crawlDedup`'s verdicts exactly (StreamingLshSpec); hits anchored
+    * at other DROP docs are the pinned online-vs-batch divergence —
+    * the online rule keeps deciding against everything seen so far,
+    * the batch rule only against the index. */
+  def exactDupHits(hashes: Dataset[HashRow],
+      retentionMs: Long = 30L * 24 * 3600 * 1000): Dataset[ExactDupHit] = {
+    import hashes.sparkSession.implicits._
+    val streaming = hashes.isStreaming
+    hashes.groupByKey(_.m)
+      .flatMapGroupsWithState[(Long, Long), ExactDupHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (m, rows, state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var anchor = state.getOption
+            var maxTs = 0L
+            val out = rows.toSeq.sortBy(r => (r.ts, r.docId)).flatMap { r =>
+              maxTs = math.max(maxTs, r.ts)
+              anchor match {
+                case None => anchor = Some((r.docId, r.ts)); None
+                case Some((ad, ats)) =>
+                  if (ad == r.docId) None
+                  else Some(ExactDupHit(m, ad, ats, r.docId, r.ts))
+              }
+            }
+            if (streaming) {
+              anchor.foreach(state.update)
+              state.setTimeoutTimestamp(math.max(maxTs + retentionMs,
+                state.getCurrentWatermarkMs + 1))
+            }
+            out.iterator
+          }
+      }
+  }
 }

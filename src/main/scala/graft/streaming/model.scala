@@ -37,6 +37,14 @@ case class BandRow(h1: Long, h2: Long, docId: Long, ts: Long)
 case class LshCandidate(h1: Long, h2: Long, anchorDoc: Long,
     anchorTs: Long, docId: Long, ts: Long)
 
+/** A document's content hash on the ingest stream (md5 hex of text). */
+case class HashRow(m: String, docId: Long, ts: Long)
+
+/** Online exact-dup hit: `docId`'s content hash `m` was already
+  * claimed by the earlier `anchorDoc`. */
+case class ExactDupHit(m: String, anchorDoc: Long, anchorTs: Long,
+    docId: Long, ts: Long)
+
 /** One outcome per key that reached step 0: either the pattern completed
   * (all steps in order, each within its gap timeout) or it expired with
   * `stepsReached` of them done. `anchorTs` is the step-0 event time. */

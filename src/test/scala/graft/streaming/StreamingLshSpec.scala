@@ -98,6 +98,118 @@ class StreamingLshSpec extends AnyFunSuite {
     assert(StreamingLsh.candidatesFromBands(self.toDS()).collect().isEmpty)
   }
 
+  /** Replay a corpus as an indexed-then-drop ingest (q142's cast: the
+    * doc_id % 5 == 4 slice arrives after everything else, chunked
+    * across micro-batches) through the candidate + exact-dup state
+    * operators, assemble per-drop-doc verdicts from hits whose anchor
+    * is an INDEXED doc, and assert they equal `crawlDedup(dir)`.
+    * Drop-anchored hits are the pinned online divergence (the online
+    * rule decides against everything seen so far; the batch rule only
+    * against the index) — asserted to be the ONLY source of
+    * disagreement with the unfiltered online verdict. Returns q142's
+    * verdict map for fixture-shape assertions. */
+  private def replayCrawl(events: Seq[DocEvent], dir: String)
+      : Map[Long, String] = {
+    implicit val sqlCtx = spark.sqlContext
+    val indexed = events.filter(_.docId % 5 != 4).sortBy(_.ts)
+    val drop = events.filter(_.docId % 5 == 4)
+      .map(e => e.copy(ts = 1000000000L + e.ts)).sortBy(_.ts)
+    val indexedIds = indexed.map(_.docId).toSet
+    val chunks = indexed.grouped(math.max(1, indexed.size / 3)).toSeq ++
+      drop.grouped(math.max(1, drop.size / 2)).toSeq
+    val mem = MemoryStream[DocEvent]
+    val nearName = s"crawl_near_${System.nanoTime()}"
+    val exactName = s"crawl_exact_${System.nanoTime()}"
+    val qNear = StreamingLsh.candidatesFromBands(
+        Dedup.withMsWatermark(StreamingLsh.bandsOf(mem.toDS())))
+      .writeStream.format("memory").queryName(nearName)
+      .outputMode(OutputMode.Append).start()
+    val qExact = StreamingLsh.exactDupHits(
+        Dedup.withMsWatermark(StreamingLsh.hashRows(mem.toDS())))
+      .writeStream.format("memory").queryName(exactName)
+      .outputMode(OutputMode.Append).start()
+    try {
+      chunks.foreach { c =>
+        mem.addData(c: _*)
+        qNear.processAllAvailable(); qExact.processAllAvailable()
+      }
+      val nears = spark.table(nearName).as[LshCandidate].collect()
+      val exacts = spark.table(exactName).as[ExactDupHit].collect()
+      val exactVsIndex = exacts.filter(h => indexedIds(h.anchorDoc))
+        .map(_.docId).toSet
+      val nearVsIndex = nears.filter(c => indexedIds(c.anchorDoc))
+        .map(_.docId).toSet
+      val got = drop.map(_.docId).map { id =>
+        id -> (if (exactVsIndex(id)) "exact_dup"
+               else if (nearVsIndex(id)) "near_dup" else "new")
+      }.toMap
+      val want = graft.queries.IncrementalOps.crawlDedup(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == want, "replayed online verdicts must equal q142")
+      // every verdict-bearing near hit (indexed anchor, DROP doc —
+      // index-internal candidates are out of scope) probed across a
+      // batch boundary
+      val chunkOf = chunks.zipWithIndex.flatMap { case (c, i) =>
+        c.map(_.docId -> i) }.toMap
+      assert(nears.filter(c =>
+          indexedIds(c.anchorDoc) && !indexedIds(c.docId))
+        .forall(c => chunkOf(c.anchorDoc) < chunkOf(c.docId)))
+      // divergence boundary: disagreement with the UNFILTERED online
+      // verdict only ever comes from drop-anchored hits
+      val exactAll = exacts.map(_.docId).toSet
+      val nearAll = nears.map(_.docId).toSet
+      drop.map(_.docId).foreach { id =>
+        val online = if (exactAll(id)) "exact_dup"
+          else if (nearAll(id)) "near_dup" else "new"
+        if (online != got(id)) {
+          val dropAnchored =
+            exacts.exists(h => h.docId == id && !indexedIds(h.anchorDoc)) ||
+            nears.exists(c => c.docId == id && !indexedIds(c.anchorDoc))
+          assert(dropAnchored,
+            s"doc $id diverged without a drop-anchored hit")
+        }
+      }
+      want
+    } finally { qNear.stop(); qExact.stop() }
+  }
+
+  test("crawl replay: indexed-then-drop ingest reproduces q142's verdicts") {
+    val want = replayCrawl(docEvents, D)
+    assert(want.nonEmpty && want.values.exists(_ == "near_dup"))
+  }
+
+  test("crawl replay: three-class fixture (exact/near/new) round-trips") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_crawl").toString
+    // 30 shared words give stable minhash minima; a drop doc that adds
+    // one word to an indexed doc's vocabulary keeps all four minima
+    // unless the new word hashes below them (deterministic, verified by
+    // the crawlDedup comparison itself)
+    def words(tag: String, n: Int) = (0 until n).map(j => s"$tag$j")
+    val base = words("w", 30)
+    val texts: Seq[(Long, String)] = Seq(
+      0L -> base.mkString(" "), // indexed anchor
+      4L -> base.mkString(" "), // drop: exact duplicate of doc 0
+      9L -> (base :+ "extra9").mkString(" "), // drop: near-dup of doc 0
+      14L -> words("u", 25).mkString(" "), // drop: fresh vocabulary
+      19L -> base.mkString(" "), // drop: second exact dup
+      24L -> (base :+ "zz24").mkString(" "), // drop: near-dup (superset)
+      29L -> words("v", 25).mkString(" ")) // drop: fresh vocabulary
+    val filler = (0 until 30).filter(i => i % 5 != 4 && i != 0)
+      .map(i => i.toLong -> words(s"f${i}_", 20).mkString(" "))
+    val all = (texts ++ filler).sortBy(_._1)
+    all.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val events = all.map { case (id, t) => DocEvent(id, (id + 1) * 60000L, t) }
+    val want = replayCrawl(events, dir)
+    assert(want.values.toSet == Set("exact_dup", "near_dup", "new"),
+      s"fixture exercises every verdict class: $want")
+    assert(want(4L) == "exact_dup" && want(19L) == "exact_dup", want.toString)
+    assert(want(14L) == "new" && want(29L) == "new", want.toString)
+    assert(want(9L) == "near_dup" && want(24L) == "near_dup", want.toString)
+  }
+
   test("retention evicts an aged anchor; the bucket re-anchors") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[BandRow]
