@@ -43,7 +43,8 @@ object SparkEntry {
       graft.queries.SelectionOps.queries ++
       graft.queries.SuffixOps.queries ++
       graft.queries.LmOps.queries ++
-      graft.queries.IncrementalOps.queries
+      graft.queries.IncrementalOps.queries ++
+      graft.queries.RetrievalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -76,5 +77,6 @@ object SparkEntry {
       graft.queries.SelectionOps.oracle ++
       graft.queries.SuffixOps.oracle ++
       graft.queries.LmOps.oracle ++
-      graft.queries.IncrementalOps.oracle
+      graft.queries.IncrementalOps.oracle ++
+      graft.queries.RetrievalOps.oracle
 }

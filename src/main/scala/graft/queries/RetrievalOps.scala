@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the corpus — the BM25 ranking function
+  * (Robertson & Zaragoza 2009, "The Probabilistic Relevance Framework:
+  * BM25 and Beyond"), the lexical side of any retrieval/RAG pipeline
+  * and the capability a training-data engine needs to answer "which
+  * documents match this query" at corpus scale (the dense side is the
+  * ANN family, q33/q34/q38/q39/q98/q131).
+  *
+  *  - q146: top-20 documents for a fixed conjunctive-ish term query,
+  *    scored by a FIXED-POINT BM25 surrogate. Two transcendental-free
+  *    substitutions keep the score integer-exact across engines (the
+  *    q140/q134 rule — JVM vs libm may differ in the last ulp, integers
+  *    never do):
+  *      idf: log((N−df+0.5)/(df+0.5)) → idf_ppm = ((2(N−df)+1)·10⁶)
+  *        div (2df+1) — the log's argument at ppm scale; log is
+  *        monotone, so per-term ordering is preserved (cross-term sums
+  *        can reorder vs true BM25 only when per-term idf magnitudes
+  *        differ wildly; the spec pins the semantic contracts).
+  *      length norm: dl/avgdl → rl = (900·dl·N) div T at milli scale
+  *        (T = total tokens), one nested integer div, identical in both
+  *        engines by construction.
+  *    Per-term contribution (k1 = 1.2, b = 0.75, milli-scaled):
+  *      (idf_ppm · tf · 2200) div (tf·1000 + 300 + rl)
+  *    Intermediates bound: idf_ppm < 2N·10⁶, ×tf (≤ doc len) ×2200
+  *    stays < 2⁶³ through corpus ~10⁹ docs × doc len 10³ — past that,
+  *    pre-divide idf_ppm by 10³ (ordering unchanged, resolution 10³).
+  *
+  * Plan shape (the scale story): ONE linear pass over the exploded
+  * words builds the per-doc (dl, tf per query term) profile as a
+  * map-side-combinable aggregate — conditional sums, no join against a
+  * posting list, no shuffle keyed by word (the |query| is a constant,
+  * so tf columns are a fixed-width struct). Corpus stats (N, T, df per
+  * term) reduce that doc-level frame to ONE broadcast row. Scoring is
+  * a projection; the top-20 is a TakeOrderedAndProject heap — no global
+  * sort. Total: one wide-table scan + one doc-level aggregate, both
+  * AQE-friendly; at 100 TB the scan dominates and everything else is
+  * constant-size.
+  *
+  * Ref: the reference serves keyword statistics from its keyword table
+  * (gmall-publisher-realtime KeywordController/KeywordService — the
+  * U1 tokenize family feeds it); ranked retrieval over those same
+  * tokens is the published generalization of that endpoint.
+  */
+object RetrievalOps {
+
+  /** Fixed query — terms present in the corpus vocabulary. */
+  private val QueryTerms = Seq("spark", "join", "window")
+  private val TopK = 20
+
+  /** q146: (doc_id, matched_terms, score_ppm) — top-20 by BM25. */
+  def bm25TopK(s: SparkSession, d: String): DataFrame = {
+    val tfCols = QueryTerms.map(t =>
+      sum(when(col("word") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    val perDoc = TextOps.words(s, d)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    val dfCols = QueryTerms.map(t =>
+      sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val statCols = count(lit(1)).as("n") +: sum(col("dl")).as("tt") +: dfCols
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val contribs = QueryTerms.map { t =>
+      expr(s"""CASE WHEN tf_$t > 0 THEN
+              |  ((((2 * (n - df_$t) + 1) * 1000000L) div (2 * df_$t + 1))
+              |    * tf_$t * 2200L)
+              |  div (tf_$t * 1000L + 300L + (900L * dl * n) div tt)
+              |ELSE 0L END""".stripMargin)
+    }
+    val matched = QueryTerms.map(t =>
+      when(col(s"tf_$t") > 0, 1L).otherwise(0L)).reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("score_ppm", contribs.reduce(_ + _))
+      .withColumn("matched_terms", matched)
+      .filter(col("score_ppm") > 0)
+      .orderBy(desc("score_ppm"), asc("doc_id"))
+      .limit(TopK)
+      .select("doc_id", "matched_terms", "score_ppm")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_bm25_topk" -> bm25TopK)
+
+  val oracle: Map[String, String] = Map(
+    "q146_bm25_topk" -> {
+      val tfSel = QueryTerms.map(t =>
+        s"SUM(CASE WHEN word = '$t' THEN 1 ELSE 0 END) AS tf_$t")
+        .mkString(", ")
+      val dfSel = QueryTerms.map(t =>
+        s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t")
+        .mkString(", ")
+      val contribs = QueryTerms.map(t =>
+        s"""CASE WHEN tf_$t > 0 THEN
+           |  ((((2 * (n - df_$t) + 1) * 1000000) // (2 * df_$t + 1))
+           |    * tf_$t * 2200)
+           |  // (tf_$t * 1000 + 300 + (900 * dl * n) // tt)
+           |ELSE 0 END""".stripMargin).mkString(" + ")
+      val matched = QueryTerms.map(t =>
+        s"CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |pd AS (
+         |  SELECT doc_id, COUNT(*) AS dl, $tfSel
+         |  FROM w GROUP BY doc_id),
+         |st AS (
+         |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS tt, $dfSel
+         |  FROM pd)
+         |SELECT doc_id, CAST($matched AS BIGINT) AS matched_terms,
+         |  CAST($contribs AS BIGINT) AS score_ppm
+         |FROM pd, st
+         |WHERE $contribs > 0
+         |ORDER BY score_ppm DESC, doc_id
+         |LIMIT $TopK""".stripMargin
+    })
+}
