@@ -44,7 +44,8 @@ object SparkEntry {
       graft.queries.SuffixOps.queries ++
       graft.queries.LmOps.queries ++
       graft.queries.IncrementalOps.queries ++
-      graft.queries.RetrievalOps.queries
+      graft.queries.RetrievalOps.queries ++
+      graft.queries.ComplianceOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -78,5 +79,6 @@ object SparkEntry {
       graft.queries.SuffixOps.oracle ++
       graft.queries.LmOps.oracle ++
       graft.queries.IncrementalOps.oracle ++
-      graft.queries.RetrievalOps.oracle
+      graft.queries.RetrievalOps.oracle ++
+      graft.queries.ComplianceOps.oracle
 }

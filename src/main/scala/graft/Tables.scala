@@ -24,14 +24,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to read
-    * as a timestamp. The session must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (GraftSession.base and
-    * every harness builder do); here we only truncate ns → µs. The DuckDB
-    * oracle mirrors with `date_trunc('microseconds', ts)`. */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** events.ts has shipped as BOTH parquet physical types across driver
+    * testdata generations: TIMESTAMP(NANOS) (Spark 4 reads it as LONG
+    * under `spark.sql.legacy.parquet.nanosAsLong=true`, which
+    * GraftSession.base and every harness builder set) and plain
+    * TIMESTAMP(MICROS). Branch on the type actually read: longs are
+    * nanos → truncate to µs; timestamps are µs already — cast through
+    * the session zone so downstream time functions behave identically
+    * in both generations. The DuckDB oracle mirrors with
+    * `date_trunc('microseconds', ts)` (a no-op on µs data). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

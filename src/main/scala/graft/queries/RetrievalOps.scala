@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -80,8 +81,59 @@ object RetrievalOps {
       .select("doc_id", "matched_terms", "score_ppm")
   }
 
+  /** q148: inverted index with TRUNCATED posting lists — (term, df,
+    * tf_total, postings = first 16 doc ids). Terms are word bigrams
+    * (vocab²-bounded rows at any corpus size). The truncation is the
+    * scale design, not a shortcut: a full posting list for a stopword
+    * bigram is corpus-sized, so the list is capped with the native
+    * bounded-heap `topk_by` (≤ 16 entries per partial buffer,
+    * map-side combined) over per-(term, doc) pre-aggregated rows —
+    * never an unbounded collect_set. Real systems store exactly this
+    * shape (block-max / impact-ordered prefixes).
+    */
+  def postingLists(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TopKBy.register(s)
+    val terms = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(ws) - 2),
+          |  j -> concat(element_at(ws, j + 1), ' ',
+          |              element_at(ws, j + 2)))""".stripMargin)).as("term"))
+    terms.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"),
+        sort_array(call_function("topk_by",
+          -col("doc_id"), col("doc_id"), lit(16))).as("postings"))
+  }
+
+  private val ChunkLen = 32
+  private val ChunkStride = 24
+
+  /** q149: RAG chunk table — fixed-size token windows WITH OVERLAP
+    * (len 32, stride 24), the retrieval-unit materialization every
+    * RAG/embedding pipeline runs before encoding (overlap preserves
+    * context across boundaries; q48_doc_chunks is the disjoint
+    * packing variant). Emits (doc_id, chunk_idx, n_tokens, chunk_md5).
+    * Pure per-row transform + bounded explode (≈ one chunk per stride
+    * tokens): zero shuffles, embarrassingly parallel at 100 TB.
+    */
+  def chunkDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, (size(ws) - 1) div $ChunkStride),
+           |  k -> struct(k AS chunk_idx,
+           |    slice(ws, k * $ChunkStride + 1, $ChunkLen) AS chunk))"""
+          .stripMargin)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"),
+        size(col("c.chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("c.chunk"))).as("chunk_md5"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q146_bm25_topk" -> bm25TopK)
+    "q146_bm25_topk" -> bm25TopK,
+    "q148_posting_lists" -> postingLists,
+    "q149_chunking" -> chunkDocs)
 
   val oracle: Map[String, String] = Map(
     "q146_bm25_topk" -> {
@@ -114,5 +166,33 @@ object RetrievalOps {
          |WHERE $contribs > 0
          |ORDER BY score_ppm DESC, doc_id
          |LIMIT $TopK""".stripMargin
-    })
+    },
+    "q148_posting_lists" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |j AS (
+        |  SELECT doc_id, ws, unnest(range(1, len(ws))) AS j FROM w),
+        |t AS (
+        |  SELECT doc_id, ws[j] || ' ' || ws[j + 1] AS term FROM j),
+        |pd AS (
+        |  SELECT term, doc_id, COUNT(*) AS tf FROM t GROUP BY term, doc_id)
+        |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total,
+        |  list_slice(list(doc_id ORDER BY doc_id), 1, 16) AS postings
+        |FROM pd GROUP BY term""".stripMargin,
+    "q149_chunking" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |c AS (
+         |  SELECT doc_id, ws,
+         |    unnest(range(0, ((len(ws) - 1) // $ChunkStride) + 1)) AS k
+         |  FROM w)
+         |SELECT doc_id, k AS chunk_idx,
+         |  CAST(len(list_slice(ws, k * $ChunkStride + 1,
+         |                      k * $ChunkStride + $ChunkLen)) AS BIGINT)
+         |    AS n_tokens,
+         |  md5(array_to_string(
+         |        list_slice(ws, k * $ChunkStride + 1,
+         |                   k * $ChunkStride + $ChunkLen), ' ')) AS chunk_md5
+         |FROM c""".stripMargin)
 }
