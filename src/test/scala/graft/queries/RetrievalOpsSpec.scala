@@ -96,4 +96,48 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(got(1L) - got(0L) > got(2L) - got(1L),
       s"saturating: tf 1->2 gains more than 2->4, got $got")
   }
+
+  private def writeDocs(docs: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ret").toString
+    docs.map { case (id, t) => (id, t, "en", "fix", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q148 fixture: postings truncate to the 16 smallest doc ids; tf vs df") {
+    // term "a b" in docs 0..19 (once each) and TWICE in doc 20
+    val docs = (0L to 19L).map(i => i -> "a b pad") :+
+      (20L -> "a b x a b")
+    val dir = writeDocs(docs)
+    val rows = RetrievalOps.postingLists(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getSeq[Long](3))).toMap
+    val (df, tf, postings) = rows("a b")
+    assert(df == 21L && tf == 22L, "doc 20 counts once in df, twice in tf")
+    assert(postings == (0L to 15L), "first 16 doc ids, sorted")
+    // a singleton term keeps its full (short) posting list
+    assert(rows("b x") == ((1L, 1L, Seq(20L))))
+  }
+
+  test("q149 fixture: chunk count, overlap, and boundary clamping") {
+    // 50 tokens -> starts at 0,24,48 (1-based 1,25,49): lens 32,26,2
+    val toks = (1 to 50).map(i => s"t$i")
+    val dir = writeDocs(Seq(0L -> toks.mkString(" "), 1L -> "solo"))
+    val got = RetrievalOps.chunkDocs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got.keys.count(_._1 == 0L) == 3)
+    assert(got((0L, 0L))._1 == 32L && got((0L, 1L))._1 == 26L &&
+      got((0L, 2L))._1 == 2L)
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // stride 24 < len 32: chunk k starts at token 24k, so chunks 0 and 1
+    // share tokens 25..32 — re-derive each chunk text independently
+    assert(got((0L, 0L))._2 == h(toks.slice(0, 32).mkString(" ")))
+    assert(got((0L, 1L))._2 == h(toks.slice(24, 50).mkString(" ")))
+    assert(got((0L, 2L))._2 == h(toks.slice(48, 50).mkString(" ")))
+    assert(got((1L, 0L)) == ((1L, h("solo"))), "sub-chunk doc: one chunk")
+  }
 }
