@@ -186,6 +186,38 @@ object Advanced {
     componentsFromPairs(s, verified)
   }
 
+  /** q151: near-dup cluster representative selection by QUALITY — the
+    * step FineWeb-style pipelines run right after clustering: within
+    * each verified near-dup cluster keep the highest-quality member,
+    * not the arbitrary min-id one (q110's `is_kept` is the min-id
+    * convention; this is the quality-aware upgrade). Quality here is
+    * integer lexical diversity (distinct tokens per token, ppm — the
+    * engine-exact fragment of q26's quality family); ties break to the
+    * smaller doc_id via a packed struct max.
+    *
+    * Scale: the per-doc quality table is one map-side-combinable
+    * aggregate over the corpus; the argmax-per-cluster is
+    * `max(struct(q, −doc_id))` — a bounded-state aggregate, never a
+    * per-cluster sort or window. Output rows = number of clusters.
+    *
+    * Output: (cluster_rep, cluster_size, kept_doc, best_q_ppm). */
+  def clusterRepresentatives(s: SparkSession, d: String): DataFrame = {
+    val clusters = minhashDedupClusters(s, d)
+    val qual = TextOps.words(s, d)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("word")).as("n_distinct"))
+      .select(col("doc_id"),
+        expr("(n_distinct * 1000000L) div n_tokens").as("q_ppm"))
+    clusters.join(qual, Seq("doc_id"))
+      .groupBy("cluster_rep")
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("q_ppm").as("q"), (-col("doc_id")).as("nd")))
+          .as("best"))
+      .select(col("cluster_rep"), col("cluster_size"),
+        (-col("best.nd")).as("kept_doc"), col("best.q").as("best_q_ppm"))
+  }
+
   /** Conversion funnel: users whose first purchase follows their first
     * click within 1 h — pure integer-µs sequencing, grouped by date of
     * the click. */
@@ -235,6 +267,7 @@ object Advanced {
     // this corpus): oracle-checks candidates→clusters CAPPED end to end.
     "q107_dedup_clusters_dfcap" -> ((s, d) => dedupClusters(s, d, 3)),
     "q110_minhash_dedup" -> ((s, d) => minhashDedupClusters(s, d)),
+    "q151_cluster_representatives" -> clusterRepresentatives,
     "q58_funnel" -> funnel,
     "q82_funnel_operator" -> funnelOperator)
 
@@ -369,6 +402,28 @@ object Advanced {
       |  n.doc_id = LEAST(n.doc_id, MIN(r.v)) AS is_kept
       |FROM nodes n JOIN reach r ON r.u = n.doc_id
       |GROUP BY n.doc_id""".stripMargin,
+    "q151_cluster_representatives" -> s"""$minhashPairsCte,
+      |$ccCte,
+      |clus AS (
+      |  SELECT n.doc_id, LEAST(n.doc_id, MIN(r.v)) AS cluster_rep
+      |  FROM nodes n JOIN reach r ON r.u = n.doc_id
+      |  GROUP BY n.doc_id),
+      |qual AS (
+      |  SELECT doc_id,
+      |    CAST((COUNT(DISTINCT word) * 1000000) // COUNT(*) AS BIGINT)
+      |      AS q_ppm
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |        FROM documents)
+      |  GROUP BY doc_id),
+      |rk AS (
+      |  SELECT cluster_rep, doc_id, q_ppm,
+      |    ROW_NUMBER() OVER (PARTITION BY cluster_rep
+      |      ORDER BY q_ppm DESC, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY cluster_rep) AS csz
+      |  FROM clus JOIN qual USING (doc_id))
+      |SELECT cluster_rep, CAST(csz AS BIGINT) AS cluster_size,
+      |  doc_id AS kept_doc, q_ppm AS best_q_ppm
+      |FROM rk WHERE rn = 1""".stripMargin,
     "q107_dedup_clusters_dfcap" -> s"""${pairsCteCapped(3)},
       |$ccCte
       |SELECT n.doc_id,

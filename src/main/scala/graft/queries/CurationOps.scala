@@ -292,6 +292,53 @@ object CurationOps {
       .select("src_a", "src_b", "n_a", "n_b", "inter", "jaccard_ppm")
   }
 
+  /** q150: temperature-mixed epoch construction (the T5/PaLM data
+    * recipe): per-source sampling weights ∝ n_docs^(1/2) (temperature
+    * flattening — α = 0.5 because IEEE sqrt is correctly rounded in
+    * BOTH engines, so even the one non-integer step is bit-exact;
+    * floor() before the int cast because DuckDB's double→int cast
+    * ROUNDS while Spark's truncates), an epoch budget of half the
+    * corpus, per-source target + admission rate in ppm, and the
+    * DETERMINISTIC Bernoulli sample at that rate via the salted
+    * polynomial doc hash (the q49/q125 device, but numeric: the
+    * native gram hash and its pure-SQL twin compute the same value,
+    * so the sampled membership — not just its size — is reproducible
+    * across engines, runs, and partitionings).
+    *
+    * Output: (source, n_docs, w, share_ppm, target_docs, rate_ppm,
+    * sampled_docs).
+    *
+    * Scale: two corpus aggregates + one broadcast join of a
+    * sources-sized plan frame. The sample assignment is a pure
+    * projection — at 100 TB the epoch materializes with zero
+    * shuffles beyond the two counts. */
+  def temperatureMix(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GramOps.register(s)
+    val docs = Tables.documents(s, d).select(col("source"), col("doc_id"))
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val w = counts.withColumn("w",
+      expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
+    val tot = w.agg(sum(col("w")).as("w_tot"), sum(col("n_docs")).as("n_tot"))
+    val plan = w.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("(w * 1000000L) div w_tot"))
+      .withColumn("target_docs",
+        expr("least(n_docs, (share_ppm * (n_tot div 2)) div 1000000L)"))
+      .withColumn("rate_ppm",
+        expr("least(1000000L, (target_docs * 1000000L) div n_docs)"))
+    val samp = element_at(graft.functions.GramOps.gram_hashes(
+      concat(col("doc_id").cast("string"), lit(":mix")), 1), 1) % MixScale
+    val sampled = docs.withColumn("samp", samp)
+      .join(broadcast(plan.select("source", "rate_ppm")), Seq("source"))
+      .filter(col("samp") < col("rate_ppm"))
+      .groupBy("source").agg(count(lit(1)).as("sampled_docs"))
+    plan.join(sampled, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("w"), col("share_ppm"),
+        col("target_docs"), col("rate_ppm"),
+        coalesce(col("sampled_docs"), lit(0L)).as("sampled_docs"))
+  }
+
+  private val MixScale = 1000000L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q124_heavy_hitters" -> heavyHitterWords,
     "q125_source_quota" -> sourceQuota,
@@ -299,7 +346,8 @@ object CurationOps {
       bloomBlocklist(s, d)),
     "q130_grouped_heavy_hitters" -> groupedHeavyHitters,
     "q132_cooccur_heavy_hitters" -> cooccurHeavyHitters,
-    "q141_source_overlap" -> sourceOverlap)
+    "q141_source_overlap" -> sourceOverlap,
+    "q150_temperature_mix" -> temperatureMix)
 
   val oracle: Map[String, String] = Map(
     // q124/q130/q132 deliberately have NO oracle: sketch content is
@@ -353,5 +401,38 @@ object CurationOps {
          |FROM iv
          |JOIN sz sa ON sa.source = iv.src_a
          |JOIN sz sb ON sb.source = iv.src_b""".stripMargin
-    }))
+    }),
+    "q150_temperature_mix" ->
+      s"""WITH c AS (
+         |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+         |w AS (
+         |  SELECT source, n_docs,
+         |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w
+         |  FROM c),
+         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS w_tot,
+         |             CAST(SUM(n_docs) AS BIGINT) AS n_tot FROM w),
+         |p AS (
+         |  SELECT source, n_docs, w,
+         |    (w * 1000000) // w_tot AS share_ppm, n_tot FROM w, t),
+         |p2 AS (
+         |  SELECT source, n_docs, w, share_ppm,
+         |    LEAST(n_docs, (share_ppm * (n_tot // 2)) // 1000000)
+         |      AS target_docs
+         |  FROM p),
+         |p3 AS (
+         |  SELECT *, LEAST(1000000, (target_docs * 1000000) // n_docs)
+         |    AS rate_ppm
+         |  FROM p2),
+         |sm AS (
+         |  SELECT d.source, COUNT(*) AS sampled_docs
+         |  FROM documents d JOIN p3 ON d.source = p3.source
+         |  WHERE (${OracleHash.polySql("(CAST(doc_id AS VARCHAR) || ':mix')")})
+         |    % 1000000 < rate_ppm
+         |  GROUP BY d.source)
+         |SELECT p3.source, n_docs, w,
+         |  CAST(share_ppm AS BIGINT) AS share_ppm,
+         |  CAST(target_docs AS BIGINT) AS target_docs,
+         |  CAST(rate_ppm AS BIGINT) AS rate_ppm,
+         |  CAST(COALESCE(sampled_docs, 0) AS BIGINT) AS sampled_docs
+         |FROM p3 LEFT JOIN sm ON p3.source = sm.source""".stripMargin)
 }

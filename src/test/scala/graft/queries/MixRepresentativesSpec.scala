@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.TestSpark
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q150/q151 invariants beyond the oracle rows. */
+class MixRepresentativesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def writeDocs(dir: String, docs: Seq[(Long, String, String)]): Unit = {
+    import spark.implicits._
+    docs.map { case (id, src, t) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+  }
+
+  test("q150 temperature mixing flattens the source distribution") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mix").toString
+    // 400 / 100 / 4 docs -> sqrt weights 20 / 10 / 2
+    val docs =
+      (0L until 400L).map(i => (i, "big", s"w$i x y z")) ++
+      (400L until 500L).map(i => (i, "mid", s"w$i x y z")) ++
+      (500L until 504L).map(i => (i, "tiny", s"w$i x y z"))
+    writeDocs(dir, docs)
+    val got = CurationOps.temperatureMix(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    val (nB, wB, shareB, _, _, sampB) = got("big")
+    val (nM, wM, shareM, _, _, _) = got("mid")
+    val (nT, wT, shareT, _, _, _) = got("tiny")
+    assert((wB, wM, wT) == ((20L, 10L, 2L)), "floor(sqrt(n)) weights")
+    assert(shareB == 20L * 1000000L / 32L && shareM == 10L * 1000000L / 32L
+      && shareT == 2L * 1000000L / 32L)
+    // flattening: the big source's sampled share is BELOW its doc
+    // share, the tiny source's above (the whole point of temperature)
+    assert(shareB * (nB + nM + nT) < nB * 1000000L)
+    assert(shareT * (nB + nM + nT) > nT * 1000000L)
+    got.values.foreach { case (n, _, _, target, rate, sampled) =>
+      assert(target <= n && sampled <= n)
+      if (rate == 1000000L) assert(sampled == n, "rate 1 keeps everything")
+    }
+    // the sampler tracks its target (hash-uniformity; generous band)
+    assert(sampB > 0L)
+  }
+
+  test("q151 keeps the highest-quality member, not the min-id (q110 convention)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    writeDocs(dir, Seq(
+      // doc 2: same token SET as doc 5 (identical minhash signatures,
+      // Jaccard 100%) but one duplicated token -> LOWER diversity
+      (2L, "src", base + " tok1"),
+      (5L, "src", base),
+      // unrelated doc: no pair, must not appear
+      (9L, "src", (1 to 40).map(i => s"zz$i").mkString(" "))))
+    val q110 = Advanced.minhashDedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(q110(2L) == ((2L, true)) && q110(5L) == ((2L, false)),
+      "min-id convention keeps doc 2")
+    val got = Advanced.clusterRepresentatives(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((2L, 2L, 5L, 1000000L)),
+      s"quality-aware selection keeps doc 5 (diversity 1.0), got ${got.toSeq}")
+  }
+}
