@@ -295,9 +295,15 @@ object SuffixOps {
           "concat_ws('', transform(keep, j -> substring(text, CAST(j AS INT), 1)))")
           .as("clean_text"))
 
-  /** Shared core of q139/q145: per doc, the set of 1-based char
-    * positions covered by a non-first member of a ≥ MinRep repeat run. */
-  private def coveredChars(
+  /** Shared run construction of q139/q145/q152: suffixes grouped into
+    * maximal rank-adjacent RUNS whose adjacent LCP is ≥ MinRep (within
+    * a run every pair shares a ≥ MinRep-char prefix, because pairwise
+    * LCP is the min of the adjacent LCPs between them). Run ids via
+    * the two-phase prefix sum over break flags (q128's device — never
+    * a full-corpus single-partition window). Returns (run, doc_id,
+    * pos); size-1 "runs" (no ≥ MinRep neighbor) are included and
+    * filtered by consumers where relevant. */
+  private def repeatRuns(
       s: SparkSession, d: String, cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (ordered, lcps) = orderedLcps(s, d, cap)
@@ -316,8 +322,16 @@ object SuffixOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     val bpre = local.groupBy("bkt").agg(sum(col("brk")).as("btot"))
       .withColumn("bpre", coalesce(sum(col("btot")).over(wB), lit(0L)))
-    val runs = local.join(broadcast(bpre.select("bkt", "bpre")), Seq("bkt"))
+    local.join(broadcast(bpre.select("bkt", "bpre")), Seq("bkt"))
       .withColumn("run", col("bpre") + col("run_in"))
+      .select(col("run"), col("doc_id"), col("pos"))
+  }
+
+  /** Shared core of q139/q145: per doc, the set of 1-based char
+    * positions covered by a non-first member of a ≥ MinRep repeat run. */
+  private def coveredChars(
+      s: SparkSession, d: String, cap: Int): DataFrame = {
+    val runs = repeatRuns(s, d, cap)
     val runMin = runs.groupBy("run")
       .agg(min(struct(col("doc_id"), col("pos"))).as("rm"))
     runs.join(runMin, Seq("run"))
@@ -327,11 +341,46 @@ object SuffixOps {
       .groupBy("doc_id").agg(collect_set(col("p")).as("cov"))
   }
 
+  /** q152: suffix-EXACT benchmark contamination — the exact-span
+    * upgrade of q116's n-gram decontamination (the published method:
+    * Lee et al. 2022 §4 applies the same suffix machinery across a
+    * train/eval boundary). Benchmark set = docs with doc_id % 10 = 0
+    * (a deterministic stand-in for an eval suite); a corpus position
+    * is contaminated iff it starts a ≥ MinRep-char span that also
+    * appears verbatim in some benchmark doc.
+    *
+    * Correctness argument (why RUNS and not adjacent pairs): if
+    * LCP(corpus suffix a, bench suffix b) ≥ MinRep then every
+    * rank-adjacent LCP between them is ≥ MinRep, so a and b are in
+    * the SAME run — membership of a bench suffix in the run is
+    * exactly "shares a ≥ MinRep span with the benchmark". Filtering
+    * adjacent cross-set pairs instead would MISS docs whose
+    * rank-neighbors are same-set (pinned in SuffixOpsSpec).
+    *
+    * Output per contaminated corpus doc: (doc_id, n_contam_pos,
+    * n_runs). */
+  def contaminationSpan(s: SparkSession, d: String): DataFrame =
+    contaminationSpanAt(s, d, DocCap)
+
+  private[graft] def contaminationSpanAt(
+      s: SparkSession, d: String, cap: Int): DataFrame = {
+    val runs = repeatRuns(s, d, cap)
+    val flagged = runs.groupBy("run")
+      .agg(max(when(col("doc_id") % 10 === 0, 1L).otherwise(0L))
+        .as("has_bench"))
+    runs.join(flagged.filter(col("has_bench") === 1L), Seq("run"))
+      .filter(col("doc_id") % 10 =!= 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contam_pos"),
+        countDistinct(col("run")).as("n_runs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_suffix_ranks" -> suffixRanks,
     "q137_longest_repeat" -> longestRepeat,
     "q139_span_dedup_exact" -> spanDedupExact,
-    "q145_span_dedup_rebuild" -> spanDedupRebuild)
+    "q145_span_dedup_rebuild" -> spanDedupRebuild,
+    "q152_contamination_span" -> contaminationSpan)
 
   private val posCte =
     s"""WITH p AS (
@@ -377,7 +426,41 @@ object SuffixOps {
     "q139_span_dedup_exact" -> spanRemovalOracle(DocCap,
       "md5(COALESCE(r2.ct, '')) AS clean_hash", ""),
     "q145_span_dedup_rebuild" -> spanRemovalOracle(RebuildCap,
-      "COALESCE(r2.ct, '') AS clean_text", "d.lang, d.source, "))
+      "COALESCE(r2.ct, '') AS clean_text", "d.lang, d.source, "),
+    "q152_contamination_span" -> s"""$posCte,
+      |s AS (SELECT doc_id, pos, substr(text, pos + 1) AS suf FROM p),
+      |o AS (SELECT doc_id, pos, suf,
+      |        lead(suf) OVER (ORDER BY suf, doc_id, pos) AS nsuf
+      |      FROM s),
+      |lp AS (SELECT doc_id, pos, suf,
+      |         LEAST(len(suf), len(nsuf)) AS ml,
+      |         list_position(list_transform(
+      |           range(1, LEAST(len(suf), len(nsuf)) + 1),
+      |           j -> substr(suf, j, 1) = substr(nsuf, j, 1)), false) AS fp
+      |       FROM o WHERE nsuf IS NOT NULL),
+      |ln AS (SELECT doc_id, pos, suf,
+      |         CAST(COALESCE(NULLIF(fp, 0) - 1, ml) AS BIGINT) AS lnext
+      |       FROM lp
+      |       UNION ALL
+      |       SELECT doc_id, pos, suf, 0 FROM o WHERE nsuf IS NULL),
+      |r0 AS (SELECT doc_id, pos, suf,
+      |         CASE WHEN COALESCE(lag(lnext)
+      |             OVER (ORDER BY suf, doc_id, pos), -1) < $MinRep
+      |           THEN 1 ELSE 0 END AS brk
+      |       FROM ln),
+      |r1 AS (SELECT doc_id, pos,
+      |         SUM(brk) OVER (ORDER BY suf, doc_id, pos
+      |           ROWS UNBOUNDED PRECEDING) AS run
+      |       FROM r0),
+      |fl AS (SELECT run,
+      |         MAX(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)
+      |           AS has_bench
+      |       FROM r1 GROUP BY run)
+      |SELECT doc_id, COUNT(*) AS n_contam_pos,
+      |  CAST(COUNT(DISTINCT r1.run) AS BIGINT) AS n_runs
+      |FROM r1 JOIN fl ON r1.run = fl.run
+      |WHERE has_bench = 1 AND doc_id % 10 <> 0
+      |GROUP BY doc_id""".stripMargin)
 
   /** q139/q145 oracle body — opposite algorithm by design: materialize
     * every suffix string of the capped corpus, window-sort, run the

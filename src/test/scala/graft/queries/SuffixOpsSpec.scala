@@ -152,4 +152,35 @@ class SuffixOpsSpec extends AnyFunSuite {
         s"suffix at pos $pos of doc 0 must tie with doc 2")
     }
   }
+
+  test("q152: run membership catches docs with no ADJACENT cross-set pair") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sfx152").toString
+    // one ≥20-char span shared by corpus docs 1, 2 AND bench doc 10
+    // (doc_id % 10 == 0). In suffix-rank order the doc-1 suffix sits
+    // next to doc 2's (tie broken by doc_id), NOT next to the bench
+    // suffix — an adjacent-pairs-only formulation would miss doc 1.
+    val span = "the quick brown fox jumps over it"
+    Seq(
+      (1L, s"aa $span", "en", "s", 3L + span.length),
+      (2L, s"bb $span", "en", "s", 3L + span.length),
+      (10L, s"cc $span", "en", "s", 3L + span.length),
+      (3L, "totally unrelated words here live", "en", "s", 33L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SuffixOps.contaminationSpan(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.contains(1L) && got.contains(2L),
+      s"both corpus sharers are contaminated, got $got")
+    assert(!got.contains(3L) && !got.contains(10L),
+      "disjoint doc clean; bench docs never reported")
+    // every contaminated position starts a >=20-char span present in
+    // the bench doc — re-check doc 1's count against a direct scan
+    val t1 = s"aa $span"
+    val bench = s"cc $span"
+    val direct = (0 until t1.length).count(p =>
+      t1.length - p >= 20 && bench.contains(t1.substring(p, p + 20)))
+    assert(got(1L)._1 == direct.toLong,
+      s"exact position count (direct scan says $direct)")
+  }
 }
