@@ -183,4 +183,43 @@ class SuffixOpsSpec extends AnyFunSuite {
     assert(got(1L)._1 == direct.toLong,
       s"exact position count (direct scan says $direct)")
   }
+
+  test("q152 equals a brute-force scan on seeded random corpora") {
+    import spark.implicits._
+    // position p of corpus doc t is contaminated ⟺ t[p, p+20) occurs
+    // in some bench doc: LCP(suffix p, bench suffix q) ≥ 20 for some q
+    // ⟺ p's 20-char prefix is a prefix of some bench suffix. The
+    // pipeline must reproduce the count per doc EXACTLY.
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val words = Vector("aa", "ab", "ba", "bb", "ca")
+      def text() = Seq.fill(12 + rnd.nextInt(10))(
+        words(rnd.nextInt(words.size))).mkString(" ")
+      val base = (0L until 12L).map(i => i -> text()).toMap
+      // plant verbatim 20–35 char slices of bench docs (ids 0, 10)
+      // into some corpus docs to force cross-set spans
+      val planted = base.map { case (id, t) =>
+        if (id % 10 != 0 && rnd.nextBoolean()) {
+          val src = base(if (rnd.nextBoolean()) 0L else 10L)
+          val len = 20 + rnd.nextInt(math.max(1, math.min(16, src.length - 20)))
+          val off = rnd.nextInt(math.max(1, src.length - len))
+          id -> (t + " " + src.substring(off, off + len))
+        } else id -> t
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_sfx152p$trial").toString
+      planted.toSeq.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val bench = planted.filter(_._1 % 10 == 0).values.toSeq
+      val want = planted.filter(_._1 % 10 != 0).flatMap { case (id, t) =>
+        val n = (0 until t.length).count(p =>
+          t.length - p >= 20 && bench.exists(_.contains(t.substring(p, p + 20))))
+        if (n > 0) Some(id -> n.toLong) else None
+      }
+      val got = SuffixOps.contaminationSpan(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial: got $got want $want")
+    }
+  }
 }
