@@ -339,6 +339,50 @@ object CurationOps {
 
   private val MixScale = 1000000L
 
+  /** q153: the WITH-REPLACEMENT epoch realization — q150 caps the
+    * admission rate at 1 (pure subsampling); real temperature mixing
+    * UPSAMPLES small sources past rate 1 (the T5 recipe). Per doc the
+    * repeat count is `target div n` full copies plus one more iff the
+    * salted doc hash lands under the fractional remainder — so the
+    * realized per-source total is exact in expectation AND
+    * deterministic in value, and every individual doc's multiplicity
+    * reproduces across engines/partitionings. Output per source:
+    * (source, n_docs, target_docs, base_reps, realized_docs) where
+    * realized_docs = Σ per-doc repeats.
+    *
+    * Scale: identical shape to q150 — two aggregates + a broadcast
+    * plan join; the repeat assignment is a projection (the actual
+    * epoch materialization would `explode(sequence(1, reps))`, a
+    * bounded map-side blow-up by construction). */
+  def epochRealize(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GramOps.register(s)
+    val docs = Tables.documents(s, d).select(col("source"), col("doc_id"))
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val w = counts.withColumn("w",
+      expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
+    val tot = w.agg(sum(col("w")).as("w_tot"), sum(col("n_docs")).as("n_tot"))
+    val plan = w.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("(w * 1000000L) div w_tot"))
+      // NO least(n_docs, ·) cap: small sources upsample past 1×
+      .withColumn("target_docs",
+        expr("(share_ppm * (n_tot div 2)) div 1000000L"))
+      .withColumn("base_reps", expr("target_docs div n_docs"))
+      .withColumn("frac_ppm",
+        expr("((target_docs * 1000000L) div n_docs) % 1000000L"))
+    val samp = element_at(graft.functions.GramOps.gram_hashes(
+      concat(col("doc_id").cast("string"), lit(":mix")), 1), 1) % MixScale
+    docs.withColumn("samp", samp)
+      .join(broadcast(plan), Seq("source"))
+      .withColumn("reps",
+        col("base_reps") + when(col("samp") < col("frac_ppm"), 1L)
+          .otherwise(0L))
+      .groupBy("source")
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(col("target_docs")).as("target_docs"),
+        max(col("base_reps")).as("base_reps"),
+        sum(col("reps")).as("realized_docs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q124_heavy_hitters" -> heavyHitterWords,
     "q125_source_quota" -> sourceQuota,
@@ -347,7 +391,8 @@ object CurationOps {
     "q130_grouped_heavy_hitters" -> groupedHeavyHitters,
     "q132_cooccur_heavy_hitters" -> cooccurHeavyHitters,
     "q141_source_overlap" -> sourceOverlap,
-    "q150_temperature_mix" -> temperatureMix)
+    "q150_temperature_mix" -> temperatureMix,
+    "q153_epoch_realize" -> epochRealize)
 
   val oracle: Map[String, String] = Map(
     // q124/q130/q132 deliberately have NO oracle: sketch content is
@@ -434,5 +479,34 @@ object CurationOps {
          |  CAST(target_docs AS BIGINT) AS target_docs,
          |  CAST(rate_ppm AS BIGINT) AS rate_ppm,
          |  CAST(COALESCE(sampled_docs, 0) AS BIGINT) AS sampled_docs
-         |FROM p3 LEFT JOIN sm ON p3.source = sm.source""".stripMargin)
+         |FROM p3 LEFT JOIN sm ON p3.source = sm.source""".stripMargin,
+    "q153_epoch_realize" ->
+      s"""WITH c AS (
+         |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+         |w AS (
+         |  SELECT source, n_docs,
+         |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w
+         |  FROM c),
+         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS w_tot,
+         |             CAST(SUM(n_docs) AS BIGINT) AS n_tot FROM w),
+         |p AS (
+         |  SELECT source, n_docs,
+         |    (((w * 1000000) // w_tot) * (n_tot // 2)) // 1000000
+         |      AS target_docs
+         |  FROM w, t),
+         |p2 AS (
+         |  SELECT source, n_docs, target_docs,
+         |    target_docs // n_docs AS base_reps,
+         |    ((target_docs * 1000000) // n_docs) % 1000000 AS frac_ppm
+         |  FROM p)
+         |SELECT d.source,
+         |  CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(MAX(target_docs) AS BIGINT) AS target_docs,
+         |  CAST(MAX(base_reps) AS BIGINT) AS base_reps,
+         |  CAST(SUM(base_reps + CASE WHEN
+         |      (${OracleHash.polySql("(CAST(doc_id AS VARCHAR) || ':mix')")})
+         |        % 1000000 < frac_ppm THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS realized_docs
+         |FROM documents d JOIN p2 ON d.source = p2.source
+         |GROUP BY d.source""".stripMargin)
 }

@@ -45,6 +45,39 @@ class MixRepresentativesSpec extends AnyFunSuite {
     assert(sampB > 0L)
   }
 
+  test("q153 upsamples the tiny source and matches a driver re-derivation") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = java.nio.file.Files.createTempDirectory("graft_epoch").toString
+    val docs =
+      (0L until 400L).map(i => (i, "big", s"w$i x y z")) ++
+      (400L until 500L).map(i => (i, "mid", s"w$i x y z")) ++
+      (500L until 504L).map(i => (i, "tiny", s"w$i x y z"))
+    writeDocs(dir, docs)
+    // full driver-side re-derivation, native hash included
+    val n = Map("big" -> 400L, "mid" -> 100L, "tiny" -> 4L)
+    val w = n.view.mapValues(v => math.sqrt(v.toDouble).toLong).toMap
+    val (wTot, nTot) = (w.values.sum, n.values.sum)
+    def hashPpm(id: Long): Long = graft.functions.GramHash
+      .hashes(UTF8String.fromString(s"$id:mix"), 1).getLong(0) % 1000000L
+    val want = n.keys.map { src =>
+      val target = (w(src) * 1000000L / wTot) * (nTot / 2) / 1000000L
+      val base = target / n(src)
+      val frac = (target * 1000000L / n(src)) % 1000000L
+      val ids = docs.filter(_._2 == src).map(_._1)
+      src -> (n(src), target, base,
+        ids.map(i => base + (if (hashPpm(i) < frac) 1L else 0L)).sum)
+    }.toMap
+    val got = CurationOps.epochRealize(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == want)
+    assert(got("tiny")._3 >= 1L, "tiny source upsampled past 1x")
+    assert(got("big")._3 == 0L, "big source subsampled (base 0)")
+    val (_, target, _, realized) = got("tiny")
+    assert(math.abs(realized - target) <= n("tiny"),
+      "realization tracks the target within one repeat per doc")
+  }
+
   test("q151 keeps the highest-quality member, not the min-id (q110 convention)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rep").toString
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
