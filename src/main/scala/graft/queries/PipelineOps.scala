@@ -310,13 +310,55 @@ object PipelineOps {
       : (SparkSession, String) => DataFrame =
     (s, d) => { graft.functions.VecOps.register(s); f(s, d) }
 
+  /** q154: the dataset card — one row per (source, lang) with the
+    * volume / duplication / diversity / length statistics a corpus
+    * release publishes (the "datasheet" table every training-data
+    * drop ships). All stats are integer-form (counts, ppm ratios via
+    * integer div) so the card is bit-identical across engines:
+    *  - n_docs, n_chars, n_ws_tokens — volume
+    *  - n_distinct_texts, exact_dup_ppm — exact-hash duplication rate
+    *  - mean_diversity_ppm — mean per-doc distinct-token ratio
+    *  - p50_len — median doc length from a group-local sort of doc
+    *    lengths (groups are (source, lang) — bounded cardinality, and
+    *    the aggregated length LIST per group is doc-count-bounded;
+    *    at 100 TB swap in the q122-style GK sketch if group member
+    *    lists outgrow executors — documented trade, exactness chosen
+    *    here because the oracle must match bit-for-bit).
+    *
+    * One words-scan aggregate + one doc-level aggregate, both
+    * map-side combinable; the card itself is tiny. */
+  def corpusReport(s: SparkSession, d: String): DataFrame = {
+    val perDoc = graft.Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), md5(col("text")).as("h"),
+        split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        col("h"), size(col("ws")).cast("long").as("n_tok"),
+        size(array_distinct(col("ws"))).cast("long").as("n_dis"))
+    perDoc
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_tok")).as("n_ws_tokens"),
+        countDistinct(col("h")).as("n_distinct_texts"),
+        expr("sum((n_dis * 1000000L) div n_tok) div count(1)")
+          .as("mean_diversity_ppm"),
+        expr("CAST(sort_array(collect_list(n_chars))" +
+          "[CAST((count(1) + 1) div 2 AS INT) - 1] AS BIGINT)").as("p50_len"))
+      .withColumn("exact_dup_ppm",
+        expr("((n_docs - n_distinct_texts) * 1000000L) div n_docs"))
+      .select("source", "lang", "n_docs", "n_chars", "n_ws_tokens",
+        "n_distinct_texts", "exact_dup_ppm", "mean_diversity_ppm", "p50_len")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_decontamination" -> decontamination,
     "q117_gopher_quality" -> gopherQuality,
     "q118_semdedup" -> withVecFns((s, d) => semDedup(s, d)),
     "q119_curated_corpus" -> curatedCorpus,
     "q120_quality_sampling" -> qualitySampling,
-    "q144_curated_learned" -> curatedCorpusLearned)
+    "q144_curated_learned" -> curatedCorpusLearned,
+    "q154_corpus_report" -> corpusReport)
 
   // ---- DuckDB oracle twins ----
 
@@ -500,5 +542,24 @@ object PipelineOps {
          |    THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
          |  COUNT(DISTINCT cluster) AS n_clusters
          |FROM clustered GROUP BY label""".stripMargin
-    })
+    },
+    "q154_corpus_report" ->
+      """WITH pd AS (
+        |  SELECT doc_id, source, lang, n_chars, md5(text) AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS n_dis
+        |  FROM documents)
+        |SELECT source, lang,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_ws_tokens,
+        |  COUNT(DISTINCT h) AS n_distinct_texts,
+        |  ((COUNT(*) - COUNT(DISTINCT h)) * 1000000) // COUNT(*)
+        |    AS exact_dup_ppm,
+        |  CAST(SUM((n_dis * 1000000) // n_tok) AS BIGINT) // COUNT(*)
+        |    AS mean_diversity_ppm,
+        |  CAST((list_sort(list(n_chars)))[(COUNT(*) + 1) // 2] AS BIGINT)
+        |    AS p50_len
+        |FROM pd GROUP BY source, lang""".stripMargin)
 }
