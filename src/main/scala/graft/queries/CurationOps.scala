@@ -331,7 +331,9 @@ object CurationOps {
       .join(broadcast(plan.select("source", "rate_ppm")), Seq("source"))
       .filter(col("samp") < col("rate_ppm"))
       .groupBy("source").agg(count(lit(1)).as("sampled_docs"))
-    plan.join(sampled, Seq("source"), "left")
+    // both sides are sources-sized; hint the build side so the final
+    // stitch never SMJ-sorts (audited via graft.Explain)
+    plan.join(broadcast(sampled), Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("w"), col("share_ppm"),
         col("target_docs"), col("rate_ppm"),
         coalesce(col("sampled_docs"), lit(0L)).as("sampled_docs"))
