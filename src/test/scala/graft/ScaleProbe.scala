@@ -65,6 +65,9 @@ object ScaleProbe {
       t0 = System.nanoTime()
       val m = graft.queries.SuffixOps.longestRepeatAt(spark, src, cap).count()
       println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  longestRepeat cap=$cap (docs=$m)")
+      t0 = System.nanoTime()
+      val c = graft.queries.SuffixOps.contaminationSpanAt(spark, src, cap).count()
+      println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  contamination cap=$cap (docs=$c)")
     }
   }
 
