@@ -52,8 +52,9 @@ object RetrievalOps {
   private val QueryTerms = Seq("spark", "join", "window")
   private val TopK = 20
 
-  /** q146: (doc_id, matched_terms, score_ppm) — top-20 by BM25. */
-  def bm25TopK(s: SparkSession, d: String): DataFrame = {
+  /** All matching docs with their fixed-point BM25 score — the shared
+    * scoring core of q146 (top-k) and q155 (hybrid fusion). */
+  private def bm25Scores(s: SparkSession, d: String): DataFrame = {
     val tfCols = QueryTerms.map(t =>
       sum(when(col("word") === t, 1L).otherwise(0L)).as(s"tf_$t"))
     val perDoc = TextOps.words(s, d)
@@ -76,10 +77,14 @@ object RetrievalOps {
       .withColumn("score_ppm", contribs.reduce(_ + _))
       .withColumn("matched_terms", matched)
       .filter(col("score_ppm") > 0)
+  }
+
+  /** q146: (doc_id, matched_terms, score_ppm) — top-20 by BM25. */
+  def bm25TopK(s: SparkSession, d: String): DataFrame =
+    bm25Scores(s, d)
       .orderBy(desc("score_ppm"), asc("doc_id"))
       .limit(TopK)
       .select("doc_id", "matched_terms", "score_ppm")
-  }
 
   /** q148: inverted index with TRUNCATED posting lists — (term, df,
     * tf_total, postings = first 16 doc ids). Terms are word bigrams
@@ -130,10 +135,62 @@ object RetrievalOps {
         size(col("c.chunk")).cast("long").as("n_tokens"),
         md5(concat_ws(" ", col("c.chunk"))).as("chunk_md5"))
 
+  private val FuseK = 50 // per-list depth fed into the fusion
+  private val RrfC = 60L // the standard RRF damping constant
+
+  /** q155: HYBRID retrieval — reciprocal rank fusion of the lexical
+    * (BM25, q146) and dense (cosine vs the query vector, q33) lists,
+    * the standard two-tower search composition (Cormack et al. 2009).
+    * Doc and vector ids are aligned by contract (doc i ↔ vec_id i).
+    * Each side contributes its top-[[FuseK]]; RRF score is the
+    * INTEGER `1e6 div (60 + rank)` per list membership — transcendental
+    * -free, so the fused ordering is engine-exact. Missing-side ranks
+    * surface as 0 (audit-friendly) and contribute nothing.
+    *
+    * Scale: each side ends in a TakeOrderedAndProject heap (no global
+    * sort); the only windows assign ranks within the two ≤ FuseK-row
+    * lists (driver-size frames by construction), and the fusion join
+    * is FuseK×FuseK-bounded. At 100 TB the two scans dominate —
+    * exactly the q146/q33 plans.
+    *
+    * Output: (doc_id, lex_rank, vec_rank, rrf_ppm) — top-10. */
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VecOps.register(s)
+    val lex = bm25Scores(s, d)
+      .orderBy(desc("score_ppm"), asc("doc_id")).limit(FuseK)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(desc("score_ppm"), asc("doc_id"))))
+      .select(col("doc_id"), col("lex_rank").cast("long").as("lex_rank"))
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0).limit(1)
+      .select(col("embedding").as("qemb"))
+    val vec = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        graft.functions.VecOps.vec_cosine(col("embedding"), col("qemb"))
+          .as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id")).limit(FuseK)
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy(desc("cos_sim"), asc("vec_id"))))
+      .select(col("vec_id").as("doc_id"),
+        col("vec_rank").cast("long").as("vec_rank"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_ppm", expr(
+        s"coalesce(1000000L div ($RrfC + lex_rank), 0L)" +
+          s" + coalesce(1000000L div ($RrfC + vec_rank), 0L)"))
+      .orderBy(desc("rrf_ppm"), asc("doc_id")).limit(10)
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
+        col("rrf_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_bm25_topk" -> bm25TopK,
     "q148_posting_lists" -> postingLists,
-    "q149_chunking" -> chunkDocs)
+    "q149_chunking" -> chunkDocs,
+    "q155_hybrid_rrf" -> hybridRrf)
 
   val oracle: Map[String, String] = Map(
     "q146_bm25_topk" -> {
@@ -180,6 +237,65 @@ object RetrievalOps {
         |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total,
         |  list_slice(list(doc_id ORDER BY doc_id), 1, 16) AS postings
         |FROM pd GROUP BY term""".stripMargin,
+    "q155_hybrid_rrf" -> {
+      val tfSel = QueryTerms.map(t =>
+        s"SUM(CASE WHEN word = '$t' THEN 1 ELSE 0 END) AS tf_$t")
+        .mkString(", ")
+      val dfSel = QueryTerms.map(t =>
+        s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t")
+        .mkString(", ")
+      val contribs = QueryTerms.map(t =>
+        s"""CASE WHEN tf_$t > 0 THEN
+           |  ((((2 * (n - df_$t) + 1) * 1000000) // (2 * df_$t + 1))
+           |    * tf_$t * 2200)
+           |  // (tf_$t * 1000 + 300 + (900 * dl * n) // tt)
+           |ELSE 0 END""".stripMargin).mkString(" + ")
+      def dot(a: String, b: String) =
+        s"list_sum(list_transform(list_zip($a, $b), " +
+          "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+      def nsq(a: String) =
+        s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+      val cos = s"${dot("embedding", "qemb")} / " +
+        s"(sqrt(${nsq("embedding")}) * sqrt(${nsq("qemb")}))"
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |pd AS (
+         |  SELECT doc_id, COUNT(*) AS dl, $tfSel
+         |  FROM w GROUP BY doc_id),
+         |st AS (
+         |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS tt, $dfSel
+         |  FROM pd),
+         |lexall AS (
+         |  SELECT doc_id, CAST($contribs AS BIGINT) AS score_ppm
+         |  FROM pd, st WHERE $contribs > 0),
+         |lex AS (
+         |  SELECT doc_id, lex_rank FROM (
+         |    SELECT doc_id, score_ppm,
+         |      ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id)
+         |        AS lex_rank
+         |    FROM lexall)
+         |  WHERE lex_rank <= $FuseK),
+         |q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+         |vecall AS (
+         |  SELECT vec_id AS doc_id, $cos AS cos_sim
+         |  FROM embeddings, q WHERE vec_id <> 0),
+         |vec AS (
+         |  SELECT doc_id, vec_rank FROM (
+         |    SELECT doc_id, cos_sim,
+         |      ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id)
+         |        AS vec_rank
+         |    FROM vecall)
+         |  WHERE vec_rank <= $FuseK)
+         |SELECT doc_id,
+         |  CAST(COALESCE(lex_rank, 0) AS BIGINT) AS lex_rank,
+         |  CAST(COALESCE(vec_rank, 0) AS BIGINT) AS vec_rank,
+         |  CAST(COALESCE(1000000 // ($RrfC + lex_rank), 0)
+         |    + COALESCE(1000000 // ($RrfC + vec_rank), 0) AS BIGINT)
+         |    AS rrf_ppm
+         |FROM lex FULL OUTER JOIN vec USING (doc_id)
+         |ORDER BY rrf_ppm DESC, doc_id LIMIT 10""".stripMargin
+    },
     "q149_chunking" ->
       s"""WITH w AS (
          |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

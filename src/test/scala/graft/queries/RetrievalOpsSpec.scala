@@ -140,4 +140,47 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(got((0L, 2L))._2 == h(toks.slice(48, 50).mkString(" ")))
     assert(got((1L, 0L)) == ((1L, h("solo"))), "sub-chunk doc: one chunk")
   }
+
+  test("q155 real corpus: RRF arithmetic holds row-by-row, ordered, top-10") {
+    val rows = RetrievalOps.hybridRrf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 10)
+    rows.foreach { case (_, lr, vr, rrf) =>
+      val want = (if (lr > 0) 1000000L / (60 + lr) else 0L) +
+        (if (vr > 0) 1000000L / (60 + vr) else 0L)
+      assert(rrf == want, s"rrf arithmetic: $lr/$vr -> $rrf != $want")
+      assert(lr > 0 || vr > 0, "every fused doc came from some list")
+    }
+    assert(rows.map(r => (-r._4, r._1)).sorted.toSeq ==
+      rows.map(r => (-r._4, r._1)).toSeq, "sorted by (rrf desc, doc_id)")
+  }
+
+  test("q155 fixture: a doc in BOTH lists outranks each single-list winner") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rrf").toString
+    // lexical: doc 1 strongest, doc 3 weaker; doc 2 has no query term
+    Seq(
+      (1L, "spark join window spark join window spark join"),
+      (2L, "pad pad pad pad pad pad pad pad"),
+      (3L, "spark join pad pad pad pad pad pad"))
+      .map { case (id, t) => (id, t, "en", "fix", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // dense: vec 0 = query; doc 2 closest, doc 3 second; doc 1 has NO
+    // embedding (absent from the dense list entirely)
+    Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.1f), 0),
+      (3L, Array(0.9f, 0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = RetrievalOps.hybridRrf(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) == ((1L, 0L, 1000000L / 61)), "lex-only winner, vec 0")
+    assert(got(2L) == ((0L, 1L, 1000000L / 61)), "vec-only winner, lex 0")
+    assert(got(3L)._1 == 2L && got(3L)._2 == 2L, "doc 3 second in both")
+    assert(got(3L)._3 > got(1L)._3 && got(3L)._3 > got(2L)._3,
+      s"fusion: second-in-both beats first-in-one, got $got")
+  }
 }
