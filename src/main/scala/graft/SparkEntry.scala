@@ -45,7 +45,10 @@ object SparkEntry {
       graft.queries.LmOps.queries ++
       graft.queries.IncrementalOps.queries ++
       graft.queries.RetrievalOps.queries ++
-      graft.queries.ComplianceOps.queries
+      graft.queries.ComplianceOps.queries ++
+      graft.queries.SegmentOps.queries ++
+      graft.queries.GraphOps.queries ++
+      graft.queries.LayoutOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -80,5 +83,8 @@ object SparkEntry {
       graft.queries.LmOps.oracle ++
       graft.queries.IncrementalOps.oracle ++
       graft.queries.RetrievalOps.oracle ++
-      graft.queries.ComplianceOps.oracle
+      graft.queries.ComplianceOps.oracle ++
+      graft.queries.SegmentOps.oracle ++
+      graft.queries.GraphOps.oracle ++
+      graft.queries.LayoutOps.oracle
 }

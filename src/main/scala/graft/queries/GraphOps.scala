@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components via alternating large-star /
+  * small-star (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC 2014) — the O(log n)-round algorithm for the dedup
+  * cluster step.
+  *
+  * [[Advanced.componentsFromPairs]] runs min-label propagation, which
+  * is O(component diameter) rounds — fine for near-dup clusters
+  * (diameter is small) but the wrong asymptotic for the general case
+  * (a path-shaped component of length L needs L rounds). Large-star /
+  * small-star contracts components in O(log n) rounds regardless of
+  * diameter, each round two shuffle-aggregate-join passes over the
+  * edge list — the shape that holds when the candidate graph itself
+  * is billions of edges.
+  *
+  *  - large-star(u): connect every STRICTLY LARGER neighbor of u to
+  *    m(u) = min(Γ(u) ∪ {u}).
+  *  - small-star(u): connect every neighbor ≤ u, and u itself, to
+  *    m(u).
+  *
+  * Both preserve connectivity; alternated to fixpoint the edge set
+  * becomes a star forest rooted at each component's minimum id.
+  *
+  * q159 runs it over the same shingle-verified candidate pairs as q57
+  * and emits the identical (doc_id, cluster_rep, is_kept) contract —
+  * the oracle is the same transitive-closure recursive CTE, so the
+  * hash match proves the star algorithm ≡ transitive closure on this
+  * graph while exercising a genuinely different distributed plan than
+  * q57's propagation loop.
+  *
+  * Ref: the reference keys its dedup decisions per id with ValueState
+  * (DwdTrafficUniqueVisitorDetail.java:60-109); clustering candidate
+  * pairs is the batch generalization (same provenance as q57).
+  */
+object GraphOps {
+
+  private val MaxRounds = 30
+
+  /** Alternating large-star/small-star to fixpoint over an undirected
+    * edge list (any orientation, self-loops ignored) →
+    * (doc_id, cluster_rep, is_kept) for every node with ≥1 edge. */
+  private[queries] def largeSmallStar(s: SparkSession, pairs: DataFrame)
+      : DataFrame = {
+    // normalized undirected form (u < v); the loop maintains this
+    // invariant — large-star emits (m, w) with m ≤ u < w, small-star
+    // emits (m, w) with m ≤ w, self-loops dropped
+    var edges = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("u"),
+        greatest(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = edges.select(explode(array(col("u"), col("v"))).as("doc_id"))
+      .distinct()
+      .localCheckpoint()
+
+    // directed both ways: one row per (node, neighbor)
+    def directed(e: DataFrame): DataFrame = e
+      .select(explode(array(
+        struct(col("u").as("x"), col("v").as("nbr")),
+        struct(col("v").as("x"), col("u").as("nbr")))).as("e"))
+      .select(col("e.x").as("x"), col("e.nbr").as("nbr"))
+
+    // m(x) = min(Γ(x) ∪ {x})
+    def mins(dir: DataFrame): DataFrame = dir
+      .groupBy(col("x"))
+      .agg(least(col("x"), min(col("nbr"))).as("m"))
+
+    var converged = false
+    var round = 0
+    while (!converged && round < MaxRounds) {
+      val dirL = directed(edges)
+      val afterLarge = dirL.join(mins(dirL), Seq("x"))
+        .filter(col("nbr") > col("x"))
+        .select(col("m").as("u"), col("nbr").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      val dirS = directed(afterLarge)
+      val afterSmall = dirS.join(mins(dirS), Seq("x"))
+        .filter(col("nbr") <= col("x"))
+        .select(col("m").as("u"), col("nbr").as("v"))
+        .unionByName(mins(dirS)
+          .select(col("m").as("u"), col("x").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      // fixpoint test on the normalized edge set: same cardinality and
+      // empty one-sided difference ⇒ equal sets
+      converged = afterSmall.count() == edges.count() &&
+        afterSmall.except(edges).isEmpty
+      edges = afterSmall
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"large-star/small-star did not converge in $round rounds")
+    // star forest: every non-root has exactly the component min as its
+    // neighbor set's minimum; roots keep themselves
+    val labels = directed(edges)
+      .groupBy(col("x").as("doc_id"))
+      .agg(least(col("doc_id"), min(col("nbr"))).as("cluster_rep"))
+    nodes.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"))
+      .select(col("doc_id"), col("cluster_rep"),
+        (col("doc_id") === col("cluster_rep")).as("is_kept"))
+  }
+
+  /** q159: q57's verified candidate pairs clustered by the star
+    * algorithm — output contract and oracle identical to q57. */
+  def ccLargeStar(s: SparkSession, d: String): DataFrame =
+    largeSmallStar(s,
+      TextOps.ngramJaccard(s, d).select(col("doc_a"), col("doc_b")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_cc_largestar" -> ccLargeStar)
+
+  val oracle: Map[String, String] = Map(
+    "q159_cc_largestar" -> s"""${Advanced.pairsCte},
+      |${Advanced.ccCte}
+      |SELECT n.doc_id,
+      |  LEAST(n.doc_id, MIN(r.v)) AS cluster_rep,
+      |  n.doc_id = LEAST(n.doc_id, MIN(r.v)) AS is_kept
+      |FROM nodes n JOIN reach r ON r.u = n.doc_id
+      |GROUP BY n.doc_id""".stripMargin)
+}

@@ -1,0 +1,54 @@
+package graft.queries
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q159 contracts: the large-star/small-star fixpoint labels known
+  * topologies correctly (including high-diameter paths, the case that
+  * separates it from bounded-round propagation), and agrees with the
+  * independent union-find/propagation implementation on a seeded
+  * pseudo-random graph.
+  */
+class GraphOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def labels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.largeSmallStar(spark, edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("path, star, and two components label to the component min") {
+    // path 10-11-...-17 (diameter 7), star around 30, pair {50,51}
+    val path = (10L until 17L).map(i => (i, i + 1))
+    val star = Seq((31L, 30L), (30L, 32L), (33L, 30L))
+    val pair = Seq((51L, 50L))
+    val out = labels(path ++ star ++ pair)
+    (10L to 17L).foreach(n => assert(out(n) == 10L))
+    (30L to 33L).foreach(n => assert(out(n) == 30L))
+    assert(out(50L) == 50L && out(51L) == 50L)
+    assert(out.size == 14)
+  }
+
+  test("agrees with union-find on a seeded pseudo-random graph") {
+    // deterministic multiplicative-congruential edge set over 200 nodes
+    val edges = (1 to 150).map { i =>
+      val a = (i * 7919L) % 200
+      val b = (i * 104729L) % 200
+      (a, b)
+    }.filter { case (a, b) => a != b }
+    // driver-side union-find reference
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> find(n)).toMap
+    assert(labels(edges) == expected)
+  }
+}
