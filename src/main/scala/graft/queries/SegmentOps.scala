@@ -36,6 +36,9 @@ import org.apache.spark.sql.functions._
 object SegmentOps {
 
   private val SegLen = 12
+  // packed (doc_id, seg) owner key: supports ≤2²⁰ segments per doc
+  // (a 12M-char doc at SegLen=12) and doc_id < 2⁴³
+  private val SegCap = 1L << 20
 
   /** q156: (doc_id, n_segs, n_kept, text_dedup) — drop every segment
     * whose exact content already occurred earlier in the corpus
@@ -50,15 +53,18 @@ object SegmentOps {
         s"transform(sequence(0, (size(w)-1) div $SegLen)," +
           s" i -> array_join(slice(w, i*$SegLen+1, $SegLen), ' '))"))
         .as(Seq("seg", "seg_text")))
-    // keep-first owner per distinct segment content: min (doc_id, seg)
-    // — a bounded-state aggregate, never a window over the corpus
+    // keep-first owner per distinct segment content: min (doc_id, seg),
+    // packed into one long (seg < 2²⁰ ⇒ lexicographic ≡ numeric) so the
+    // aggregate stays a hash-aggregable MIN(LONG) — min(struct) would
+    // demote the corpus-scale aggregation to SortAggregate (measured:
+    // an extra Exchange+Sort over the segment stream)
+    val packed = col("doc_id") * SegCap + col("seg")
     val owner = segs
       .groupBy(md5(col("seg_text")).as("h"))
-      .agg(min(struct(col("doc_id"), col("seg"))).as("own"))
+      .agg(min(packed).as("own"))
     val kept = segs.withColumn("h", md5(col("seg_text")))
       .join(owner, Seq("h"))
-      .filter(col("doc_id") === col("own.doc_id") &&
-        col("seg") === col("own.seg"))
+      .filter(packed === col("own"))
     val perDoc = segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
     val rebuilt = kept.groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
