@@ -48,7 +48,8 @@ object SparkEntry {
       graft.queries.ComplianceOps.queries ++
       graft.queries.SegmentOps.queries ++
       graft.queries.GraphOps.queries ++
-      graft.queries.LayoutOps.queries
+      graft.queries.LayoutOps.queries ++
+      graft.queries.StoreOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -86,5 +87,6 @@ object SparkEntry {
       graft.queries.ComplianceOps.oracle ++
       graft.queries.SegmentOps.oracle ++
       graft.queries.GraphOps.oracle ++
-      graft.queries.LayoutOps.oracle
+      graft.queries.LayoutOps.oracle ++
+      graft.queries.StoreOps.oracle
 }

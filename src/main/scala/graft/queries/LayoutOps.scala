@@ -68,6 +68,26 @@ object LayoutOps {
         max(col("doc_id")).as("max_doc"))
   }
 
+  /** q164: the snapshot diff emitted as a CDC changelog — one
+    * Maxwell-style row per mutation (op ∈ insert/update/delete,
+    * before/after content hash; unchanged rows emit nothing). The
+    * reference CONSUMES this envelope from its binlog reader
+    * (BaseDBApp's Maxwell topic_db stream); snapshot diffing is how
+    * the same stream is produced when no binlog exists. */
+  def changelogEmit(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val oldS = docs.select(col("doc_id"), md5(col("text")).as("h_old"))
+    val newS = newSnapshot(docs)
+      .select(col("doc_id"), md5(col("text")).as("h_new"))
+    oldS.join(newS, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, "insert")
+          .when(col("h_new").isNull, "delete")
+          .when(col("h_old") =!= col("h_new"), "update").as("op"),
+        col("h_old").as("before_hash"), col("h_new").as("after_hash"))
+      .filter(col("op").isNotNull)
+  }
+
   // ---- q161: join-key skew profile ----------------------------------
 
   /** q161: one-row skew diagnostic for orders.o_custkey. Percentiles
@@ -135,6 +155,7 @@ object LayoutOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q160_snapshot_diff" -> snapshotDiff,
+    "q164_changelog_emit" -> changelogEmit,
     "q161_skew_profile" -> skewProfile,
     "q162_zorder_layout" -> zorderLayout)
 
@@ -160,6 +181,25 @@ object LayoutOps {
         |SELECT status, COUNT(*) AS n_docs,
         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         |FROM j GROUP BY status""".stripMargin,
+    "q164_changelog_emit" ->
+      """WITH olds AS (
+        |  SELECT doc_id, md5(text) AS h_old FROM documents),
+        |news AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 13 = 5 THEN text || ' v2' ELSE text END)
+        |      AS h_new
+        |  FROM documents WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, md5(text) AS h_new
+        |  FROM documents WHERE doc_id % 29 = 7)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.h_old IS NULL THEN 'insert'
+        |       WHEN n.h_new IS NULL THEN 'delete'
+        |       WHEN o.h_old <> n.h_new THEN 'update' END AS op,
+        |  o.h_old AS before_hash, n.h_new AS after_hash
+        |FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id
+        |WHERE NOT (o.h_old IS NOT NULL AND n.h_new IS NOT NULL
+        |  AND o.h_old = n.h_new)""".stripMargin,
     "q161_skew_profile" ->
       """WITH counts AS (
         |  SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey),

@@ -1,0 +1,187 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Storage-placement and lifecycle operators:
+  *
+  *  - q163: rendezvous (highest-random-weight) sharding audit — the
+  *    placement scheme whose resize property ("only 1/(n+1) of keys
+  *    move, all to the new shard") this query states AND measures.
+  *  - q165: TTL retention sweep — per-event-class purge accounting
+  *    against the newest-event anchor (the lifecycle pass a 100 TB
+  *    event store runs nightly).
+  *  - q166: per-user activity streaks (gaps-and-islands) — consecutive
+  *    active-day runs, the engagement statistic.
+  *
+  * Ref: the reference routes dim writes to Phoenix tables by a config
+  * table (DimSinkFunction.java); rendezvous hashing is the
+  * shard-placement generalization. Its TTL'd ValueStates
+  * (DwdTrafficUniqueVisitorDetail.java:75-90) are the per-key version
+  * of the q165 retention decision.
+  *
+  * Scale (100 TB): q163's assignment is a pure projection — the
+  * 64-way hash fan-out happens inside one `transform` over a literal
+  * sequence (no explode, no shuffle; 64 codegen'd polynomial hashes
+  * per row), and only the 64-row shard census aggregates. q165 is one
+  * broadcast of a 1-row anchor plus a map-side classified aggregate.
+  * q166's windows partition by user_id — per-user state only, the
+  * scale-safe window class.
+  */
+object StoreOps {
+
+  private val Shards = 64
+
+  /** Engine-exact per-(key, shard) weight — quadratic-residue mixing
+    * over the Mersenne modulus 2³¹−1, stated in portable BIGINT
+    * arithmetic: u = (key·1103515245 + i·40503 + 12345) mod M, weight
+    * = u² mod M. The SQUARE is load-bearing: any affine-in-i hash
+    * (including the corpus polynomial hash of a "key:shard:i" string,
+    * whose Horner form is prefix·Bᵏ + suffix) makes the argmax
+    * near-constant across keys — same-length shard suffixes share the
+    * prefix term, so one shard wins everything (observed: 500 docs →
+    * 2 shards). Squaring mod M wraps each weight ~u²/M times, which
+    * decorrelates the i-ordering per key (measured: 64/64 shards
+    * occupied, Poisson-plausible 1–14 spread). All intermediates
+    * bound by 2³¹·1103515245 < 2⁶² for ANY key after the key%M
+    * pre-reduction — no overflow at 100 TB ids. */
+  private def hrwArray(n: Int): String = {
+    val u = "(((doc_id % 2147483647L) * 1103515245L + i * 40503L + 12345L)" +
+      " % 2147483647L)"
+    s"transform(sequence(0, ${n - 1}), i -> ($u * $u) % 2147483647L)"
+  }
+
+  /** q163: (shard, n_docs, moved_docs) — HRW assignment at 64 shards,
+    * plus how many of each shard's docs would move if a 65th shard
+    * joined (rendezvous guarantees they ALL move to the new shard —
+    * pinned in StoreOpsSpec; ties break to the smallest shard index,
+    * mirrored in the oracle's ORDER BY h DESC, i ASC). */
+  def shardAssign(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).select(col("doc_id"))
+      .withColumn("hs", expr(hrwArray(Shards)))
+      .withColumn("hs65", expr(hrwArray(Shards + 1)))
+      .select(col("doc_id"),
+        (expr("array_position(hs, array_max(hs))") - 1).as("shard"),
+        (expr("array_position(hs65, array_max(hs65))") - 1).as("shard65"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("shard65") =!= col("shard"), 1L).otherwise(0L))
+          .as("moved_docs"))
+  }
+
+  /** Retention policy, stated once for both engines. */
+  private val RetentionDays = Seq(
+    "view" -> 7L, "click" -> 14L, "error" -> 30L,
+    "purchase" -> 365L, "signup" -> 365L)
+
+  /** q165: per-event-type purge accounting against the newest event:
+    * rows older than the class retention are purge candidates.
+    * Output: (event_type, n_total, n_purge, purge_ppm, first_kept_dt). */
+  def ttlSweep(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), expr("unix_micros(ts)").as("tsu"))
+    val anchor = ev.agg(max(col("tsu")).as("anchor_us"))
+    val ret = RetentionDays.foldLeft(lit(null).cast("long")) {
+      case (acc, (t, days)) => when(col("event_type") === t, days).otherwise(acc)
+    }
+    ev.crossJoin(broadcast(anchor))
+      .withColumn("cutoff_us", col("anchor_us") - ret * 86400000000L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("tsu") < col("cutoff_us"), 1L).otherwise(0L))
+          .as("n_purge"),
+        min(when(col("tsu") >= col("cutoff_us"),
+          to_date(timestamp_micros(col("tsu"))))).as("first_kept_dt"))
+      .withColumn("purge_ppm", expr("(n_purge * 1000000L) div n_total"))
+      .select("event_type", "n_total", "n_purge", "purge_ppm", "first_kept_dt")
+  }
+
+  /** q166: per-user consecutive-active-day streaks via the
+    * day_number − row_number island key (windows partition by user —
+    * per-user state only). Output: (user_id, n_active_days, n_streaks,
+    * longest_streak). */
+  def activityStreaks(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .as("day_num"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day_num"))
+    val islands = days
+      .withColumn("island", col("day_num") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_shard_assign" -> shardAssign,
+    "q165_ttl_sweep" -> ttlSweep,
+    "q166_activity_streaks" -> activityStreaks)
+
+  private def hrwOracle(n: Int, alias: String): String = {
+    val u = "((doc_id % 2147483647) * 1103515245 + i * 40503 + 12345)" +
+      " % 2147483647"
+    s"""$alias AS (
+       |  SELECT doc_id, i, (($u) * ($u)) % 2147483647 AS h
+       |  FROM (SELECT doc_id, unnest(range(0, $n)) AS i FROM documents)),
+       |${alias}_pick AS (
+       |  SELECT doc_id, i AS shard FROM (
+       |    SELECT doc_id, i, ROW_NUMBER() OVER (
+       |      PARTITION BY doc_id ORDER BY h DESC, i) AS rn FROM $alias)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q163_shard_assign" ->
+      s"""WITH ${hrwOracle(Shards, "h64")},
+         |${hrwOracle(Shards + 1, "h65")}
+         |SELECT p64.shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN p65.shard <> p64.shard THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS moved_docs
+         |FROM h64_pick p64 JOIN h65_pick p65 USING (doc_id)
+         |GROUP BY p64.shard""".stripMargin,
+    "q165_ttl_sweep" -> {
+      val retCase = RetentionDays
+        .map { case (t, days) => s"WHEN event_type = '$t' THEN $days" }
+        .mkString(" ")
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |    epoch_us(date_trunc('microseconds', ts)) AS tsu
+         |  FROM events),
+         |anchor AS (SELECT MAX(tsu) AS anchor_us FROM ev),
+         |cls AS (
+         |  SELECT event_type, tsu,
+         |    anchor_us - (CASE $retCase END) * 86400000000 AS cutoff_us
+         |  FROM ev CROSS JOIN anchor)
+         |SELECT event_type, COUNT(*) AS n_total,
+         |  CAST(SUM(CASE WHEN tsu < cutoff_us THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_purge,
+         |  CAST((SUM(CASE WHEN tsu < cutoff_us THEN 1 ELSE 0 END) * 1000000)
+         |    // COUNT(*) AS BIGINT) AS purge_ppm,
+         |  MIN(CASE WHEN tsu >= cutoff_us
+         |    THEN CAST(make_timestamp(tsu) AS DATE) END) AS first_kept_dt
+         |FROM cls GROUP BY event_type""".stripMargin
+    },
+    "q166_activity_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id,
+        |    day_num - ROW_NUMBER() OVER (
+        |      PARTITION BY user_id ORDER BY day_num) AS island
+        |  FROM days),
+        |runs AS (
+        |  SELECT user_id, island, COUNT(*) AS len
+        |  FROM isl GROUP BY user_id, island)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |  COUNT(*) AS n_streaks, MAX(len) AS longest_streak
+        |FROM runs GROUP BY user_id""".stripMargin)
+}

@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q163–q166 contracts beyond the oracle: the rendezvous resize
+  * guarantee at doc granularity, changelog/status cross-consistency,
+  * and driver-side re-derivations of the TTL sweep and streaks.
+  */
+class StoreOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private val M = 2147483647L
+  private def weight(key: Long, i: Long): Long = {
+    val u = ((key % M) * 1103515245L + i * 40503L + 12345L) % M
+    u * u % M
+  }
+  private def pick(key: Long, n: Int): Long =
+    (0 until n).map(i => (i.toLong, weight(key, i)))
+      .maxBy { case (i, h) => (h, -i) }._1
+
+  test("q163 resize moves docs ONLY to the new shard, ~1/(n+1) of them") {
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val moved = ids.filter(id => pick(id, 64) != pick(id, 65))
+    assert(moved.nonEmpty && moved.length < ids.length / 65 * 3)
+    moved.foreach(id => assert(pick(id, 65) == 64L))
+    // aggregate view matches the driver-side assignment census
+    val got = StoreOps.shardAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val expected = ids.groupBy(pick(_, 64)).view.mapValues { ds =>
+      (ds.length.toLong, ds.count(id => pick(id, 65) != pick(id, 64)).toLong)
+    }.toMap
+    assert(got == expected)
+    assert(got.keySet.size == 64) // every shard occupied at 500 docs
+  }
+
+  test("q164 changelog rows are exactly q160's non-unchanged census") {
+    val diff = LayoutOps.snapshotDiff(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val log = LayoutOps.changelogEmit(spark, sf).collect()
+    val byOp = log.groupBy(_.getString(1)).view.mapValues(_.length.toLong)
+    assert(byOp("insert") == diff("added"))
+    assert(byOp("delete") == diff("removed"))
+    assert(byOp("update") == diff("changed"))
+    assert(log.length == diff("added") + diff("removed") + diff("changed"))
+    log.foreach { r =>
+      r.getString(1) match {
+        case "insert" => assert(r.isNullAt(2) && !r.isNullAt(3))
+        case "delete" => assert(!r.isNullAt(2) && r.isNullAt(3))
+        case "update" => assert(!r.isNullAt(2) && !r.isNullAt(3) &&
+          r.getString(2) != r.getString(3))
+      }
+    }
+  }
+
+  test("q165 purge census matches a driver-side sweep") {
+    val ret = Map("view" -> 7L, "click" -> 14L, "error" -> 30L,
+      "purchase" -> 365L, "signup" -> 365L)
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) as tsu").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val anchor = ev.map(_._2).max
+    val expected = ev.groupBy(_._1).view.mapValues { rows =>
+      val cutoff = anchor - ret(rows.head._1) * 86400000000L
+      val purge = rows.count(_._2 < cutoff).toLong
+      (rows.length.toLong, purge, purge * 1000000L / rows.length)
+    }.toMap
+    val got = StoreOps.ttlSweep(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+  }
+
+  test("q166 streaks match a driver-side gaps-and-islands scan") {
+    val rows = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "CAST(to_date(ts) AS STRING) as d").collect()
+      .map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1)).toEpochDay))
+    val expected = rows.groupBy(_._1).view.mapValues { rs =>
+      val days = rs.map(_._2).distinct.sorted
+      // island lengths by splitting on gaps > 1
+      val lens = days.foldLeft(List.empty[(Long, Long)]) {
+        case (Nil, day) => List((day, 1L))
+        case ((last, len) :: t, day) if day == last + 1 => (day, len + 1) :: t
+        case (acc, day) => (day, 1L) :: acc
+      }.map(_._2)
+      (days.length.toLong, lens.length.toLong, lens.max)
+    }.toMap
+    val got = StoreOps.activityStreaks(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+  }
+}
