@@ -40,19 +40,23 @@ object LayoutOps {
   // ---- q160: snapshot diff ------------------------------------------
 
   /** Deterministic "next crawl" derivation: drop doc_id%17==3, rewrite
-    * text for doc_id%13==5, add +1e6-shifted copies of doc_id%29==7. */
+    * text for doc_id%13==5, add +1e6-shifted copies of doc_id%29==7.
+    * Carries (doc_id, text, source). */
   private def newSnapshot(docs: DataFrame): DataFrame = docs
     .filter(col("doc_id") % 17 =!= 3)
     .select(col("doc_id"),
       when(col("doc_id") % 13 === 5, concat(col("text"), lit(" v2")))
-        .otherwise(col("text")).as("text"))
+        .otherwise(col("text")).as("text"),
+      col("source"))
     .unionByName(docs.filter(col("doc_id") % 29 === 7)
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        col("source")))
 
   /** q160: (status, n_docs, min_doc, max_doc) over the full-outer
     * compare of the two snapshots' content hashes. */
   def snapshotDiff(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"))
     val oldS = docs.select(col("doc_id"), md5(col("text")).as("h_old"))
     val newS = newSnapshot(docs)
       .select(col("doc_id"), md5(col("text")).as("h_new"))
@@ -75,7 +79,8 @@ object LayoutOps {
     * (BaseDBApp's Maxwell topic_db stream); snapshot diffing is how
     * the same stream is produced when no binlog exists. */
   def changelogEmit(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"))
     val oldS = docs.select(col("doc_id"), md5(col("text")).as("h_old"))
     val newS = newSnapshot(docs)
       .select(col("doc_id"), md5(col("text")).as("h_new"))
@@ -86,6 +91,80 @@ object LayoutOps {
           .when(col("h_old") =!= col("h_new"), "update").as("op"),
         col("h_old").as("before_hash"), col("h_new").as("after_hash"))
       .filter(col("op").isNotNull)
+  }
+
+  /** q167: incremental aggregate maintenance — the reference's P3
+    * delta semantics (`if(insert, n, n − old)`,
+    * DwdTradeCartAdd:29-55) applied batch-at-a-time: per-source
+    * (docs, chars) aggregates of the NEW snapshot computed WITHOUT
+    * rescanning it, as base aggregate ⊕ changelog deltas (insert:
+    * +1/+len(after); delete: −1/−len(before); update: 0/len diff).
+    * The oracle recomputes directly from the new snapshot — the hash
+    * match IS the delta-maintenance ≡ recompute theorem for this
+    * aggregate family.
+    *
+    * Scale: base aggregates are table-maintenance state (sources-sized);
+    * the delta pass touches ONLY the changelog — at 100 TB the rescan
+    * this avoids is the whole point. */
+  def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"))
+    val base = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"), sum(length(col("text"))).as("chars"))
+    val oldV = docs.select(col("doc_id"), col("source").as("src_old"),
+      length(col("text")).as("len_old"))
+    val newV = newSnapshot(docs).select(col("doc_id"),
+      col("source").as("src_new"), length(col("text")).as("len_new"))
+    val delta = oldV.join(newV, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src_new"), col("src_old")).as("source"),
+        when(col("src_old").isNull, 1L)
+          .when(col("src_new").isNull, -1L).otherwise(0L).as("d_docs"),
+        (coalesce(col("len_new"), lit(0)).cast("long") -
+          coalesce(col("len_old"), lit(0)).cast("long")).as("d_chars"))
+      .groupBy(col("source"))
+      .agg(sum(col("d_docs")).as("d_docs"), sum(col("d_chars")).as("d_chars"))
+    base.join(delta, Seq("source"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("docs"), lit(0L)) + coalesce(col("d_docs"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("chars"), lit(0L)) + coalesce(col("d_chars"), lit(0L)))
+          .as("n_chars"))
+      .filter(col("n_docs") > 0)
+  }
+
+  private val RangeParts = 32
+
+  /** q169: exact balanced range-partition planner — the boundary
+    * computation behind repartitionByRange/RangePartitioner, done
+    * exactly instead of by reservoir sampling: cut points are true
+    * order statistics of the sort column, derived from a value
+    * histogram (counts-of-counts device, q161) so the corpus is never
+    * globally sorted. Boundary q = smallest value whose cumulative
+    * count ≥ ceil(q·N/32); a row's partition = #{boundaries < value}.
+    * Output: one row per non-empty planned partition with its actual
+    * extent and row count — the imbalance audit. */
+  def rangePlanner(s: SparkSession, d: String): DataFrame = {
+    val vals = Tables.documents(s, d).select(col("n_chars").as("v"))
+    val hist = vals.groupBy(col("v")).agg(count(lit(1)).as("freq"))
+    val cum = hist.withColumn("cum",
+      sum(col("freq")).over(Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val n = vals.agg(count(lit(1)).as("n_rows"))
+    // 31 cut points from the bounded histogram: qth = min v with
+    // cum ≥ ceil(q·N/32)
+    val bounds = cum.crossJoin(broadcast(n))
+      .select(explode(expr(s"transform(sequence(1, ${RangeParts - 1}), " +
+        "q -> struct(q as q, CASE WHEN cum * " + RangeParts +
+        " >= q * n_rows THEN v END as b))")).as("e"))
+      .filter(col("e.b").isNotNull)
+      .groupBy(col("e.q").as("q")).agg(min(col("e.b")).as("b"))
+      .agg(sort_array(collect_list(col("b"))).as("bs"))
+    vals.crossJoin(broadcast(bounds))
+      .select(col("v"),
+        expr("CAST(size(filter(bs, b -> b < v)) AS BIGINT)").as("part_id"))
+      .groupBy(col("part_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
   }
 
   // ---- q161: join-key skew profile ----------------------------------
@@ -156,6 +235,8 @@ object LayoutOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q160_snapshot_diff" -> snapshotDiff,
     "q164_changelog_emit" -> changelogEmit,
+    "q167_incremental_agg" -> incrementalAgg,
+    "q169_range_planner" -> rangePlanner,
     "q161_skew_profile" -> skewProfile,
     "q162_zorder_layout" -> zorderLayout)
 
@@ -200,6 +281,39 @@ object LayoutOps {
         |FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id
         |WHERE NOT (o.h_old IS NOT NULL AND n.h_new IS NOT NULL
         |  AND o.h_old = n.h_new)""".stripMargin,
+    // the oracle RECOMPUTES from the new snapshot — the equivalence of
+    // the two computation paths is the correctness statement
+    "q167_incremental_agg" ->
+      """WITH news AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 13 = 5 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, source, text
+        |  FROM documents WHERE doc_id % 29 = 7)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(text)) AS BIGINT) AS n_chars
+        |FROM news GROUP BY source""".stripMargin,
+    "q169_range_planner" ->
+      s"""WITH vals AS (SELECT n_chars AS v FROM documents),
+         |hist AS (SELECT v, COUNT(*) AS freq FROM vals GROUP BY v),
+         |cum AS (
+         |  SELECT v, SUM(freq) OVER (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM hist),
+         |n AS (SELECT COUNT(*) AS tot FROM vals),
+         |qs AS (SELECT unnest(range(1, $RangeParts)) AS q),
+         |b AS (
+         |  SELECT q, MIN(v) AS b
+         |  FROM cum CROSS JOIN n CROSS JOIN qs
+         |  WHERE cum * $RangeParts >= q * tot
+         |  GROUP BY q),
+         |parts AS (
+         |  SELECT v,
+         |    (SELECT COUNT(*) FROM b WHERE b.b < vals.v) AS part_id
+         |  FROM vals)
+         |SELECT part_id, COUNT(*) AS n_rows, MIN(v) AS lo, MAX(v) AS hi
+         |FROM parts GROUP BY part_id""".stripMargin,
     "q161_skew_profile" ->
       """WITH counts AS (
         |  SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey),

@@ -119,10 +119,38 @@ object StoreOps {
         max(col("len")).as("longest_streak"))
   }
 
+  /** q168: DAU / trailing-7-day WAU / stickiness per active day. Each
+    * distinct (user, day) fans out to the ≤7 window-end days it can
+    * serve (a bounded explode — the standard distributed rolling-
+    * distinct shape; no window function ever sees more than one
+    * user-day), then one distinct + one count per window day; only
+    * days with actual traffic are reported. */
+  def rollingWau(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .as("day_num"))
+      .distinct()
+    val present = days.select(col("day_num").as("w")).distinct()
+    val dau = days.groupBy(col("day_num").as("w"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = days
+      .select(col("user_id"),
+        explode(expr("sequence(day_num, day_num + 6)")).as("w"))
+      .distinct()
+      .join(present, Seq("w"), "left_semi")
+      .groupBy(col("w")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("w"))
+      .select(expr("date_add(DATE '1970-01-01', CAST(w AS INT))").as("dt"),
+        col("dau"), col("wau"),
+        expr("(dau * 1000000L) div wau").as("stickiness_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q163_shard_assign" -> shardAssign,
     "q165_ttl_sweep" -> ttlSweep,
-    "q166_activity_streaks" -> activityStreaks)
+    "q166_activity_streaks" -> activityStreaks,
+    "q168_rolling_wau" -> rollingWau)
 
   private def hrwOracle(n: Int, alias: String): String = {
     val u = "((doc_id % 2147483647) * 1103515245 + i * 40503 + 12345)" +
@@ -168,6 +196,23 @@ object StoreOps {
          |    THEN CAST(make_timestamp(tsu) AS DATE) END) AS first_kept_dt
          |FROM cls GROUP BY event_type""".stripMargin
     },
+    "q168_rolling_wau" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+        |  FROM events),
+        |present AS (SELECT DISTINCT day_num AS w FROM days),
+        |dau AS (
+        |  SELECT day_num AS w, COUNT(*) AS dau FROM days GROUP BY day_num),
+        |fan AS (
+        |  SELECT DISTINCT user_id, day_num + i AS w
+        |  FROM (SELECT user_id, day_num, unnest(range(0, 7)) AS i FROM days)),
+        |wau AS (
+        |  SELECT w, COUNT(*) AS wau
+        |  FROM fan JOIN present USING (w) GROUP BY w)
+        |SELECT DATE '1970-01-01' + CAST(w AS INTEGER) AS dt, dau, wau,
+        |  CAST((dau * 1000000) // wau AS BIGINT) AS stickiness_ppm
+        |FROM dau JOIN wau USING (w)""".stripMargin,
     "q166_activity_streaks" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id,

@@ -42,6 +42,45 @@ class LayoutOpsSpec extends AnyFunSuite {
     assert(r.getLong(7) == sorted.max * counts.length * 1000000L / sorted.sum)
   }
 
+  test("q167 maintained aggregates equal a direct recompute of the new snapshot") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val newSnap = docs.filter(_._1 % 17 != 3)
+      .map { case (id, src, t) =>
+        (id, src, if (id % 13 == 5) t + " v2" else t) } ++
+      docs.filter(_._1 % 29 == 7).map { case (id, src, t) =>
+        (id + 1000000L, src, t) }
+    val expected = newSnap.groupBy(_._2).view.mapValues(rs =>
+      (rs.length.toLong, rs.map(_._3.length.toLong).sum)).toMap
+    val got = LayoutOps.incrementalAgg(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
+  test("q169 partitions are ordered, exhaustive, and only unsplittable " +
+    "values overflow the target") {
+    val out = LayoutOps.rangePlanner(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.map(_._2).sum == total)
+    out.sliding(2).foreach {
+      case Array((_, _, _, hi1), (_, _, lo2, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+    // any overflow past the ideal share is attributable to the part's
+    // boundary (last) value, which range partitioning cannot split:
+    // n − freq(hi) < ceil(N/32)
+    val freq = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("n_chars").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val target = (total + 31) / 32
+    out.foreach { case (_, n, _, hi) =>
+      assert(n - freq(hi) < target)
+    }
+  }
+
   test("q162 interleave matches a bit-twiddling reference; box census adds up") {
     import spark.implicits._
     def mortonRef(x: Long, y: Long): Long =

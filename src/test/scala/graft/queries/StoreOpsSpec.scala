@@ -73,6 +73,24 @@ class StoreOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q168 WAU equals the literal trailing-7-day distinct count") {
+    val rows = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "CAST(to_date(ts) AS STRING) as d").collect()
+      .map(r => (r.getLong(0),
+        java.time.LocalDate.parse(r.getString(1)).toEpochDay))
+    val present = rows.map(_._2).distinct.sorted
+    val expected = present.map { w =>
+      val dau = rows.filter(_._2 == w).map(_._1).distinct.length.toLong
+      val wau = rows.filter(r => r._2 >= w - 6 && r._2 <= w)
+        .map(_._1).distinct.length.toLong
+      w -> ((dau, wau, dau * 1000000L / wau))
+    }.toMap
+    val got = StoreOps.rollingWau(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay,
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+  }
+
   test("q166 streaks match a driver-side gaps-and-islands scan") {
     val rows = graft.Tables.events(spark, sf)
       .selectExpr("user_id", "CAST(to_date(ts) AS STRING) as d").collect()
