@@ -49,7 +49,8 @@ object SparkEntry {
       graft.queries.SegmentOps.queries ++
       graft.queries.GraphOps.queries ++
       graft.queries.LayoutOps.queries ++
-      graft.queries.StoreOps.queries
+      graft.queries.StoreOps.queries ++
+      graft.queries.PqOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -88,5 +89,6 @@ object SparkEntry {
       graft.queries.SegmentOps.oracle ++
       graft.queries.GraphOps.oracle ++
       graft.queries.LayoutOps.oracle ++
-      graft.queries.StoreOps.oracle
+      graft.queries.StoreOps.oracle ++
+      graft.queries.PqOps.oracle
 }

@@ -1,0 +1,185 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search") — the missing piece of the ANN toolbox
+  * next to LSH (q34), IVF flat/trained/multi-probe (q38/q39/q98/q93)
+  * and scalar quantization (q129/q131):
+  *
+  *  - q170: PQ ENCODE — the 64-dim vector split into M=4 subspaces of
+  *    16 dims; each subvector mapped to the nearest of K=16 codewords;
+  *    a vector compresses to 4 code bytes (64× smaller than fp32).
+  *  - q171: ADC SEARCH — asymmetric distance computation: the query
+  *    precomputes a 4×16 distance table against the codebook; a
+  *    database vector's approximate distance is 4 table lookups + a
+  *    sum. Output: approx top-10 with true distances and exact-top-10
+  *    membership (the recall readout).
+  *
+  * Engine-exactness: all distances are computed in the milli-quantized
+  * integer space (`floor(x·1000)` per dimension — the proven q93/q129
+  * device), so every compare and sum is BIGINT in both engines. The
+  * codebook is data-sampled (the subvectors of vec_id 1..16) rather
+  * than k-means-trained — deterministic and engine-identical; the
+  * trained-codebook upgrade is exactly q93's integer k-means step
+  * applied per subspace. Argmin carries a PACKED dist·K+code long so
+  * the aggregate stays hash-aggregable (the q156 lesson).
+  *
+  * Scale (100 TB): encode is a projection + a broadcast join against
+  * a 64-row codebook and one hash aggregate on (vec_id, sub) — no
+  * all-pairs anything. ADC joins the 4-row-per-vector code table
+  * against a broadcast 64-entry distance table and sums: the scan is
+  * code-bytes wide, not vector-wide — which is the entire point of PQ
+  * at scale (RAM-resident codes, one cache line per vector).
+  *
+  * Ref: serving-side nearest-neighbor lookups in the reference are
+  * Phoenix point queries (DimUtil.java:26-60); PQ is how the same
+  * lookup survives when the "table" is a billion embeddings.
+  */
+object PqOps {
+
+  private val M = 4      // subspaces
+  private val Sub = 16   // dims per subspace
+  private val K = 16     // codewords per subspace (vec_id 1..K sampled)
+
+  /** (vec_id, sub, qv): milli-quantized subvectors, M rows per vector. */
+  private def subvectors(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${M - 1}), s -> struct(s AS sub, " +
+          s"transform(slice(embedding, s*$Sub + 1, $Sub), " +
+          "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv))"))
+        .as("e"))
+      .select(col("vec_id"), col("e.sub").cast("long").as("sub"),
+        col("e.qv").as("qv"))
+
+  /** Codebook: (sub, cw, cbv) — K codewords per subspace, sampled from
+    * vec_id 1..K. 64 rows total; always broadcast. */
+  private def codebook(s: SparkSession, d: String): DataFrame =
+    subvectors(s, d)
+      .filter(col("vec_id").between(1, K))
+      .select(col("sub"), (col("vec_id") - 1).as("cw"), col("qv").as("cbv"))
+
+  private def l2(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+      "0L, (acc, v) -> acc + v)")
+
+  /** Packed argmin over the K candidate codewords of one (vec, sub):
+    * dist·K + cw — dist is ≤ Sub·(milli-diff)², far inside long range,
+    * and packing keeps the aggregate a hash-aggregable MIN(LONG). */
+  private def encodeCore(s: SparkSession, d: String): DataFrame =
+    subvectors(s, d)
+      .join(broadcast(codebook(s, d)), Seq("sub"))
+      .select(col("vec_id"), col("sub"),
+        (l2("qv", "cbv") * K + col("cw")).as("packed"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("packed")).as("p"))
+      .select(col("vec_id"), col("sub"),
+        (col("p") % K).as("code"), expr(s"p div $K").as("qerr"))
+
+  /** q170: (vec_id, sub, code, qerr) — the PQ code table. */
+  def pqEncode(s: SparkSession, d: String): DataFrame = encodeCore(s, d)
+
+  /** q171: ADC top-10 for query vec_id=0 → (vec_id, approx_l2,
+    * true_l2, in_exact_topk). */
+  def pqAdcSearch(s: SparkSession, d: String): DataFrame = {
+    val qsub = subvectors(s, d).filter(col("vec_id") === 0)
+      .select(col("sub"), col("qv").as("qsv"))
+    // the 4×16 ADC table — built from two broadcast-sized frames
+    val adc = qsub.join(codebook(s, d), Seq("sub"))
+      .select(col("sub"), col("cw").as("code"), l2("qsv", "cbv").as("qdist"))
+    val approx = encodeCore(s, d)
+      .filter(col("vec_id") =!= 0)
+      .join(broadcast(adc), Seq("sub", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("qdist")).as("approx_l2"))
+    // exact distances in the same quantized space (for the readout)
+    val qfull = Tables.embeddings(s, d).filter(col("vec_id") === 0).limit(1)
+      .select(expr("transform(embedding, " +
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("qvec"))
+    val exact = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qfull))
+      .select(col("vec_id"),
+        l2("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) " +
+          "AS BIGINT))", "qvec").as("true_l2"))
+    val exactTop = exact.orderBy(col("true_l2"), col("vec_id")).limit(10)
+      .select(col("vec_id"), lit(1L).as("hit"))
+    approx.join(exact, Seq("vec_id"))
+      .join(broadcast(exactTop), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("approx_l2"), col("true_l2"),
+        (coalesce(col("hit"), lit(0L)) === 1L).as("in_exact_topk"))
+      .orderBy(col("approx_l2"), col("vec_id"))
+      .limit(10)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_pq_encode" -> pqEncode,
+    "q171_pq_adc" -> pqAdcSearch)
+
+  private val subCte =
+    s"""sv AS (
+       |  SELECT vec_id, s AS sub,
+       |    list_transform(embedding[s*$Sub + 1 : s*$Sub + $Sub],
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+       |  FROM (SELECT vec_id, embedding, unnest(range(0, $M)) AS s
+       |        FROM embeddings)),
+       |cb AS (
+       |  SELECT sub, vec_id - 1 AS cw, qv AS cbv FROM sv
+       |  WHERE vec_id BETWEEN 1 AND $K)""".stripMargin
+
+  private def l2Sql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, ${Sub + 1}), " +
+      s"j -> ($a[j] - $b[j]) * ($a[j] - $b[j])))"
+
+  private val encodeCte =
+    s"""enc AS (
+       |  SELECT vec_id, sub, cw AS code, dist AS qerr FROM (
+       |    SELECT sv.vec_id, sv.sub, cb.cw,
+       |      ${l2Sql("sv.qv", "cb.cbv")} AS dist,
+       |      ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub
+       |        ORDER BY ${l2Sql("sv.qv", "cb.cbv")}, cb.cw) AS rn
+       |    FROM sv JOIN cb USING (sub))
+       |  WHERE rn = 1)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q170_pq_encode" ->
+      s"""WITH $subCte,
+         |$encodeCte
+         |SELECT vec_id, CAST(sub AS BIGINT) AS sub,
+         |  CAST(code AS BIGINT) AS code, CAST(qerr AS BIGINT) AS qerr
+         |FROM enc""".stripMargin,
+    "q171_pq_adc" ->
+      s"""WITH $subCte,
+         |$encodeCte,
+         |adc AS (
+         |  SELECT cb.sub, cb.cw AS code,
+         |    ${l2Sql("q.qv", "cb.cbv")} AS qdist
+         |  FROM (SELECT sub, qv FROM sv WHERE vec_id = 0) q
+         |  JOIN cb USING (sub)),
+         |approx AS (
+         |  SELECT e.vec_id, CAST(SUM(a.qdist) AS BIGINT) AS approx_l2
+         |  FROM enc e JOIN adc a ON a.sub = e.sub AND a.code = e.code
+         |  WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+         |fullq AS (
+         |  SELECT list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qvec
+         |  FROM embeddings WHERE vec_id = 0),
+         |ex AS (
+         |  SELECT vec_id,
+         |    list_sum(list_transform(range(1, ${M * Sub + 1}),
+         |      j -> (fv[j] - qvec[j]) * (fv[j] - qvec[j]))) AS true_l2
+         |  FROM (SELECT vec_id, list_transform(embedding,
+         |          x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS fv
+         |        FROM embeddings WHERE vec_id <> 0)
+         |  CROSS JOIN fullq),
+         |ext AS (
+         |  SELECT vec_id FROM ex ORDER BY true_l2, vec_id LIMIT 10)
+         |SELECT a.vec_id, a.approx_l2, CAST(e.true_l2 AS BIGINT) AS true_l2,
+         |  (t.vec_id IS NOT NULL) AS in_exact_topk
+         |FROM approx a
+         |JOIN ex e ON e.vec_id = a.vec_id
+         |LEFT JOIN ext t ON t.vec_id = a.vec_id
+         |ORDER BY a.approx_l2, a.vec_id LIMIT 10""".stripMargin)
+}

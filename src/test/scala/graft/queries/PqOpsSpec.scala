@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q170/q171 contracts: codebook seeds encode to themselves with zero
+  * error, codes stay in range, and the whole ADC pipeline matches an
+  * independent driver-side re-derivation on the real embeddings.
+  */
+class PqOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def quant(v: Float): Long = math.floor(v.toDouble * 1000).toLong
+
+  private lazy val vecs: Map[Long, Array[Long]] =
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(quant).toArray).toMap
+
+  private def subv(v: Array[Long], s: Int): Array[Long] =
+    v.slice(s * 16, s * 16 + 16)
+
+  private def l2(a: Array[Long], b: Array[Long]): Long =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  private lazy val codebook: Map[(Int, Long), Array[Long]] =
+    (for (cw <- 0 until 16; s <- 0 until 4)
+      yield (s, cw.toLong) -> subv(vecs(cw + 1L), s)).toMap
+
+  private def encode(v: Array[Long], s: Int): (Long, Long) =
+    (0L until 16L).map(cw => (l2(subv(v, s), codebook((s, cw))), cw))
+      .minBy { case (dist, cw) => (dist, cw) } match {
+        case (dist, cw) => (cw, dist)
+      }
+
+  test("q170 codebook seeds self-encode with zero error; codes in range") {
+    val enc = PqOps.pqEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(enc.size == vecs.size * 4)
+    enc.foreach { case ((_, sub), (code, qerr)) =>
+      assert(sub >= 0 && sub < 4 && code >= 0 && code < 16 && qerr >= 0)
+    }
+    for (seed <- 1L to 16L; s <- 0 until 4)
+      assert(enc((seed, s.toLong)) == ((seed - 1, 0L)))
+    // every (vec, sub) matches the driver-side argmin
+    enc.foreach { case ((vid, sub), (code, qerr)) =>
+      assert(encode(vecs(vid), sub.toInt) == ((code, qerr)))
+    }
+  }
+
+  test("q171 matches a driver-side ADC search end-to-end") {
+    val q = vecs(0L)
+    val adc = (for (s <- 0 until 4; cw <- 0L until 16L)
+      yield (s, cw) -> l2(subv(q, s), codebook((s, cw)))).toMap
+    val approx = vecs.filter(_._1 != 0L).map { case (vid, v) =>
+      vid -> (0 until 4).map(s => adc((s, encode(v, s)._1))).sum
+    }
+    val exact = vecs.filter(_._1 != 0L).map { case (vid, v) => vid -> l2(v, q) }
+    val exactTop = exact.toSeq.sortBy { case (vid, dd) => (dd, vid) }
+      .take(10).map(_._1).toSet
+    val expected = approx.toSeq.sortBy { case (vid, a) => (a, vid) }.take(10)
+      .map { case (vid, a) => (vid, a, exact(vid), exactTop.contains(vid)) }
+    val got = PqOps.pqAdcSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    assert(got == expected)
+    // the recall readout is non-trivial on this corpus
+    assert(got.count(_._4) > 0)
+  }
+}
