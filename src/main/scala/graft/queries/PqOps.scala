@@ -114,9 +114,43 @@ object PqOps {
       .limit(10)
   }
 
+  /** q172: one exact Lloyd refinement of the sampled codebook, per
+    * subspace — the "trained PQ" step (the q93 integer-k-means
+    * convention: new centroid dim = sum div n, so the refined
+    * codebook is BIGINT and engine-identical; codewords that lose
+    * all members drop out, mirrored in both engines). Output per
+    * subspace: total quantization error before and after, and the
+    * improvement flag — Lloyd's monotonicity, stated as data. */
+  def pqTrain(s: SparkSession, d: String): DataFrame = {
+    val sv = subvectors(s, d)
+    val enc0 = encodeCore(s, d)
+    val cents = sv.join(enc0.select("vec_id", "sub", "code"),
+        Seq("vec_id", "sub"))
+      .select(col("sub"), col("code"),
+        posexplode(col("qv")).as(Seq("dim", "q")))
+      .groupBy(col("sub"), col("code"), col("dim"))
+      .agg(expr("sum(q) div count(1)").as("c"))
+    val cb2 = cents.groupBy(col("sub"), col("code"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), " +
+        "x -> x.c)").as("cbv"))
+      .select(col("sub"), col("code").as("cw"), col("cbv"))
+    val enc1 = sv.join(broadcast(cb2), Seq("sub"))
+      .select(col("vec_id"), col("sub"),
+        (l2("qv", "cbv") * K + col("cw")).as("packed"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("packed")).as("p"))
+      .select(col("sub"), expr(s"p div $K").as("qerr1"))
+    enc0.groupBy(col("sub")).agg(sum(col("qerr")).as("qerr_seed"))
+      .join(enc1.groupBy(col("sub")).agg(sum(col("qerr1")).as("qerr_trained")),
+        Seq("sub"))
+      .select(col("sub"), col("qerr_seed"), col("qerr_trained"),
+        (col("qerr_trained") <= col("qerr_seed")).as("improved"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_pq_encode" -> pqEncode,
-    "q171_pq_adc" -> pqAdcSearch)
+    "q171_pq_adc" -> pqAdcSearch,
+    "q172_pq_train" -> pqTrain)
 
   private val subCte =
     s"""sv AS (
@@ -144,6 +178,33 @@ object PqOps {
        |  WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q172_pq_train" ->
+      s"""WITH $subCte,
+         |$encodeCte,
+         |js AS (SELECT unnest(range(1, ${Sub + 1})) AS j),
+         |cents AS (
+         |  SELECT sub, code, j,
+         |    CAST(SUM(qv[j]) // COUNT(*) AS BIGINT) AS c
+         |  FROM sv JOIN enc USING (vec_id, sub) CROSS JOIN js
+         |  GROUP BY sub, code, j),
+         |cb2 AS (
+         |  SELECT sub, code AS cw, list(c ORDER BY j) AS cbv
+         |  FROM cents GROUP BY sub, code),
+         |enc1 AS (
+         |  SELECT vec_id, sub, dist AS qerr1 FROM (
+         |    SELECT sv.vec_id, sv.sub, cb2.cw,
+         |      ${l2Sql("sv.qv", "cb2.cbv")} AS dist,
+         |      ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub
+         |        ORDER BY ${l2Sql("sv.qv", "cb2.cbv")}, cb2.cw) AS rn
+         |    FROM sv JOIN cb2 USING (sub))
+         |  WHERE rn = 1),
+         |a AS (SELECT sub, CAST(SUM(qerr) AS BIGINT) AS qerr_seed
+         |      FROM enc GROUP BY sub),
+         |b AS (SELECT sub, CAST(SUM(qerr1) AS BIGINT) AS qerr_trained
+         |      FROM enc1 GROUP BY sub)
+         |SELECT a.sub, a.qerr_seed, b.qerr_trained,
+         |  b.qerr_trained <= a.qerr_seed AS improved
+         |FROM a JOIN b USING (sub)""".stripMargin,
     "q170_pq_encode" ->
       s"""WITH $subCte,
          |$encodeCte

@@ -146,8 +146,31 @@ object StoreOps {
         expr("(dau * 1000000L) div wau").as("stickiness_ppm"))
   }
 
+  /** q173: first-order Markov transition matrix over per-user event
+    * sequences — (from_type, to_type, n, p_ppm) with integer
+    * probabilities. Ordering inside a user is (ts, event_id) — the
+    * unique id breaks timestamp ties so both engines sequence
+    * identically. Windows partition by user: per-user state only. */
+  def transitionMatrix(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("tot"))
+    counts.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000L) div tot").as("p_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q163_shard_assign" -> shardAssign,
+    "q173_transition_matrix" -> transitionMatrix,
     "q165_ttl_sweep" -> ttlSweep,
     "q166_activity_streaks" -> activityStreaks,
     "q168_rolling_wau" -> rollingWau)
@@ -196,6 +219,22 @@ object StoreOps {
          |    THEN CAST(make_timestamp(tsu) AS DATE) END) AS first_kept_dt
          |FROM cls GROUP BY event_type""".stripMargin
     },
+    "q173_transition_matrix" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS to_type,
+        |    LAG(event_type, 1) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY date_trunc('microseconds', ts), event_id) AS from_type
+        |  FROM events),
+        |counts AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n FROM seq
+        |  WHERE from_type IS NOT NULL GROUP BY from_type, to_type),
+        |tot AS (
+        |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+        |  FROM counts GROUP BY from_type)
+        |SELECT from_type, to_type, n,
+        |  CAST((n * 1000000) // tot AS BIGINT) AS p_ppm
+        |FROM counts JOIN tot USING (from_type)""".stripMargin,
     "q168_rolling_wau" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id,

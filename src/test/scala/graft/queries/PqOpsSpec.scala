@@ -51,6 +51,39 @@ class PqOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q172 one Lloyd step matches driver re-derivation and never regresses") {
+    val assign = vecs.keys.flatMap(vid =>
+      (0 until 4).map(s => (vid, s, encode(vecs(vid), s)._1))).toSeq
+    val trained: Map[(Int, Long), Array[Long]] = assign.groupBy(a => (a._2, a._3))
+      .view.mapValues { members =>
+        val subs = members.map { case (vid, s, _) => subv(vecs(vid), s) }
+        (0 until 16).map(j => {
+          val sum = subs.map(_(j)).sum
+          // both engines truncate integer division toward zero
+          sum / subs.size
+        }).toArray
+      }.toMap
+    def encode2(v: Array[Long], s: Int): Long =
+      trained.keys.filter(_._1 == s).map(_._2).toSeq.sorted
+        .map(cw => (l2(subv(v, s), trained((s, cw))), cw))
+        .minBy { case (dist, cw) => (dist, cw) }._2
+    val expected = (0 until 4).map { s =>
+      // keys is a Set — materialize to Seq so equal distances don't dedupe
+      val ids = vecs.keys.toSeq
+      val seed = ids.map(vid => encode(vecs(vid), s)._2).sum
+      val after = ids.map { vid =>
+        val cw = encode2(vecs(vid), s)
+        l2(subv(vecs(vid), s), trained((s, cw)))
+      }.sum
+      s.toLong -> ((seed, after, after <= seed))
+    }.toMap
+    val got = PqOps.pqTrain(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == expected)
+    assert(got.values.forall(_._3)) // Lloyd step never regresses here
+  }
+
   test("q171 matches a driver-side ADC search end-to-end") {
     val q = vecs(0L)
     val adc = (for (s <- 0 until 4; cw <- 0L until 16L)

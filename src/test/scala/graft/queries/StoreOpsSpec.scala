@@ -91,6 +91,24 @@ class StoreOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q173 transition rows re-derive and rows of a state sum to ~1e6 ppm") {
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) as tsu", "event_id",
+        "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = ev.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(r => (r._2, r._3)).map(_._4).sliding(2)
+        .collect { case Array(a, b) => (a, b) }
+    }.toSeq.groupBy(p => p).view.mapValues(_.size.toLong).toMap
+    val got = StoreOps.transitionMatrix(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+    assert(got.map { case (k, (n, _)) => k -> n }.toMap == expected)
+    got.groupBy(_._1._1).values.foreach { rows =>
+      val ppm = rows.map(_._2._2).sum
+      assert(ppm <= 1000000L && ppm > 1000000L - rows.length)
+    }
+  }
+
   test("q166 streaks match a driver-side gaps-and-islands scan") {
     val rows = graft.Tables.events(spark, sf)
       .selectExpr("user_id", "CAST(to_date(ts) AS STRING) as d").collect()
