@@ -106,21 +106,33 @@ object LayoutOps {
     * Scale: base aggregates are table-maintenance state (sources-sized);
     * the delta pass touches ONLY the changelog — at 100 TB the rescan
     * this avoids is the whole point. */
-  def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+  /** Base-snapshot aggregates — the maintenance state q167 starts
+    * from (also the initial state of the streaming twin,
+    * [[graft.streaming.MaterializedAgg]]). */
+  private[graft] def baseAggregates(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"), sum(length(col("text"))).as("chars"))
+
+  /** Row-level changelog deltas (source, d_docs, d_chars) — one row
+    * per mutation, the input both q167 and the streaming twin fold. */
+  private[graft] def changelogDeltas(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), col("source"))
-    val base = docs.groupBy(col("source"))
-      .agg(count(lit(1)).as("docs"), sum(length(col("text"))).as("chars"))
     val oldV = docs.select(col("doc_id"), col("source").as("src_old"),
       length(col("text")).as("len_old"))
     val newV = newSnapshot(docs).select(col("doc_id"),
       col("source").as("src_new"), length(col("text")).as("len_new"))
-    val delta = oldV.join(newV, Seq("doc_id"), "full_outer")
+    oldV.join(newV, Seq("doc_id"), "full_outer")
       .select(coalesce(col("src_new"), col("src_old")).as("source"),
         when(col("src_old").isNull, 1L)
           .when(col("src_new").isNull, -1L).otherwise(0L).as("d_docs"),
         (coalesce(col("len_new"), lit(0)).cast("long") -
           coalesce(col("len_old"), lit(0)).cast("long")).as("d_chars"))
+  }
+
+  def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val base = baseAggregates(s, d)
+    val delta = changelogDeltas(s, d)
       .groupBy(col("source"))
       .agg(sum(col("d_docs")).as("d_docs"), sum(col("d_chars")).as("d_chars"))
     base.join(delta, Seq("source"), "full_outer")
