@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   *    event store runs nightly).
   *  - q166: per-user activity streaks (gaps-and-islands) — consecutive
   *    active-day runs, the engagement statistic.
+  *  - q168: DAU / trailing-7-day WAU / stickiness via a bounded
+  *    fan-out (the distributed rolling-distinct shape).
+  *  - q173: first-order Markov transition matrix over per-user event
+  *    sequences, integer row-stochastic ppm.
   *
   * Ref: the reference routes dim writes to Phoenix tables by a config
   * table (DimSinkFunction.java); rendezvous hashing is the
