@@ -117,10 +117,63 @@ object GraphOps {
     largeSmallStar(s,
       TextOps.ngramJaccard(s, d).select(col("doc_a"), col("doc_b")))
 
+  /** q174: per-node graph statistics over the q57 candidate graph —
+    * degree, triangle count, and integer clustering coefficient
+    * (2·tri·10⁶ div deg·(deg−1)). Triangles enumerate once per
+    * ordered triple a<b<c via two hash joins on the (already
+    * normalized) edge list — the standard distributed formulation;
+    * the production upgrade for skewed graphs is degree-ordering the
+    * orientation, which this corpus's bounded candidate degrees don't
+    * need (documented trade, same family as the q57 df-cap). */
+  def graphStats(s: SparkSession, d: String): DataFrame = {
+    val e = TextOps.ngramJaccard(s, d)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint() // 3 consumers; candidate generation is the cost
+    val deg = e.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .join(e.as("e3"), col("e3.doc_a") === col("e1.doc_a") &&
+        col("e3.doc_b") === col("e2.doc_b"))
+      .select(explode(array(col("e1.doc_a"), col("e1.doc_b"),
+        col("e2.doc_b"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("triangles"))
+    deg.join(tri, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("cc_ppm",
+        when(col("degree") >= 2,
+          expr("(2 * triangles * 1000000L) div (degree * (degree - 1))"))
+          .otherwise(0L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q159_cc_largestar" -> ccLargeStar)
+    "q159_cc_largestar" -> ccLargeStar,
+    "q174_graph_stats" -> graphStats)
 
   val oracle: Map[String, String] = Map(
+    "q174_graph_stats" -> s"""${Advanced.pairsCte},
+      |deg AS (
+      |  SELECT doc_id, COUNT(*) AS degree FROM (
+      |    SELECT doc_a AS doc_id FROM pairs
+      |    UNION ALL SELECT doc_b FROM pairs) GROUP BY doc_id),
+      |tris AS (
+      |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+      |  FROM pairs e1
+      |  JOIN pairs e2 ON e1.doc_b = e2.doc_a
+      |  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+      |tri AS (
+      |  SELECT doc_id, COUNT(*) AS triangles FROM (
+      |    SELECT a AS doc_id FROM tris
+      |    UNION ALL SELECT b FROM tris
+      |    UNION ALL SELECT c FROM tris) GROUP BY doc_id)
+      |SELECT d.doc_id, d.degree,
+      |  CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+      |  CASE WHEN d.degree >= 2 THEN
+      |    CAST((2 * COALESCE(t.triangles, 0) * 1000000)
+      |      // (d.degree * (d.degree - 1)) AS BIGINT)
+      |  ELSE 0 END AS cc_ppm
+      |FROM deg d LEFT JOIN tri t USING (doc_id)""".stripMargin,
     "q159_cc_largestar" -> s"""${Advanced.pairsCte},
       |${Advanced.ccCte}
       |SELECT n.doc_id,

@@ -186,13 +186,94 @@ object RetrievalOps {
         col("rrf_ppm"))
   }
 
+  /** q175: offline retrieval evaluation — Recall@10 and MRR over a
+    * fully derived qrel set, all integer ppm. Queries are docs 0–4,
+    * each asking its own first three words; a document is RELEVANT to
+    * a query iff it shares ≥2 of the query's three distinct terms
+    * (and is not the query doc). The ranking under evaluation is the
+    * lexical (matched-terms, matched-tf, doc_id) order — so the whole
+    * judgment chain (qrels, ranking, metrics) is engine-exact with no
+    * transcendental discount (MRR instead of NDCG by design: 1/rank
+    * is rational; per-query value = 10⁶ div firstRelevantRank).
+    *
+    * Scale: terms fan out to a 15-row broadcast; candidates come from
+    * a posting-style equi-join on term (docs sharing ≥1 term), the
+    * per-query window ranks only that query's candidates. Output: one
+    * row per query. */
+  def retrievalEval(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val words = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+    val qterms = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q"),
+        explode(expr("array_distinct(slice(split(text, ' '), 1, 3))"))
+          .as("word"))
+    val matches = words.select(col("doc_id"), col("word"))
+      .join(broadcast(qterms), Seq("word"))
+      .filter(col("doc_id") =!= col("q"))
+      .groupBy(col("q"), col("doc_id"))
+      .agg(countDistinct(col("word")).as("n_terms"),
+        count(lit(1)).as("tf"))
+    val rel = matches.filter(col("n_terms") >= 2)
+      .select(col("q"), col("doc_id"), lit(1L).as("is_rel"))
+    val ranked = matches
+      .withColumn("rank", row_number().over(Window.partitionBy(col("q"))
+        .orderBy(col("n_terms").desc, col("tf").desc, col("doc_id"))))
+      .join(rel, Seq("q", "doc_id"), "left")
+    val nrel = rel.groupBy(col("q")).agg(count(lit(1)).as("n_rel"))
+    ranked.groupBy(col("q"))
+      .agg(sum(when(col("rank") <= 10 && col("is_rel") === 1L, 1L)
+          .otherwise(0L)).as("rel_in_10"),
+        min(when(col("is_rel") === 1L, col("rank"))).as("first_rel"))
+      .join(broadcast(nrel), Seq("q"))
+      .select(col("q"), col("n_rel"),
+        expr("(rel_in_10 * 1000000L) div n_rel").as("recall10_ppm"),
+        coalesce(expr("1000000L div first_rel"), lit(0L)).as("mrr_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_retrieval_eval" -> retrievalEval,
     "q146_bm25_topk" -> bm25TopK,
     "q148_posting_lists" -> postingLists,
     "q149_chunking" -> chunkDocs,
     "q155_hybrid_rrf" -> hybridRrf)
 
   val oracle: Map[String, String] = Map(
+    "q175_retrieval_eval" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |qt AS (
+        |  SELECT doc_id AS q, unnest(list_distinct(
+        |    list_slice(string_split(text, ' '), 1, 3))) AS word
+        |  FROM documents WHERE doc_id < 5),
+        |m AS (
+        |  SELECT qt.q, w.doc_id,
+        |    COUNT(DISTINCT w.word) AS n_terms, COUNT(*) AS tf
+        |  FROM w JOIN qt USING (word)
+        |  WHERE w.doc_id <> qt.q
+        |  GROUP BY qt.q, w.doc_id),
+        |rel AS (SELECT q, doc_id FROM m WHERE n_terms >= 2),
+        |rk AS (
+        |  SELECT q, doc_id, n_terms, tf,
+        |    ROW_NUMBER() OVER (PARTITION BY q
+        |      ORDER BY n_terms DESC, tf DESC, doc_id) AS rank
+        |  FROM m),
+        |nrel AS (SELECT q, COUNT(*) AS n_rel FROM rel GROUP BY q),
+        |agg AS (
+        |  SELECT rk.q,
+        |    SUM(CASE WHEN rk.rank <= 10 AND rel.doc_id IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS rel_in_10,
+        |    MIN(CASE WHEN rel.doc_id IS NOT NULL THEN rk.rank END)
+        |      AS first_rel
+        |  FROM rk LEFT JOIN rel ON rel.q = rk.q AND rel.doc_id = rk.doc_id
+        |  GROUP BY rk.q)
+        |SELECT a.q, n.n_rel,
+        |  CAST((a.rel_in_10 * 1000000) // n.n_rel AS BIGINT)
+        |    AS recall10_ppm,
+        |  CAST(COALESCE(1000000 // a.first_rel, 0) AS BIGINT) AS mrr_ppm
+        |FROM agg a JOIN nrel n USING (q)""".stripMargin,
     "q146_bm25_topk" -> {
       val tfSel = QueryTerms.map(t =>
         s"SUM(CASE WHEN word = '$t' THEN 1 ELSE 0 END) AS tf_$t")

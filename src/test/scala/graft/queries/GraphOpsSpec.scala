@@ -30,6 +30,30 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(out.size == 14)
   }
 
+  test("q174 degree/triangles/clustering match a driver-side count") {
+    val edges = TextOps.ngramJaccard(spark, "/root/testdata/sf0.001")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    def connected(a: Long, b: Long) =
+      edges.contains((math.min(a, b), math.max(a, b)))
+    val expected = nodes.map { v =>
+      val nbrs = nodes.filter(u => u != v && connected(u, v)).toSeq
+      val deg = nbrs.size.toLong
+      val tri = (for {
+        i <- nbrs.indices; j <- i + 1 until nbrs.size
+        if connected(nbrs(i), nbrs(j))
+      } yield 1).size.toLong
+      val cc = if (deg >= 2) 2 * tri * 1000000L / (deg * (deg - 1)) else 0L
+      v -> ((deg, tri, cc))
+    }.toMap
+    val got = GraphOps.graphStats(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._2 > 0), "graph has triangles")
+  }
+
   test("agrees with union-find on a seeded pseudo-random graph") {
     // deterministic multiplicative-congruential edge set over 200 nodes
     val edges = (1 to 150).map { i =>

@@ -183,4 +183,30 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(got(3L)._3 > got(1L)._3 && got(3L)._3 > got(2L)._3,
       s"fusion: second-in-both beats first-in-one, got $got")
   }
+
+  test("q175 metrics re-derive from the literal qrel definition") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val expected = (0L until 5L).map { q =>
+      val terms = docs(q).take(3).distinct.toSet
+      val matches = docs.toSeq.filter(_._1 != q).map { case (id, ws) =>
+        (id, terms.count(t => ws.contains(t)).toLong,
+          ws.count(terms.contains).toLong)
+      }.filter(_._2 > 0)
+      val rel = matches.filter(_._2 >= 2).map(_._1).toSet
+      val ranked = matches.sortBy { case (id, nt, tf) => (-nt, -tf, id) }
+        .map(_._1)
+      val rel10 = ranked.take(10).count(rel.contains).toLong
+      val firstRel = ranked.zipWithIndex.collectFirst {
+        case (id, i) if rel.contains(id) => i + 1L }
+      q -> ((rel.size.toLong, rel10 * 1000000L / rel.size,
+        firstRel.map(1000000L / _).getOrElse(0L)))
+    }.toMap
+    val got = RetrievalOps.retrievalEval(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    assert(expected.values.exists(_._2 > 0), "some recall is non-zero")
+  }
 }
