@@ -147,11 +147,85 @@ object GraphOps {
           .otherwise(0L))
   }
 
+  private val PrIters = 10
+  private val PrScale = 1000000000000L // rank fixed-point unit: 1e12
+
+  /** q176: PageRank on the (undirected ⇒ symmetric) candidate graph,
+    * in pure integer fixed-point so both engines agree bit-for-bit:
+    * ranks carry 1e12 units, per-edge transfer is rank div degree,
+    * damping is ·85 div 100, and r₀ = 1e12 div N. Truncation leaks a
+    * deterministic dust of mass per step — identical in both engines
+    * (both truncate toward zero), so the ITERATION COUNT is part of
+    * the operator contract (10 here; the float version converges the
+    * same ordering). The oracle is the same recurrence UNROLLED as 10
+    * chained CTEs — proving the distributed loop step-equivalent to
+    * the sequential statement of the recurrence.
+    *
+    * Scale: per iteration one shuffle-aggregate over the edge list
+    * (transfer computed per node, joined to neighbors) —
+    * the standard distributed PageRank shape; localCheckpoint per
+    * round truncates the iterative lineage. */
+  def pageRank(s: SparkSession, d: String): DataFrame = {
+    val pairs = TextOps.ngramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("u"), col("doc_b").as("v")),
+        struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .distinct().localCheckpoint()
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val n = deg.count()
+    val base = (15L * PrScale) / (100L * n)
+    var ranks = deg.select(col("u").as("doc_id"),
+      lit(PrScale / n).as("rank")).localCheckpoint()
+    for (_ <- 1 to PrIters) {
+      val transfer = ranks.join(deg, ranks("doc_id") === deg("u"))
+        .select(col("doc_id").as("src"), expr("rank div deg").as("t"))
+      ranks = edges.join(transfer, edges("u") === col("src"))
+        .groupBy(col("v").as("doc_id"))
+        .agg(sum(col("t")).as("tin"))
+        .select(col("doc_id"),
+          (lit(base) + expr("(85 * tin) div 100")).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_cc_largestar" -> ccLargeStar,
-    "q174_graph_stats" -> graphStats)
+    "q174_graph_stats" -> graphStats,
+    "q176_pagerank" -> pageRank)
+
+  /** The PageRank recurrence unrolled as chained CTEs — the
+    * sequential statement of exactly what the distributed loop does,
+    * one CTE per iteration, generated from the same constants. */
+  private def prOracleSql: String = {
+    val iters = (1 to PrIters).map { k =>
+      s"""r$k AS (
+         |  SELECT e.v AS doc_id,
+         |    MIN(b.base) + (85 * SUM(r.rank // d.deg)) // 100 AS rank
+         |  FROM r${k - 1} r
+         |  JOIN deg d ON d.u = r.doc_id
+         |  JOIN edges e ON e.u = r.doc_id
+         |  CROSS JOIN b
+         |  GROUP BY e.v)""".stripMargin
+    }.mkString(",\n")
+    s"""${Advanced.pairsCte},
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+       |nn AS (SELECT COUNT(*) AS n FROM deg),
+       |b AS (SELECT (15 * $PrScale) // (100 * n) AS base FROM nn),
+       |r0 AS (
+       |  SELECT u AS doc_id, $PrScale // n AS rank
+       |  FROM deg CROSS JOIN nn),
+       |$iters
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank FROM r$PrIters""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
+    "q176_pagerank" -> prOracleSql,
     "q174_graph_stats" -> s"""${Advanced.pairsCte},
       |deg AS (
       |  SELECT doc_id, COUNT(*) AS degree FROM (

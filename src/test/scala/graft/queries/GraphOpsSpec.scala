@@ -54,6 +54,29 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got.values.exists(_._2 > 0), "graph has triangles")
   }
 
+  test("q176 equals a sequential 10-iteration fold of the recurrence") {
+    val pairs = TextOps.ngramJaccard(spark, "/root/testdata/sf0.001")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (pairs ++ pairs.map(p => (p._2, p._1))).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val n = nbrs.size
+    val scale = 1000000000000L
+    val base = 15L * scale / (100L * n)
+    var r = nbrs.keys.map(_ -> scale / n).toMap
+    for (_ <- 1 to 10) {
+      val t = r.map { case (u, rk) => u -> rk / nbrs(u).size }
+      r = nbrs.keys.map { v =>
+        v -> (base + 85L * nbrs(v).map(t).sum / 100L)
+      }.toMap
+    }
+    val got = GraphOps.pageRank(spark, "/root/testdata/sf0.001").collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(got == r)
+    // well-connected dup hubs outrank leaves
+    assert(got.values.max > got.values.min)
+  }
+
   test("agrees with union-find on a seeded pseudo-random graph") {
     // deterministic multiplicative-congruential edge set over 200 nodes
     val edges = (1 to 150).map { i =>
