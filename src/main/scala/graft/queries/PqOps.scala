@@ -147,10 +147,44 @@ object PqOps {
         (col("qerr_trained") <= col("qerr_seed")).as("improved"))
   }
 
+  /** q177: nearest-centroid classification over the labeled
+    * embeddings (Rocchio) — per-label integer centroids (sum div n
+    * per dim, the q172 device), every vector assigned to its nearest
+    * centroid, confusion matrix out. The train/eval loop of a cheap
+    * supervised probe, engine-exact end to end.
+    *
+    * Scale: centroid table = labels×dims (broadcast); classification
+    * is a projection against it plus one packed argmin; confusion is
+    * a labels²-bounded aggregate. */
+  def nearestCentroid(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        expr("transform(embedding, " +
+          "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("qv"))
+    val cents = q
+      .select(col("label"), posexplode(col("qv")).as(Seq("dim", "qd")))
+      .groupBy(col("label"), col("dim"))
+      .agg(expr("sum(qd) div count(1)").as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), " +
+        "x -> x.c)").as("cv"))
+      .select(col("label").as("clabel"), col("cv"))
+    // packed argmin: dist·16 + clabel (10 labels < 16)
+    q.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"),
+        (l2("qv", "cv") * 16 + col("clabel")).as("packed"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(col("packed")).as("p"))
+      .select(col("label"), (col("p") % 16).as("pred"))
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_pq_encode" -> pqEncode,
     "q171_pq_adc" -> pqAdcSearch,
-    "q172_pq_train" -> pqTrain)
+    "q172_pq_train" -> pqTrain,
+    "q177_nearest_centroid" -> nearestCentroid)
 
   private val subCte =
     s"""sv AS (
@@ -178,6 +212,30 @@ object PqOps {
        |  WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q177_nearest_centroid" ->
+      s"""WITH qv AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |jd AS (SELECT unnest(range(1, ${M * Sub + 1})) AS j),
+         |cent AS (
+         |  SELECT label, j, CAST(SUM(qv[j]) // COUNT(*) AS BIGINT) AS c
+         |  FROM qv CROSS JOIN jd GROUP BY label, j),
+         |cv AS (
+         |  SELECT label AS clabel, list(c ORDER BY j) AS cv
+         |  FROM cent GROUP BY label),
+         |dist AS (
+         |  SELECT q.vec_id, q.label, cv.clabel,
+         |    list_sum(list_transform(range(1, ${M * Sub + 1}),
+         |      j -> (q.qv[j] - cv.cv[j]) * (q.qv[j] - cv.cv[j]))) AS dd
+         |  FROM qv q CROSS JOIN cv),
+         |pick AS (
+         |  SELECT vec_id, label, clabel AS pred FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY dd, clabel) AS rn FROM dist) WHERE rn = 1)
+         |SELECT label, pred, COUNT(*) AS n_vecs
+         |FROM pick GROUP BY label, pred""".stripMargin,
     "q172_pq_train" ->
       s"""WITH $subCte,
          |$encodeCte,

@@ -172,9 +172,49 @@ object StoreOps {
         expr("(n * 1000000L) div tot").as("p_ppm"))
   }
 
+  /** q178: two-sample Kolmogorov–Smirnov drift test between the first
+    * and second halves of the event stream (split at min day + 15) —
+    * the distribution-monitoring pass a production pipeline runs on
+    * every new window. Engine-exact: the statistic is computed as the
+    * CROSS-MULTIPLIED integer max |cum1·n2 − cum2·n1| (never a float
+    * CDF), reported in ppm of n1·n2, with the smallest value
+    * attaining it. The cumulative window runs over the distinct-value
+    * frame (the q161/q169 device); for a value domain too large to
+    * hold, pre-bin — the statistic degrades gracefully, noted here. */
+  def ksDrift(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("value").as("v"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .as("day_num"))
+    val cut = ev.agg((min(col("day_num")) + 15).as("cut"))
+    val counts = ev.crossJoin(broadcast(cut))
+      .select(col("v"), when(col("day_num") < col("cut"), 1L).otherwise(0L)
+        .as("h1"))
+      .groupBy(col("v"))
+      .agg(sum(col("h1")).as("c1"), sum(lit(1L) - col("h1")).as("c2"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = counts
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+    val ns = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val dd = cums.crossJoin(broadcast(ns))
+      .select(col("v"), col("n1"), col("n2"),
+        abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("dnum"))
+    val mx = dd.agg(max(col("dnum")).as("mx"))
+    dd.crossJoin(broadcast(mx))
+      .filter(col("dnum") === col("mx"))
+      .groupBy(col("n1"), col("n2"), col("mx"))
+      .agg(min(col("v")).as("at_value"))
+      .select(col("n1"), col("n2"),
+        expr("(mx * 1000000L) div (n1 * n2)").as("ks_ppm"),
+        col("at_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q163_shard_assign" -> shardAssign,
     "q173_transition_matrix" -> transitionMatrix,
+    "q178_ks_drift" -> ksDrift,
     "q165_ttl_sweep" -> ttlSweep,
     "q166_activity_streaks" -> activityStreaks,
     "q168_rolling_wau" -> rollingWau)
@@ -223,6 +263,38 @@ object StoreOps {
          |    THEN CAST(make_timestamp(tsu) AS DATE) END) AS first_kept_dt
          |FROM cls GROUP BY event_type""".stripMargin
     },
+    "q178_ks_drift" ->
+      """WITH ev AS (
+        |  SELECT value AS v,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+        |  FROM events),
+        |cut AS (SELECT MIN(day_num) + 15 AS cut FROM ev),
+        |counts AS (
+        |  SELECT v,
+        |    SUM(CASE WHEN day_num < cut THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN day_num < cut THEN 0 ELSE 1 END) AS c2
+        |  FROM ev CROSS JOIN cut GROUP BY v),
+        |cums AS (
+        |  SELECT v, c1, c2,
+        |    SUM(c1) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+        |    SUM(c2) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+        |  FROM counts),
+        |ns AS (
+        |  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+        |  FROM counts),
+        |dd AS (
+        |  SELECT v, n1, n2,
+        |    abs(CAST(cum1 AS BIGINT) * n2 - CAST(cum2 AS BIGINT) * n1)
+        |      AS dnum
+        |  FROM cums CROSS JOIN ns),
+        |mx AS (SELECT MAX(dnum) AS mx FROM dd)
+        |SELECT n1, n2,
+        |  CAST((mx * 1000000) // (n1 * n2) AS BIGINT) AS ks_ppm,
+        |  MIN(v) AS at_value
+        |FROM dd CROSS JOIN mx WHERE dnum = mx
+        |GROUP BY n1, n2, mx""".stripMargin,
     "q173_transition_matrix" ->
       """WITH seq AS (
         |  SELECT user_id, event_type AS to_type,

@@ -84,6 +84,30 @@ class PqOpsSpec extends AnyFunSuite {
     assert(got.values.forall(_._3)) // Lloyd step never regresses here
   }
 
+  test("q177 confusion matrix matches a driver-side Rocchio classifier") {
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(label AS BIGINT) as label").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byLabel = vecs.keys.toSeq.groupBy(labels)
+    val cents = byLabel.map { case (l, ids) =>
+      l -> (0 until 64).map { j =>
+        ids.map(vecs(_)(j)).sum / ids.size }.toArray
+    }
+    val expected = vecs.keys.toSeq.map { vid =>
+      val pred = cents.toSeq
+        .map { case (l, c) => (l2(vecs(vid), c), l) }
+        .minBy { case (dd, l) => (dd, l) }._2
+      (labels(vid), pred)
+    }.groupBy(p => p).view.mapValues(_.size.toLong).toMap
+    val got = PqOps.nearestCentroid(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+    // rows of a class sum to the class size
+    byLabel.foreach { case (l, ids) =>
+      assert(got.collect { case ((`l`, _), n) => n }.sum == ids.size.toLong)
+    }
+  }
+
   test("q171 matches a driver-side ADC search end-to-end") {
     val q = vecs(0L)
     val adc = (for (s <- 0 until 4; cw <- 0L until 16L)

@@ -109,6 +109,29 @@ class StoreOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q178 KS statistic matches a literal two-sample scan") {
+    val rows = graft.Tables.events(spark, sf)
+      .selectExpr("value", "CAST(to_date(ts) AS STRING) as d").collect()
+      .map(r => (r.getDouble(0),
+        java.time.LocalDate.parse(r.getString(1)).toEpochDay))
+    val cutDay = rows.map(_._2).min + 15
+    val s1 = rows.filter(_._2 < cutDay).map(_._1).sorted
+    val s2 = rows.filter(_._2 >= cutDay).map(_._1).sorted
+    val (n1, n2) = (s1.length.toLong, s2.length.toLong)
+    val domain = (s1 ++ s2).distinct.sorted
+    val stats = domain.map { v =>
+      val d = math.abs(s1.count(_ <= v) * n2 - s2.count(_ <= v) * n1)
+      (v, d)
+    }
+    val mx = stats.map(_._2).max
+    val atValue = stats.filter(_._2 == mx).map(_._1).min
+    val r = StoreOps.ksDrift(spark, sf).collect().head
+    assert(r.getLong(0) == n1 && r.getLong(1) == n2)
+    assert(r.getLong(2) == mx * 1000000L / (n1 * n2))
+    assert(r.getDouble(3) == atValue)
+    assert(mx > 0, "windows differ somewhere")
+  }
+
   test("q166 streaks match a driver-side gaps-and-islands scan") {
     val rows = graft.Tables.events(spark, sf)
       .selectExpr("user_id", "CAST(to_date(ts) AS STRING) as d").collect()
