@@ -77,6 +77,32 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got.values.max > got.values.min)
   }
 
+  test("agrees with union-find across adversarial topologies") {
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n)).toMap
+    }
+    val ring = (0L until 40L).map(i => (i, (i + 1) % 40))
+    val deepPath = (100L until 180L).map(i => (i + 1, i)) // reversed orientation
+    val clique = for (i <- 200L until 210L; j <- i + 1 until 210L) yield (i, j)
+    val bridge = Seq((209L, 100L)) // clique into the path's high end
+    val dense = (1 to 400).map { i =>
+      ((i * 48271L) % 97 + 300, (i * 16807L) % 97 + 300)
+    }.filter(e => e._1 != e._2)
+    for (g <- Seq(ring, deepPath, clique ++ bridge, dense,
+        ring ++ deepPath ++ clique ++ bridge ++ dense))
+      assert(labels(g) == unionFind(g), s"graph with ${g.size} edges")
+  }
+
   test("agrees with union-find on a seeded pseudo-random graph") {
     // deterministic multiplicative-congruential edge set over 200 nodes
     val edges = (1 to 150).map { i =>
