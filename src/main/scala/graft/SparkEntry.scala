@@ -50,7 +50,8 @@ object SparkEntry {
       graft.queries.GraphOps.queries ++
       graft.queries.LayoutOps.queries ++
       graft.queries.StoreOps.queries ++
-      graft.queries.PqOps.queries
+      graft.queries.PqOps.queries ++
+      graft.queries.TimeSeriesOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -90,5 +91,6 @@ object SparkEntry {
       graft.queries.GraphOps.oracle ++
       graft.queries.LayoutOps.oracle ++
       graft.queries.StoreOps.oracle ++
-      graft.queries.PqOps.oracle
+      graft.queries.PqOps.oracle ++
+      graft.queries.TimeSeriesOps.oracle
 }
