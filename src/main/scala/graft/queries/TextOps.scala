@@ -314,7 +314,76 @@ object TextOps {
       .filter(col("shared_windows") >= 2)
   }
 
+  private val PpjoinT = 50 // Jaccard threshold, percent
+
+  /** q182: set-similarity join with PREFIX FILTERING (Chaudhuri et al.
+    * 2006 / Xiao et al. 2008, PPJoin) — the lossless candidate-
+    * generation upgrade of the plain shingle self-join: under the
+    * canonical global token order (df asc, then token), any pair with
+    * Jaccard ≥ t MUST share a token among each side's first
+    * n − ⌈t·n⌉ + 1 tokens, so only prefixes are joined (rare tokens
+    * first ⇒ tiny buckets), then candidates are exactly verified.
+    * The oracle is the BRUTE-FORCE threshold join — the hash match is
+    * the losslessness theorem on this corpus.
+    *
+    * Output contract = q31's (doc_a, doc_b, inter_size, union_size),
+    * restricted to Jaccard ≥ 50%.
+    *
+    * Scale: the prefix join's shuffle payload is the prefix explode
+    * (≈ (1−t) of the token stream), bucketed by rare-first tokens —
+    * the hot-token bucket problem of the naive join disappears by
+    * construction (hot tokens sort to the suffix). The length filter
+    * min·100 ≥ t·max prunes before verification. */
+  def ppjoin(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GramOps.register(s)
+    val shingles = Tables.documents(s, d)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        explode(graft.functions.GramOps.gram_hashes(col("text"), 3))
+          .as("shingle"))
+      .distinct()
+      .localCheckpoint() // feeds rank table, arrays, and verification
+    // canonical total order: df asc, shingle asc — bounded token domain
+    val rank = shingles.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("df"), col("shingle"))))
+      .select(col("shingle"), col("rk"))
+    val docs = shingles.join(rank, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("rk"))).as("rs"),
+        count(lit(1)).as("n"))
+      .localCheckpoint()
+    val prefixes = docs.select(col("doc_id"), col("n"),
+      explode(expr(
+        s"slice(rs, 1, n - (($PpjoinT * n + 99) div 100) + 1)")).as("rk"))
+    val cands = prefixes.as("a").join(prefixes.as("b"),
+        col("a.rk") === col("b.rk") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")) * 100 >=
+            greatest(col("a.n"), col("b.n")) * PpjoinT)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cands
+      .join(shingles.select(col("doc_id").as("doc_a"), col("shingle")),
+        Seq("doc_a"))
+      .join(shingles.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter_size"))
+    val counts = docs.select(col("doc_id"), col("n"))
+    inter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+        Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("inter_size"),
+        (col("n_a") + col("n_b") - col("inter_size")).as("union_size"))
+      .filter(col("inter_size") * 100 >= col("union_size") * PpjoinT)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_ppjoin" -> ppjoin,
     "q23_word_count" -> wordCount,
     "q24_exact_dedup" -> exactDedup,
     "q25_fingerprint" -> fingerprint,
@@ -450,6 +519,28 @@ object TextOps {
       |  FROM bands GROUP BY h1, h2)
       |SELECT bucket_size, COUNT(*) AS n_buckets, MIN(min_doc_id) AS sample_doc_id
       |FROM buckets GROUP BY bucket_size""".stripMargin,
+    // brute force, NO prefix filter — losslessness is the theorem
+    "q182_ppjoin" -> s"""$wordsCte,
+      |sh AS (
+      |  SELECT doc_id,
+      |    word || ' ' || lead(word, 1) OVER dw || ' ' || lead(word, 2) OVER dw
+      |      AS g
+      |  FROM w WHERE doc_id < 100
+      |  WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+      |sh2 AS (SELECT DISTINCT doc_id, ${OracleHash.polySql("g")} AS shingle
+      |  FROM sh WHERE g IS NOT NULL),
+      |counts AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh2 GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_size
+      |  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b, inter_size,
+      |  ca.n_shingles + cb.n_shingles - inter_size AS union_size
+      |FROM pairs
+      |JOIN counts ca ON ca.doc_id = doc_a
+      |JOIN counts cb ON cb.doc_id = doc_b
+      |WHERE inter_size * 100 >=
+      |  (ca.n_shingles + cb.n_shingles - inter_size) * $PpjoinT""".stripMargin,
     "q31_ngram_jaccard" -> s"""$wordsCte,
       |sh AS (
       |  SELECT doc_id,
