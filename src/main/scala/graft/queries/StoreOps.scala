@@ -211,10 +211,38 @@ object StoreOps {
         col("at_value"))
   }
 
+  /** q183: out-of-order census — the data-driven way to CHOOSE a
+    * watermark delay (the reference hard-codes 2–5 s ones;
+    * §2.9's operators consume them): per event_type, how many events
+    * arrive with an event time older than the running maximum (in
+    * event_id arrival order), the worst lateness, and the total —
+    * a `withWatermark` delay at max_delay_us retains everything,
+    * and the n_late/n ratio says what a tighter bound drops.
+    * Windows partition by type and order by the unique event_id —
+    * per-type state only, deterministic in both engines. */
+  def disorderCensus(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("tsu"))
+      .withColumn("prev_max", max(col("tsu")).over(w))
+      .select(col("event_type"),
+        when(col("prev_max") > col("tsu"), col("prev_max") - col("tsu"))
+          .otherwise(0L).as("delay"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("delay") > 0, 1L).otherwise(0L)).as("n_late"),
+        max(col("delay")).as("max_delay_us"),
+        sum(col("delay")).as("sum_delay_us"))
+      .withColumn("late_ppm", expr("(n_late * 1000000L) div n_events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q163_shard_assign" -> shardAssign,
     "q173_transition_matrix" -> transitionMatrix,
     "q178_ks_drift" -> ksDrift,
+    "q183_disorder_census" -> disorderCensus,
     "q165_ttl_sweep" -> ttlSweep,
     "q166_activity_streaks" -> activityStreaks,
     "q168_rolling_wau" -> rollingWau)
@@ -263,6 +291,29 @@ object StoreOps {
          |    THEN CAST(make_timestamp(tsu) AS DATE) END) AS first_kept_dt
          |FROM cls GROUP BY event_type""".stripMargin
     },
+    "q183_disorder_census" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id,
+        |    epoch_us(date_trunc('microseconds', ts)) AS tsu
+        |  FROM events),
+        |lagged AS (
+        |  SELECT event_type,
+        |    MAX(tsu) OVER (PARTITION BY event_type ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max,
+        |    tsu
+        |  FROM ev),
+        |delays AS (
+        |  SELECT event_type,
+        |    CASE WHEN prev_max > tsu THEN prev_max - tsu ELSE 0 END AS delay
+        |  FROM lagged)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN delay > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_late,
+        |  MAX(delay) AS max_delay_us,
+        |  CAST(SUM(delay) AS BIGINT) AS sum_delay_us,
+        |  CAST((SUM(CASE WHEN delay > 0 THEN 1 ELSE 0 END) * 1000000)
+        |    // COUNT(*) AS BIGINT) AS late_ppm
+        |FROM delays GROUP BY event_type""".stripMargin,
     "q178_ks_drift" ->
       """WITH ev AS (
         |  SELECT value AS v,

@@ -132,6 +132,53 @@ class StoreOpsSpec extends AnyFunSuite {
     assert(mx > 0, "windows differ somewhere")
   }
 
+  test("q183 disorder census matches an arrival-order scan") {
+    val rows = graft.Tables.events(spark, sf)
+      .selectExpr("event_type", "event_id", "unix_micros(ts) as tsu")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def census(rs: Seq[(Long, Long)]): (Long, Long, Long, Long, Long) = {
+      val ordered = rs.sortBy(_._1).map(_._2)
+      val delays = ordered.zip(ordered.scanLeft(Long.MinValue)(math.max).init)
+        .map { case (ts, prevMax) =>
+          if (prevMax == Long.MinValue) 0L else math.max(0L, prevMax - ts) }
+      val late = delays.count(_ > 0).toLong
+      (ordered.length.toLong, late, delays.max, delays.sum,
+        late * 1000000L / ordered.length)
+    }
+    val expected = rows.groupBy(_._1).view
+      .mapValues(rs => census(rs.map(r => (r._2, r._3)))).toMap
+    val got = StoreOps.disorderCensus(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected)
+    // the generated stream is in-order by construction — the census
+    // PROVING that (all-zero delays ⇒ watermark 0 retains everything)
+    // is the operator's answer here, not a triviality
+    assert(expected.values.forall(_._2 == 0L))
+  }
+
+  test("q183 censuses crafted disorder exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("disorder").toString
+    // type A: event 3 is 90s late behind event 2; type B in order
+    Seq(
+      (1L, 1000000L, 1L, "A", 1.0, "{}"),
+      (2L, 100000000L, 1L, "A", 1.0, "{}"),
+      (3L, 10000000L, 1L, "A", 1.0, "{}"),   // 90s late
+      (4L, 101000000L, 1L, "A", 1.0, "{}"),
+      (5L, 1000000L, 2L, "B", 1.0, "{}"),
+      (6L, 2000000L, 2L, "B", 1.0, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .selectExpr("event_id", "timestamp_micros(us) as ts", "user_id",
+        "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = StoreOps.disorderCensus(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(5)))).toMap
+    assert(got("A") == ((4L, 1L, 90000000L, 250000L)))
+    assert(got("B") == ((2L, 0L, 0L, 0L)))
+  }
+
   test("q166 streaks match a driver-side gaps-and-islands scan") {
     val rows = graft.Tables.events(spark, sf)
       .selectExpr("user_id", "CAST(to_date(ts) AS STRING) as d").collect()
