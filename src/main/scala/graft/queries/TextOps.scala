@@ -382,7 +382,52 @@ object TextOps {
       .filter(col("inter_size") * 100 >= col("union_size") * PpjoinT)
   }
 
+  /** q184: sketch-quality evaluation — precision/recall of the
+    * q29/q30 MinHash-LSH candidate pairs against EXACT token-set
+    * Jaccard ≥ 90% ground truth. The truth side is brute force BY
+    * DESIGN (that's what makes it truth): token sets become ≤63-bit
+    * masks over the ranked vocabulary, so every pairwise Jaccard is
+    * two popcounts — exact in both engines. On an open-vocabulary
+    * corpus the mask device caps out and the truth side samples
+    * instead (documented); the evaluated sketch path is unchanged.
+    * Output: one row (n_truth, n_pred, n_hit, precision_ppm,
+    * recall_ppm) — the "how good is my dedup sketch" readout every
+    * pipeline should publish. */
+  def lshEval(s: SparkSession, d: String): DataFrame = {
+    val w = words(s, d).select(col("doc_id"), col("word")).distinct()
+    val vocab = w.select(col("word")).distinct()
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("word"))))
+    val masks = w.join(broadcast(vocab), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("shiftleft(1L, rank - 1)")).as("m"))
+      .localCheckpoint()
+    val truth = masks.as("a").join(masks.as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+          expr("bit_count(a.m & b.m) * 100") >=
+            expr("90 * bit_count(a.m | b.m)"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val sigs = minhashSignatures(s, d)
+    val bands = sigs
+      .select(col("mh1").as("h1"), col("mh2").as("h2"), col("doc_id"))
+      .unionByName(sigs
+        .select(col("mh3").as("h1"), col("mh4").as("h2"), col("doc_id")))
+    val pred = bands.as("a").join(bands.as("b"),
+        col("a.h1") === col("b.h1") && col("a.h2") === col("b.h2") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val hit = pred.join(truth, Seq("doc_a", "doc_b"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(pred.agg(count(lit(1)).as("n_pred")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_pred"), col("n_hit"),
+        expr("(n_hit * 1000000L) div n_pred").as("precision_ppm"),
+        expr("(n_hit * 1000000L) div n_truth").as("recall_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_lsh_eval" -> lshEval,
     "q182_ppjoin" -> ppjoin,
     "q23_word_count" -> wordCount,
     "q24_exact_dedup" -> exactDedup,
@@ -519,6 +564,54 @@ object TextOps {
       |  FROM bands GROUP BY h1, h2)
       |SELECT bucket_size, COUNT(*) AS n_buckets, MIN(min_doc_id) AS sample_doc_id
       |FROM buckets GROUP BY bucket_size""".stripMargin,
+    "q184_lsh_eval" ->
+      s"""WITH wd AS (
+         |  SELECT DISTINCT doc_id, word FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |    FROM documents)),
+         |vocab AS (
+         |  SELECT word, ROW_NUMBER() OVER (ORDER BY word) AS rank
+         |  FROM (SELECT DISTINCT word FROM wd)),
+         |masks AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CAST(1 AS BIGINT) << (rank - 1)) AS BIGINT) AS m
+         |  FROM wd JOIN vocab USING (word) GROUP BY doc_id),
+         |truth AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM masks a JOIN masks b ON a.doc_id < b.doc_id
+         |  WHERE CAST(bit_count(a.m & b.m) AS BIGINT) * 100 >=
+         |    90 * CAST(bit_count(a.m | b.m) AS BIGINT)),
+         |wall AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |vh AS MATERIALIZED (
+         |  SELECT word,
+         |    ${OracleHash.polySql("'s1: ' || word")} AS h1,
+         |    ${OracleHash.polySql("'s2: ' || word")} AS h2,
+         |    ${OracleHash.polySql("'s3: ' || word")} AS h3,
+         |    ${OracleHash.polySql("'s4: ' || word")} AS h4
+         |  FROM (SELECT DISTINCT word FROM wall)),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    MIN(h1) AS mh1, MIN(h2) AS mh2, MIN(h3) AS mh3, MIN(h4) AS mh4
+         |  FROM wall JOIN vh USING (word) GROUP BY doc_id),
+         |bands AS (
+         |  SELECT mh1 AS h1, mh2 AS h2, doc_id FROM sigs
+         |  UNION ALL
+         |  SELECT mh3 AS h1, mh4 AS h2, doc_id FROM sigs),
+         |pred AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id),
+         |hit AS (SELECT * FROM pred JOIN truth USING (doc_a, doc_b))
+         |SELECT
+         |  (SELECT COUNT(*) FROM truth) AS n_truth,
+         |  (SELECT COUNT(*) FROM pred) AS n_pred,
+         |  (SELECT COUNT(*) FROM hit) AS n_hit,
+         |  CAST(((SELECT COUNT(*) FROM hit) * 1000000)
+         |    // (SELECT COUNT(*) FROM pred) AS BIGINT) AS precision_ppm,
+         |  CAST(((SELECT COUNT(*) FROM hit) * 1000000)
+         |    // (SELECT COUNT(*) FROM truth) AS BIGINT) AS recall_ppm""".stripMargin,
     // brute force, NO prefix filter — losslessness is the theorem
     "q182_ppjoin" -> s"""$wordsCte,
       |sh AS (

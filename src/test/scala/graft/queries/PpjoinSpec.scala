@@ -14,6 +14,46 @@ class PpjoinSpec extends AnyFunSuite {
   private def grams3(text: String): Set[String] =
     text.split(" ", -1).sliding(3).map(_.mkString(" ")).toSet
 
+  test("q184 precision/recall re-derive from first principles") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sets = docs.view.mapValues(_.split(" ", -1).toSet).toMap
+    val truth = (for {
+      a <- sets.keys.toSeq; b <- sets.keys.toSeq if a < b
+      inter = (sets(a) & sets(b)).size
+      union = (sets(a) | sets(b)).size
+      if inter * 100 >= 90 * union
+    } yield (a, b)).toSet
+    // independent re-statement of the salted polynomial minhash
+    def poly(s: String): Long = s.foldLeft(0L)((h, c) =>
+      (h * graft.functions.GramHash.Base + (c.toInt % 256)) %
+        graft.functions.GramHash.P)
+    def sig(text: String): IndexedSeq[Long] = {
+      val ws = text.split(" ", -1).distinct
+      (1 to 4).map(k => ws.map(w => poly(s"s$k: $w")).min)
+    }
+    // one bucket space across bands — the q30/q142 house convention
+    val bands = docs.toSeq.flatMap { case (id, t) =>
+      val g = sig(t)
+      Seq(((g(0), g(1)), id), ((g(2), g(3)), id))
+    }
+    val pred = bands.groupBy(_._1).values.flatMap { rows =>
+      val ids = rows.map(_._2).distinct.sorted
+      for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield (ids(i), ids(j))
+    }.toSet
+    val hit = (pred & truth).size.toLong
+    val r = TextOps.lshEval(spark, sf).collect().head
+    assert(r.getLong(0) == truth.size.toLong)
+    assert(r.getLong(1) == pred.size.toLong)
+    assert(r.getLong(2) == hit)
+    assert(r.getLong(3) == hit * 1000000L / pred.size)
+    assert(r.getLong(4) == hit * 1000000L / truth.size)
+    assert(hit > 0)
+  }
+
   test("prefix filtering loses nothing on a dup-family fixture") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ppjoin").toString
