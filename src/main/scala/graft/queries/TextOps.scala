@@ -394,7 +394,11 @@ object TextOps {
     * recall_ppm) — the "how good is my dedup sketch" readout every
     * pipeline should publish. */
   def lshEval(s: SparkSession, d: String): DataFrame = {
-    val w = words(s, d).select(col("doc_id"), col("word")).distinct()
+    // deterministic 25% evaluation slice — precision/recall are sample
+    // statistics by nature; the all-pairs truth join is O(sample²),
+    // never O(corpus²)
+    val w = words(s, d).filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), col("word")).distinct()
     val vocab = w.select(col("word")).distinct()
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("word"))))
@@ -407,7 +411,7 @@ object TextOps {
           expr("bit_count(a.m & b.m) * 100") >=
             expr("90 * bit_count(a.m | b.m)"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val sigs = minhashSignatures(s, d)
+    val sigs = minhashSignatures(s, d).filter(col("doc_id") % 4 === 0)
     val bands = sigs
       .select(col("mh1").as("h1"), col("mh2").as("h2"), col("doc_id"))
       .unionByName(sigs
@@ -568,7 +572,7 @@ object TextOps {
       s"""WITH wd AS (
          |  SELECT DISTINCT doc_id, word FROM (
          |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
-         |    FROM documents)),
+         |    FROM documents WHERE doc_id % 4 = 0)),
          |vocab AS (
          |  SELECT word, ROW_NUMBER() OVER (ORDER BY word) AS rank
          |  FROM (SELECT DISTINCT word FROM wd)),
@@ -583,7 +587,7 @@ object TextOps {
          |    90 * CAST(bit_count(a.m | b.m) AS BIGINT)),
          |wall AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
-         |  FROM documents),
+         |  FROM documents WHERE doc_id % 4 = 0),
          |vh AS MATERIALIZED (
          |  SELECT word,
          |    ${OracleHash.polySql("'s1: ' || word")} AS h1,
