@@ -51,7 +51,8 @@ object SparkEntry {
       graft.queries.LayoutOps.queries ++
       graft.queries.StoreOps.queries ++
       graft.queries.PqOps.queries ++
-      graft.queries.TimeSeriesOps.queries
+      graft.queries.TimeSeriesOps.queries ++
+      graft.queries.AnalyticsOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -92,5 +93,6 @@ object SparkEntry {
       graft.queries.LayoutOps.oracle ++
       graft.queries.StoreOps.oracle ++
       graft.queries.PqOps.oracle ++
-      graft.queries.TimeSeriesOps.oracle
+      graft.queries.TimeSeriesOps.oracle ++
+      graft.queries.AnalyticsOps.oracle
 }

@@ -1,0 +1,310 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-analytics and sketch-evaluation operators:
+  *
+  *  - q185: top user event paths — the Sankey/journey query (ordered
+  *    first-5 event types per user, counted).
+  *  - q186/q187: Count-Min sketch (Cormode & Muthukrishnan 2005) cells
+  *    and estimate-vs-exact readout. CMS is a LINEAR sketch — cells are
+  *    plain sums, so unlike HLL (q121) / GK (q122) / Misra–Gries
+  *    (q124) the whole summary is merge-order-independent and
+  *    hash-matches a DuckDB oracle exactly. The sketch is expressed as
+  *    a plain groupBy: the partial HashAggregate buffers ARE the
+  *    fixed-size mergeable summary (≤ depth·width groups per map
+  *    task), so composing built-ins — preference (a) — already gives
+  *    the wire shape a custom aggregate would.
+  *  - q188: deterministic A/B assignment + conversion lift + the χ²
+  *    independence statistic as exact fixed-point arithmetic.
+  *  - q189: join-cardinality prediction from per-key histograms; the
+  *    oracle COUNTs the real join, so the hash match is the estimator
+  *    identity |A ⋈ B| = Σ_k a(k)·b(k) — the number a planner wants
+  *    without paying for the join.
+  *  - q190: Simpson concentration per source over the token
+  *    distribution — the collision-probability diversity statistic
+  *    (exact rational; Shannon entropy needs log, this does not).
+  *
+  * Ref: the reference's per-page visitor paths (DwsTrafficPageViewWindow
+  * java:40-70) motivate q185; its ClickHouse-side ratio endpoints
+  * (PublisherController trade stats) motivate the q188 readout shape.
+  *
+  * Scale (100 TB):
+  *  - q185 shuffles once on user_id; the window and the per-user
+  *    groupBy share that partitioning (one Exchange in the plan), and
+  *    the path table the second aggregate sees is ≤ |event_types|⁵.
+  *  - q186 ships ≤ 4·256 cells per map task (map-side combine over a
+  *    1024-key space); the corpus-scale token stream is 8-byte hashes
+  *    from `gram_hashes`, never strings.
+  *  - q188/q189/q190 aggregate to one row / ≤16 buckets / ≤|sources|
+  *    rows before anything shuffles; χ² products are DECIMAL(38,0) —
+  *    exact up to ~10³⁸, i.e. counts to ~10⁹ per cell; past that,
+  *    compute on per-arm ppm rates (documented, the q134 rule).
+  */
+object AnalyticsOps {
+
+  // ---- q185 top event paths ------------------------------------------
+
+  private val PathLen = 5
+
+  /** q185: the 20 most common first-[[PathLen]] event-type journeys.
+    * Deterministic: per-user order is (ts, event_id) — event_id is
+    * unique — and the top-20 ties break on the path string. */
+  def eventPaths(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") <= PathLen)
+      .groupBy(col("user_id"))
+      // array_sort on (rn, event_type) structs orders by rn first —
+      // a deterministic collect_list without a second window pass.
+      .agg(expr("array_join(transform(array_sort(" +
+        "collect_list(struct(rn, event_type))), x -> x.event_type), '>')")
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(20)
+  }
+
+  // ---- q186/q187 Count-Min sketch ------------------------------------
+
+  /** Per-row (a, b) salts. Row hash r of item hash h is
+    * `((h mod 2³¹)·a_r + b_r) mod (2³¹−1) mod width` — the affine image
+    * of ONE shared item hash under per-row multipliers (fine here,
+    * unlike HRW q163: each row is its own table, there is no cross-row
+    * argmax to degenerate). (2³¹−1)·1103515245 < 2⁶² keeps every
+    * intermediate in checked BIGINT range in both engines. */
+  private val Salts = Seq(
+    (1103515245L, 12345L), (1299709L, 54321L),
+    (7368787L, 99991L), (104729L, 7919L))
+  private val Width = 256
+
+  private def cellSql(h: String, a: Long, b: Long): String =
+    s"(($h % 2147483648) * $a + $b) % 2147483647 % $Width"
+
+  /** The depth-4 × width-256 cell table over the corpus token stream
+    * (items = `gram_hashes(text, 1)` unigram hashes). */
+  private def cells(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GramOps.register(s)
+    val arr = Salts.map { case (a, b) => cellSql("h", a, b) }
+      .mkString("array(", ", ", ")")
+    Tables.documents(s, d)
+      .select(explode(expr("gram_hashes(text, 1)")).as("h"))
+      .select(posexplode(expr(arr)).as(Seq("r", "c")))
+      .groupBy(col("r").cast("long").as("r"), col("c"))
+      .agg(count(lit(1)).as("n_items"))
+  }
+
+  /** q186: the sketch itself as data — ≤1024 (row, cell, count) rows. */
+  def cmsCells(s: SparkSession, d: String): DataFrame =
+    cells(s, d)
+
+  /** q187: CMS point estimates for the 10 most frequent words next to
+    * their exact counts. est = min over rows of the word's cell — never
+    * below exact (one-sided error, pinned in AnalyticsOpsSpec). */
+  def cmsEstimate(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GramOps.register(s)
+    val arr = Salts.map { case (a, b) => cellSql("h", a, b) }
+      .mkString("array(", ", ", ")")
+    val top = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("word"))
+      .limit(10)
+      .withColumn("h", expr("element_at(gram_hashes(word, 1), 1)"))
+      .select(col("word"), col("exact_n"),
+        posexplode(expr(arr)).as(Seq("r", "c")))
+      .select(col("word"), col("exact_n"),
+        col("r").cast("long").as("r"), col("c"))
+    top.join(broadcast(cells(s, d)), Seq("r", "c"))
+      .groupBy(col("word"), col("exact_n"))
+      .agg(min(col("n_items")).as("cms_est"))
+  }
+
+  // ---- q188 A/B test -------------------------------------------------
+
+  /** q188: deterministic 50/50 split by user hash (the q49/q163 device
+    * with the same overflow-safe pre-reduction), conversion = any
+    * high-value purchase (> 90 — a plain `purchase` is near-universal,
+    * which would zero the χ² marginal), and the 2×2 χ² statistic
+    * N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) carried exactly: it is RATIONAL,
+    * so milli-units of it are one DECIMAL(38,0) product chain and one
+    * integer division — no transcendental, no float. Degenerate
+    * marginals (a column or row of the table empty) define χ² = 0. */
+  def abTest(s: SparkSession, d: String): DataFrame = {
+    val arm =
+      expr("((user_id % 2147483647) * 1103515245 + 12345) % 2147483647 % 2")
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 90,
+        1L).otherwise(0L)).as("conv"))
+      .select(arm.as("arm"), col("conv"))
+      .agg(
+        sum(when(col("arm") === 0 && col("conv") === 1, 1L).otherwise(0L))
+          .as("conv_a"),
+        sum(when(col("arm") === 0 && col("conv") === 0, 1L).otherwise(0L))
+          .as("miss_a"),
+        sum(when(col("arm") === 1 && col("conv") === 1, 1L).otherwise(0L))
+          .as("conv_b"),
+        sum(when(col("arm") === 1 && col("conv") === 0, 1L).otherwise(0L))
+          .as("miss_b"))
+      .selectExpr(
+        "conv_a + miss_a AS users_a",
+        "conv_b + miss_b AS users_b",
+        "conv_a", "conv_b",
+        "conv_a * 1000000 div (conv_a + miss_a) AS conv_a_ppm",
+        "conv_b * 1000000 div (conv_b + miss_b) AS conv_b_ppm",
+        "conv_a * 1000000 div (conv_a + miss_a) - " +
+          "conv_b * 1000000 div (conv_b + miss_b) AS lift_ppm",
+        // χ² in milli-units; every product inside DECIMAL(38,0).
+        "CASE WHEN conv_a + conv_b = 0 OR miss_a + miss_b = 0 THEN 0 ELSE " +
+          "CAST(1000 * CAST(conv_a + miss_a + conv_b + miss_b AS DECIMAL(38,0)) * " +
+          "(CAST(conv_a AS DECIMAL(38,0)) * miss_b - CAST(conv_b AS DECIMAL(38,0)) * miss_a) * " +
+          "(CAST(conv_a AS DECIMAL(38,0)) * miss_b - CAST(conv_b AS DECIMAL(38,0)) * miss_a) div " +
+          "(CAST(conv_a + miss_a AS DECIMAL(38,0)) * (conv_b + miss_b) * " +
+          "(conv_a + conv_b) * (miss_a + miss_b)) AS BIGINT) END AS chi2_milli")
+  }
+
+  // ---- q189 join-size audit ------------------------------------------
+
+  /** q189: predicted customer⋈orders output size per key bucket from
+    * the two per-key COUNT histograms — the join itself never runs on
+    * this side; the oracle runs it and counts. At 100 TB the histograms
+    * are |keys| rows vs the join's |output| rows — this is the number
+    * AQE's join-strategy pick wants, computed at histogram cost. */
+  def joinSizeAudit(s: SparkSession, d: String): DataFrame = {
+    val oh = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_o"))
+    val ch = Tables.customer(s, d)
+      .groupBy(col("c_custkey").as("k")).agg(count(lit(1)).as("n_c"))
+    oh.join(ch, Seq("k"))
+      .groupBy((col("k") % 16).as("bucket"))
+      .agg(sum(col("n_o") * col("n_c")).as("join_rows"))
+  }
+
+  // ---- q190 Simpson diversity ----------------------------------------
+
+  /** q190: per-source Simpson concentration Σnᵢ(nᵢ−1)/(N(N−1)) over
+    * token (hash) frequencies — the exact probability two random tokens
+    * from the source are the same word. Pair sums in DECIMAL(38,0):
+    * exact for any nᵢ ≤ 10¹⁹. */
+  def simpsonDiversity(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GramOps.register(s)
+    Tables.documents(s, d)
+      .select(col("source"), explode(expr("gram_hashes(text, 1)")).as("h"))
+      .groupBy(col("source"), col("h")).agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("distinct_words"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * (n - 1)")).as("coll"))
+      .selectExpr("source", "n_tokens", "distinct_words",
+        "CAST(coll * 1000000 div " +
+          "(CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1)) AS BIGINT)" +
+          " AS simpson_ppm")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_event_paths" -> eventPaths,
+    "q186_cms_cells" -> cmsCells,
+    "q187_cms_estimate" -> cmsEstimate,
+    "q188_ab_test" -> abTest,
+    "q189_join_size_audit" -> joinSizeAudit,
+    "q190_simpson_diversity" -> simpsonDiversity)
+
+  // ---- oracles -------------------------------------------------------
+
+  private val hsCte =
+    s"""WITH w AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |vh AS MATERIALIZED (
+       |  SELECT word, ${OracleHash.polySql("word")} AS h
+       |  FROM (SELECT DISTINCT word FROM w)),
+       |hs AS (SELECT source, h FROM w JOIN vh USING (word))""".stripMargin
+
+  private val cellsSql: String = {
+    val per = Salts.zipWithIndex.map { case ((a, b), r) =>
+      s"SELECT CAST($r AS BIGINT) AS r, ${cellSql("h", a, b)} AS c FROM hs"
+    }.mkString("\n  UNION ALL ")
+    s"""cl AS (
+       |  SELECT r, c, COUNT(*) AS n_items FROM (
+       |  $per) GROUP BY r, c)""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q185_event_paths" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY date_trunc('microseconds', ts), event_id) AS rn
+         |  FROM events),
+         |p AS (
+         |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+         |  FROM e WHERE rn <= $PathLen GROUP BY user_id)
+         |SELECT path, COUNT(*) AS n_users
+         |FROM p GROUP BY path
+         |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+    "q186_cms_cells" -> s"""$hsCte,
+       |$cellsSql
+       |SELECT r, c, n_items FROM cl""".stripMargin,
+    "q187_cms_estimate" -> s"""$hsCte,
+       |$cellsSql,
+       |top AS (
+       |  SELECT word, COUNT(*) AS exact_n FROM w
+       |  GROUP BY word ORDER BY exact_n DESC, word LIMIT 10),
+       |probes AS (
+       |  ${Salts.zipWithIndex.map { case ((a, b), r) =>
+              s"SELECT word, exact_n, CAST($r AS BIGINT) AS r, " +
+                s"${cellSql("h", a, b)} AS c FROM top JOIN vh USING (word)"
+            }.mkString("\n  UNION ALL ")})
+       |SELECT word, exact_n, MIN(n_items) AS cms_est
+       |FROM probes JOIN cl USING (r, c)
+       |GROUP BY word, exact_n""".stripMargin,
+    "q188_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' AND value > 90
+        |      THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |t AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(SUM(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS miss_a,
+        |    CAST(SUM(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_b,
+        |    CAST(SUM(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS miss_b
+        |  FROM (SELECT ((user_id % 2147483647) * 1103515245 + 12345)
+        |          % 2147483647 % 2 AS arm, conv FROM u))
+        |SELECT conv_a + miss_a AS users_a, conv_b + miss_b AS users_b,
+        |  conv_a, conv_b,
+        |  conv_a * 1000000 // (conv_a + miss_a) AS conv_a_ppm,
+        |  conv_b * 1000000 // (conv_b + miss_b) AS conv_b_ppm,
+        |  conv_a * 1000000 // (conv_a + miss_a)
+        |    - conv_b * 1000000 // (conv_b + miss_b) AS lift_ppm,
+        |  CASE WHEN conv_a + conv_b = 0 OR miss_a + miss_b = 0 THEN 0 ELSE
+        |  CAST(1000 * CAST(conv_a + miss_a + conv_b + miss_b AS HUGEINT)
+        |    * (CAST(conv_a AS HUGEINT) * miss_b - CAST(conv_b AS HUGEINT) * miss_a)
+        |    * (CAST(conv_a AS HUGEINT) * miss_b - CAST(conv_b AS HUGEINT) * miss_a)
+        |    // (CAST(conv_a + miss_a AS HUGEINT) * (conv_b + miss_b)
+        |       * (conv_a + conv_b) * (miss_a + miss_b)) AS BIGINT) END
+        |    AS chi2_milli
+        |FROM t""".stripMargin,
+    "q189_join_size_audit" ->
+      """SELECT o_custkey % 16 AS bucket, COUNT(*) AS join_rows
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+    "q190_simpson_diversity" -> s"""$hsCte,
+       |per AS (
+       |  SELECT source, h, COUNT(*) AS n FROM hs GROUP BY source, h)
+       |SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+       |  COUNT(*) AS distinct_words,
+       |  CAST(SUM(CAST(n AS HUGEINT) * (n - 1)) * 1000000
+       |    // (CAST(SUM(n) AS HUGEINT) * (SUM(n) - 1)) AS BIGINT)
+       |    AS simpson_ppm
+       |FROM per GROUP BY source""".stripMargin)
+}

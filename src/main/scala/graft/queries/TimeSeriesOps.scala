@@ -36,7 +36,11 @@ object TimeSeriesOps {
         .as("day_num"))
       .agg(count(lit(1)).as("c"))
 
-  /** q179: (dt, n_events, kind) for days outside the Tukey fences. */
+  /** q179: (dt, n_events, kind) for EVERY day — kind ∈ low/high/normal
+    * by the Tukey fences. Labeling all days (the day frame is bounded
+    * by nature) instead of filtering to outliers keeps the result
+    * non-empty at scales where nothing is anomalous, which is itself
+    * the monitoring signal. */
   def anomalyDays(s: SparkSession, d: String): DataFrame = {
     val counts = dailyCounts(s, d)
     // exact discrete quartiles over the bounded day frame (q161 device)
@@ -56,8 +60,7 @@ object TimeSeriesOps {
         .as("dt"), col("c").as("n_events"),
         when(col("c") * 4 < col("q1") * 4 - col("iqr") * 6, "low")
           .when(col("c") * 4 > col("q3") * 4 + col("iqr") * 6, "high")
-          .as("kind"))
-      .filter(col("kind").isNotNull)
+          .otherwise("normal").as("kind"))
   }
 
   /** q180: one row — exact rational trend slope of daily volume. */
@@ -122,10 +125,9 @@ object TimeSeriesOps {
          |SELECT DATE '1970-01-01' + CAST(day_num AS INTEGER) AS dt,
          |  c AS n_events,
          |  CASE WHEN c * 4 < q1 * 4 - (q3 - q1) * 6 THEN 'low'
-         |       WHEN c * 4 > q3 * 4 + (q3 - q1) * 6 THEN 'high' END AS kind
-         |FROM daily CROSS JOIN qs
-         |WHERE c * 4 < q1 * 4 - (q3 - q1) * 6
-         |   OR c * 4 > q3 * 4 + (q3 - q1) * 6""".stripMargin,
+         |       WHEN c * 4 > q3 * 4 + (q3 - q1) * 6 THEN 'high'
+         |       ELSE 'normal' END AS kind
+         |FROM daily CROSS JOIN qs""".stripMargin,
     "q180_trend_slope" ->
       s"""WITH $dailyCte,
          |xy AS (

@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q185–q190 contracts beyond the oracle: driver-side re-derivations
+  * (paths, CMS cells, χ², estimator identity, Simpson) and the CMS
+  * one-sided-error guarantee.
+  */
+class AnalyticsOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The GramHash polynomial, restated from first principles. */
+  private def poly(w: String): Long = {
+    val P = 36028797018963913L
+    w.codePoints().toArray.foldLeft(0L)((h, c) => (h * 131 + c % 256) % P)
+  }
+  private def cell(h: Long, a: Long, b: Long): Long =
+    ((h % 2147483648L) * a + b) % 2147483647L % 256L
+  private val salts =
+    Seq((1103515245L, 12345L), (1299709L, 54321L), (7368787L, 99991L),
+      (104729L, 7919L))
+
+  private lazy val words: Seq[String] =
+    spark.read.parquet(s"$sf/documents.parquet").select("text")
+      .collect().toSeq.flatMap(_.getString(0).split(" ", -1))
+
+  test("q185 paths ≡ driver-side journey re-derivation") {
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) AS tsu", "event_id",
+        "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = ev.groupBy(_._1).map { case (_, es) =>
+      es.sortBy(e => (e._2, e._3)).take(5).map(_._4).mkString(">")
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = AnalyticsOps.eventPaths(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("q186 cells ≡ driver CMS; every row sums to the token count") {
+    val expected = salts.zipWithIndex.flatMap { case ((a, b), r) =>
+      words.map(w => (r.toLong, cell(poly(w), a, b)))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = AnalyticsOps.cmsCells(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+    // linearity: each of the 4 rows partitions the full stream
+    (0L to 3L).foreach { r =>
+      assert(got.collect { case ((`r`, _), n) => n }.sum == words.size)
+    }
+  }
+
+  test("q187 estimates are one-sided: est ≥ exact, and ≡ driver CMS") {
+    val cnt = words.groupBy(identity).view.mapValues(_.size.toLong)
+    val cells = salts.zipWithIndex.flatMap { case ((a, b), r) =>
+      words.map(w => (r, cell(poly(w), a, b)))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = AnalyticsOps.cmsEstimate(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (w, exact, est) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(cnt(w) == exact)
+      assert(est >= exact) // CMS never underestimates
+      val expectedEst = salts.zipWithIndex
+        .map { case ((a, b), ri) => cells((ri, cell(poly(w), a, b))) }.min
+      assert(est == expectedEst)
+    }
+  }
+
+  test("q188 χ² milli-units match a double re-computation") {
+    val r = AnalyticsOps.abTest(spark, sf).collect().head
+    val (ua, ub) = (r.getLong(0), r.getLong(1))
+    val (ca, cb) = (r.getLong(2), r.getLong(3))
+    val (ma, mb) = (ua - ca, ub - cb)
+    val n = (ua + ub).toDouble
+    val delta = ca.toDouble * mb - cb.toDouble * ma
+    val chi2 = n * delta * delta /
+      (ua.toDouble * ub * (ca + cb) * (ma + mb))
+    assert(math.abs(r.getLong(7) - math.floor(chi2 * 1000)) <= 1)
+    // deterministic assignment really splits the population
+    assert(ua > 0 && ub > 0 && ua + ub ==
+      graft.Tables.events(spark, sf).select("user_id").distinct().count())
+  }
+
+  test("q189 histogram prediction ≡ the actual join size (identity)") {
+    val actual = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.customer(spark, sf),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      .selectExpr("o_custkey % 16 AS bucket").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+    val got = AnalyticsOps.joinSizeAudit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == actual)
+  }
+
+  test("q190 Simpson ppm ≡ word-level driver re-derivation") {
+    val bySource = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.toSeq.flatMap(_.getString(1).split(" ", -1)))
+    val got = AnalyticsOps.simpsonDiversity(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    bySource.foreach { case (src, ws) =>
+      val n = ws.size.toLong
+      val counts = ws.groupBy(identity).values.map(_.size.toLong)
+      val coll = counts.map(c => BigInt(c) * (c - 1)).sum
+      val ppm = (coll * 1000000 / (BigInt(n) * (n - 1))).toLong
+      assert(got(src) == ((n, counts.size.toLong, ppm)), src)
+    }
+  }
+}

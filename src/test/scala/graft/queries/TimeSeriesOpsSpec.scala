@@ -4,8 +4,8 @@ import graft.TestSpark
 import org.scalatest.funsuite.AnyFunSuite
 
 /** q179–q181 re-derivations. sf0.01 for the anomaly test — that scale
-  * actually has out-of-fence days (sf0.001 has none; the 0-row match
-  * there is also oracle-checked but carries less signal).
+  * actually has out-of-fence days (sf0.001 has none; every day there
+  * labels `normal`, which the non-empty-result contract relies on).
   */
 class TimeSeriesOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -23,17 +23,18 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     def pct(p: Int) = sorted(((sorted.length - 1) * p) / 100)
     val (q1, q3) = (pct(25), pct(75))
     val iqr = q3 - q1
-    val expected = counts.filter { case (_, c) =>
-      c * 4 < q1 * 4 - iqr * 6 || c * 4 > q3 * 4 + iqr * 6
-    }.map { case (day, c) =>
-      day -> ((c, if (c * 4 < q1 * 4 - iqr * 6) "low" else "high"))
+    val expected = counts.map { case (day, c) =>
+      day -> ((c,
+        if (c * 4 < q1 * 4 - iqr * 6) "low"
+        else if (c * 4 > q3 * 4 + iqr * 6) "high"
+        else "normal"))
     }
     val got = TimeSeriesOps.anomalyDays(spark, sf).collect()
       .map(r => (r.getDate(0).toLocalDate.toEpochDay,
         (r.getLong(1), r.getString(2))))
       .map { case (d, v) => d -> v }.toMap
     assert(got == expected)
-    assert(expected.nonEmpty, "sf0.01 has anomalous days")
+    assert(expected.exists(_._2._2 != "normal"), "sf0.01 has anomalous days")
   }
 
   test("q180 slope equals the exact least-squares rational") {
