@@ -52,7 +52,8 @@ object SparkEntry {
       graft.queries.StoreOps.queries ++
       graft.queries.PqOps.queries ++
       graft.queries.TimeSeriesOps.queries ++
-      graft.queries.AnalyticsOps.queries
+      graft.queries.AnalyticsOps.queries ++
+      graft.queries.SketchOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -94,5 +95,6 @@ object SparkEntry {
       graft.queries.StoreOps.oracle ++
       graft.queries.PqOps.oracle ++
       graft.queries.TimeSeriesOps.oracle ++
-      graft.queries.AnalyticsOps.oracle
+      graft.queries.AnalyticsOps.oracle ++
+      graft.queries.SketchOps.oracle
 }

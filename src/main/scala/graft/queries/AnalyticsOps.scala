@@ -27,6 +27,11 @@ import org.apache.spark.sql.functions._
   *  - q190: Simpson concentration per source over the token
   *    distribution — the collision-probability diversity statistic
   *    (exact rational; Shannon entropy needs log, this does not).
+  *  - q193: blocked sorted-neighborhood dedup — the classic ER
+  *    blocking scheme the repo was missing next to length bands
+  *    (q65), LSH (q30), and prefix filtering (q182).
+  *  - q194: last-touch revenue attribution over per-user event
+  *    streams.
   *
   * Ref: the reference's per-page visitor paths (DwsTrafficPageViewWindow
   * java:40-70) motivate q185; its ClickHouse-side ratio endpoints
@@ -209,8 +214,61 @@ object AnalyticsOps {
           " AS simpson_ppm")
   }
 
+  // ---- q193 sorted-neighborhood dedup --------------------------------
+
+  /** q193: blocked sorted-neighborhood entity resolution (Hernández &
+    * Stolfo 1995) over customer names — the THIRD blocking scheme next
+    * to q65's length bands and the LSH family: sort within a block key
+    * (name prefix), compare each record to its w=2 successors, verify
+    * with exact edit distance ≤ 2. Windows partition by block — no
+    * global sort; at 100 TB the block key is what bounds both the sort
+    * and the candidate count (≤ w·n pairs total). */
+  def snmDedup(s: SparkSession, d: String): DataFrame = {
+    val byBlock = Window.partitionBy(col("blk"))
+      .orderBy(col("c_name"), col("c_custkey"))
+    val ranked = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"),
+        substring(col("c_name"), 1, 12).as("blk"))
+    val pairs = Seq(1, 2).map { o =>
+      ranked
+        .withColumn("name_b", lead(col("c_name"), o).over(byBlock))
+        .withColumn("key_b", lead(col("c_custkey"), o).over(byBlock))
+        .filter(col("name_b").isNotNull)
+    }.reduce(_ unionAll _)
+    pairs
+      .withColumn("dist", levenshtein(col("c_name"), col("name_b")))
+      .filter(col("dist") <= 2)
+      .select(col("c_custkey").as("key_a"), col("key_b"),
+        col("c_name").as("name_a"), col("name_b"),
+        col("dist").cast("long").as("dist"))
+  }
+
+  // ---- q194 last-touch attribution -----------------------------------
+
+  /** q194: last-touch revenue attribution — each purchase's value is
+    * credited to the user's most recent PRECEDING non-purchase event
+    * type (`none` when the purchase opens the stream). The carry is a
+    * per-user running `last(..., ignoreNulls)` window — per-user state
+    * only, the scale-safe window class; revenue sums are exact decimal
+    * (the Num.dsum rule). */
+  def attribution(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(byUser))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("none")).as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        graft.Num.dsum(col("value")).as("revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q185_event_paths" -> eventPaths,
+    "q193_snm_dedup" -> snmDedup,
+    "q194_attribution" -> attribution,
     "q186_cms_cells" -> cmsCells,
     "q187_cms_estimate" -> cmsEstimate,
     "q188_ab_test" -> abTest,
@@ -297,6 +355,43 @@ object AnalyticsOps {
     "q189_join_size_audit" ->
       """SELECT o_custkey % 16 AS bucket, COUNT(*) AS join_rows
         |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+    "q193_snm_dedup" ->
+      """WITH ranked AS (
+        |  SELECT c_custkey, c_name, substr(c_name, 1, 12) AS blk
+        |  FROM customer),
+        |pairs AS (
+        |  SELECT c_custkey AS key_a, c_name AS name_a,
+        |    lead(c_name, 1) OVER w AS name_b,
+        |    lead(c_custkey, 1) OVER w AS key_b
+        |  FROM ranked
+        |  WINDOW w AS (PARTITION BY blk ORDER BY c_name, c_custkey)
+        |  UNION ALL
+        |  SELECT c_custkey, c_name,
+        |    lead(c_name, 2) OVER w2, lead(c_custkey, 2) OVER w2
+        |  FROM ranked
+        |  WINDOW w2 AS (PARTITION BY blk ORDER BY c_name, c_custkey))
+        |SELECT key_a, key_b, name_a, name_b,
+        |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+        |FROM pairs
+        |WHERE name_b IS NOT NULL AND levenshtein(name_a, name_b) <= 2"""
+        .stripMargin,
+    "q194_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    date_trunc('microseconds', ts) AS ts
+        |  FROM events),
+        |touched AS (
+        |  SELECT event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM ev)
+        |SELECT COALESCE(touch, 'none') AS touch_type,
+        |  COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM touched WHERE event_type = 'purchase'
         |GROUP BY 1""".stripMargin,
     "q190_simpson_diversity" -> s"""$hsCte,
        |per AS (

@@ -97,6 +97,60 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got == actual)
   }
 
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("q193 ≡ driver sorted-neighborhood scan (w=2, lev ≤ 2)") {
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = cust.groupBy(_._2.take(12)).values.flatMap { blk =>
+      val sorted = blk.sortBy(c => (c._2, c._1))
+      (1 to 2).flatMap { o =>
+        sorted.dropRight(o).zip(sorted.drop(o)).map { case (x, y) =>
+          (x._1, y._1, x._2, y._2, lev(x._2, y._2).toLong)
+        }
+      }
+    }.filter(_._5 <= 2).toSet
+    val got = AnalyticsOps.snmDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q194 ≡ driver last-touch attribution fold") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) AS tsu", "event_id",
+        "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    val credited = ev.groupBy(_._1).values.flatMap { es =>
+      var touch: String = null
+      es.sortBy(e => (e._2, e._3)).flatMap { e =>
+        val out = if (e._4 == "purchase")
+          Some((if (touch == null) "none" else touch, e._5)) else None
+        if (e._4 != "purchase") touch = e._4
+        out
+      }
+    }.toSeq
+    val expected = credited.groupBy(_._1).view.mapValues { vs =>
+      (vs.size.toLong,
+        vs.map(v => JBD.valueOf(v._2).setScale(2, RoundingMode.HALF_UP))
+          .reduce(_.add(_)).doubleValue)
+    }.toMap
+    val got = AnalyticsOps.attribution(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expected)
+  }
+
   test("q190 Simpson ppm ≡ word-level driver re-derivation") {
     val bySource = spark.read.parquet(s"$sf/documents.parquet")
       .select("source", "text").collect()
