@@ -53,7 +53,8 @@ object SparkEntry {
       graft.queries.PqOps.queries ++
       graft.queries.TimeSeriesOps.queries ++
       graft.queries.AnalyticsOps.queries ++
-      graft.queries.SketchOps.queries
+      graft.queries.SketchOps.queries ++
+      graft.queries.BusinessOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -96,5 +97,6 @@ object SparkEntry {
       graft.queries.PqOps.oracle ++
       graft.queries.TimeSeriesOps.oracle ++
       graft.queries.AnalyticsOps.oracle ++
-      graft.queries.SketchOps.oracle
+      graft.queries.SketchOps.oracle ++
+      graft.queries.BusinessOps.oracle
 }

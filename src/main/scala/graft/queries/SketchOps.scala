@@ -99,9 +99,57 @@ object SketchOps {
         col("inter_est"), col("jaccard_est_ppm"))
   }
 
+  // ---- q195 PPS threshold sampling + Horvitz–Thompson ----------------
+
+  private val SampleTarget = 100L
+  private val H = 2147483647L
+
+  /** q195: probability-proportional-to-size threshold sampling with a
+    * Horvitz–Thompson total estimate — the weighted corpus sample that
+    * keeps long documents with proportionally higher probability
+    * (Duffield et al. 2007 priority-sampling family, stated with the
+    * deterministic salted-hash inclusion device of q49/q150 so
+    * membership is engine- and partitioning-exact). Inclusion
+    * probability p_i = min(1, m·w_i/W) carried as p·H in BIGINT
+    * (m·w·H < 2⁶² for chars ≤ 10¹⁰); doc kept iff its uniform hash
+    * < p·H; the HT estimate Σ_kept w_i/p_i then re-estimates W per
+    * source — the spec pins it near the true total. One corpus scan +
+    * a 1-row broadcast; kept rows only ever aggregate.
+    *
+    * The inclusion hash is the q150 salted POLYNOMIAL hash of the
+    * doc_id's decimal digits (`poly("<id>:pps") mod H`) — an
+    * affine-in-id hash like `(a·id+b) mod H` is useless here:
+    * consecutive ids map to an arithmetic progression, so the
+    * low-hash region is a doc_id PREFIX, not a uniform sample
+    * (observed: 5× the target size and a 5× HT bias; the q163
+    * affine-degeneracy trap in sampling form). */
+  def ppsSample(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GramOps.register(s)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val w = docs.agg(sum(col("n_chars")).as("tot_w"))
+    docs.crossJoin(broadcast(w))
+      .withColumn("h",
+        expr("element_at(gram_hashes(concat(CAST(doc_id AS STRING)," +
+          s" ':pps'), 1), 1) % $H"))
+      .withColumn("p_scaled",
+        least(lit(H), expr(s"($SampleTarget * n_chars * $H) div tot_w")))
+      .withColumn("kept", col("h") < col("p_scaled"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("kept"),
+          expr(s"n_chars * $H div p_scaled")).otherwise(0L))
+          .as("ht_est_chars"))
+      .withColumn("err_ppm",
+        expr("abs(ht_est_chars - total_chars) * 1000000 div total_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q191_kmv_sketch" -> kmvSketch,
-    "q192_kmv_set_ops" -> kmvSetOps)
+    "q192_kmv_set_ops" -> kmvSetOps,
+    "q195_pps_sample" -> ppsSample)
 
   /** Distinct 4-gram hashes per source (the q141 gram-string device —
     * hashes evaluated once per DISTINCT gram), then bottom-K via
@@ -129,6 +177,28 @@ object SketchOps {
        |    FROM hs) WHERE rn <= $K)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q195_pps_sample" ->
+      s"""WITH w AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS tot_w
+         |  FROM documents),
+         |scored AS (
+         |  SELECT source, n_chars,
+         |    (${OracleHash.polySql("(CAST(doc_id AS VARCHAR) || ':pps')")})
+         |      % $H AS h,
+         |    LEAST($H, ($SampleTarget * n_chars * $H) // tot_w)
+         |      AS p_scaled
+         |  FROM documents CROSS JOIN w)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(SUM(CASE WHEN h < p_scaled THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS kept_docs,
+         |  CAST(SUM(CASE WHEN h < p_scaled
+         |    THEN n_chars * $H // p_scaled ELSE 0 END) AS BIGINT)
+         |    AS ht_est_chars,
+         |  abs(CAST(SUM(CASE WHEN h < p_scaled
+         |      THEN n_chars * $H // p_scaled ELSE 0 END) AS BIGINT)
+         |    - CAST(SUM(n_chars) AS BIGINT)) * 1000000
+         |    // CAST(SUM(n_chars) AS BIGINT) AS err_ppm
+         |FROM scored GROUP BY source""".stripMargin,
     "q191_kmv_sketch" -> s"""$b64Cte
        |SELECT source, n_distinct, hk,
        |  CASE WHEN n_distinct < $K THEN n_distinct

@@ -46,6 +46,34 @@ class SketchOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q195 ≡ first-principles PPS; global HT estimate near the truth") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val totW = docs.map(_._3).sum
+    val H = 2147483647L
+    val expected = docs.groupBy(_._2).view.mapValues { ds =>
+      val rows = ds.map { case (id, _, w) =>
+        val h = poly(s"$id:pps") % H
+        val p = math.min(H, 100L * w * H / totW)
+        (w, h < p, if (h < p) w * H / p else 0L)
+      }
+      val (tw, kd, ht) =
+        (rows.map(_._1).sum, rows.count(_._2).toLong, rows.map(_._3).sum)
+      (ds.length.toLong, tw, kd, ht, (ht - tw).abs * 1000000 / tw)
+    }.toMap
+    val got = SketchOps.ppsSample(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected)
+    // the summed per-source HT estimates ARE the global HT estimator
+    val (ht, truth) =
+      (got.values.map(_._4).sum.toDouble, got.values.map(_._2).sum.toDouble)
+    assert(got.values.map(_._3).sum > 10, "sample must be non-trivial")
+    assert(math.abs(ht - truth) / truth < 0.3,
+      s"global HT $ht vs $truth drifts beyond the sampling band")
+  }
+
   test("q192 ≡ sketch-only merge re-derivation; estimates are coherent") {
     val sketches = bySource.view.mapValues(_.toSeq.sorted.take(K)).toMap
     val got = SketchOps.kmvSetOps(spark, sf).collect()
