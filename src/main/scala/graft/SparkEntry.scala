@@ -54,7 +54,9 @@ object SparkEntry {
       graft.queries.TimeSeriesOps.queries ++
       graft.queries.AnalyticsOps.queries ++
       graft.queries.SketchOps.queries ++
-      graft.queries.BusinessOps.queries
+      graft.queries.BusinessOps.queries ++
+      graft.queries.StatsOps.queries ++
+      graft.queries.AuditOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -98,5 +100,7 @@ object SparkEntry {
       graft.queries.TimeSeriesOps.oracle ++
       graft.queries.AnalyticsOps.oracle ++
       graft.queries.SketchOps.oracle ++
-      graft.queries.BusinessOps.oracle
+      graft.queries.BusinessOps.oracle ++
+      graft.queries.StatsOps.oracle ++
+      graft.queries.AuditOps.oracle
 }

@@ -218,6 +218,34 @@ object Advanced {
         (-col("best.nd")).as("kept_doc"), col("best.q").as("best_q_ppm"))
   }
 
+  /** q211: dedup yield curve — what keep-one-per-cluster dedup would
+    * remove, broken down by cluster size: the readout a pipeline
+    * publishes to justify (or skip) near-dedup on a source. Composes
+    * onto the ORACLE-VERIFIED q110 clusters; token counts are the
+    * engine-exact whitespace census (q27's device). Singleton docs
+    * never enter the pair graph, so rows here cover only real clusters
+    * (size ≥ 2) — exactly the removable mass.
+    *
+    * Scale: adds one map-side token count and two bounded aggregates
+    * (per-cluster, then per-size — output rows = distinct sizes) on
+    * top of the q110 chain; nothing new touches the corpus. */
+  def clusterYield(s: SparkSession, d: String): DataFrame = {
+    val clusters = minhashDedupClusters(s, d)
+    val toks = graft.Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    clusters.join(toks, "doc_id")
+      .groupBy("cluster_rep")
+      .agg(count(lit(1)).as("sz"), sum(col("n_tokens")).as("tok"),
+        sum(when(col("is_kept"), col("n_tokens")).otherwise(0L))
+          .as("kept_tok"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz") - 1).as("docs_removed"),
+        sum(col("tok") - col("kept_tok")).as("tokens_removed"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** Conversion funnel: users whose first purchase follows their first
     * click within 1 h — pure integer-µs sequencing, grouped by date of
     * the click. */
@@ -268,6 +296,7 @@ object Advanced {
     "q107_dedup_clusters_dfcap" -> ((s, d) => dedupClusters(s, d, 3)),
     "q110_minhash_dedup" -> ((s, d) => minhashDedupClusters(s, d)),
     "q151_cluster_representatives" -> clusterRepresentatives,
+    "q211_cluster_yield" -> clusterYield,
     "q58_funnel" -> funnel,
     "q82_funnel_operator" -> funnelOperator)
 
@@ -424,6 +453,28 @@ object Advanced {
       |SELECT cluster_rep, CAST(csz AS BIGINT) AS cluster_size,
       |  doc_id AS kept_doc, q_ppm AS best_q_ppm
       |FROM rk WHERE rn = 1""".stripMargin,
+    "q211_cluster_yield" -> s"""$minhashPairsCte,
+      |$ccCte,
+      |clus AS (
+      |  SELECT n.doc_id,
+      |    LEAST(n.doc_id, MIN(r.v)) AS cluster_rep,
+      |    n.doc_id = LEAST(n.doc_id, MIN(r.v)) AS is_kept
+      |  FROM nodes n JOIN reach r ON r.u = n.doc_id
+      |  GROUP BY n.doc_id),
+      |toks AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |bc AS (
+      |  SELECT cluster_rep, COUNT(*) AS sz,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS tok,
+      |    CAST(SUM(CASE WHEN is_kept THEN n_tokens ELSE 0 END)
+      |      AS BIGINT) AS kept_tok
+      |  FROM clus JOIN toks USING (doc_id) GROUP BY cluster_rep)
+      |SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+      |  CAST(SUM(sz - 1) AS BIGINT) AS docs_removed,
+      |  CAST(SUM(tok - kept_tok) AS BIGINT) AS tokens_removed
+      |FROM bc GROUP BY sz ORDER BY cluster_size""".stripMargin,
     "q107_dedup_clusters_dfcap" -> s"""${pairsCteCapped(3)},
       |$ccCte
       |SELECT n.doc_id,

@@ -1,0 +1,192 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-governance operators a warehouse runs before trusting a corpus:
+  *
+  *  - q205: referential-integrity audit — orphan census for every
+  *    foreign-key edge of the star schema via LEFT ANTI joins (child
+  *    rows whose parent key is absent), one row per edge.
+  *  - q206: quantile normalization of document length across sources —
+  *    each doc's global percentile (tie-sharing RANK, in ppm) computed
+  *    join-free from the bounded length-frequency frame, then averaged
+  *    per source. The device that replaces a global sort: rank(v) =
+  *    1 + Σ_{u<v} freq(u), a cumulative window over DISTINCT values.
+  *  - q210: largest-remainder (Hamilton) apportionment of a fixed
+  *    sample budget across (lang, source) strata proportional to doc
+  *    counts — the exact integer allocation whose quotas sum to the
+  *    budget by construction (floor quotas + the L largest remainders
+  *    get +1).
+  *
+  * Ref: the reference's dim-layer consistency checks (DimApp validates
+  * dims exist before lookups); q205 is that check as a batch audit.
+  *
+  * Scale (100 TB): q205 is anti-joins on the join keys (broadcast for
+  * dim parents, shuffle for orders) with count-only outputs; q206's
+  * window runs on the distinct-length frame (bounded domain), never the
+  * corpus; q210's window runs on the strata frame (sources × langs).
+  */
+object AuditOps {
+
+  /** q205: one row per FK edge — child rows, orphan rows, orphan keys. */
+  def fkIntegrity(s: SparkSession, d: String): DataFrame = {
+    def edge(name: String, child: DataFrame, key: String,
+             parent: DataFrame, pkey: String): DataFrame = {
+      val c = child.select(col(key).as("k"))
+      val orphans = c.join(parent.select(col(pkey).as("k")), Seq("k"),
+        "left_anti")
+      c.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans"),
+          count_distinct(col("k")).as("n_orphan_keys")))
+        .select(lit(name).as("fk_edge"), col("n_child"),
+          col("n_orphans"), col("n_orphan_keys"))
+    }
+    val li = Tables.lineitem(s, d)
+    val os = Tables.orders(s, d)
+    edge("lineitem.l_orderkey->orders", li, "l_orderkey",
+        os, "o_orderkey")
+      .unionAll(edge("lineitem.l_partkey->part", li, "l_partkey",
+        Tables.part(s, d), "p_partkey"))
+      .unionAll(edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey"))
+      .unionAll(edge("orders.o_custkey->customer", os, "o_custkey",
+        Tables.customer(s, d), "c_custkey"))
+      .unionAll(edge("customer.c_nationkey->nation", Tables.customer(s, d),
+        "c_nationkey", Tables.nation(s, d), "n_nationkey"))
+      .unionAll(edge("nation.n_regionkey->region", Tables.nation(s, d),
+        "n_regionkey", Tables.region(s, d), "r_regionkey"))
+      .orderBy(col("fk_edge"))
+  }
+
+  /** q206: per-source mean global length percentile (ppm), join-free
+    * ranks from the length-frequency frame. */
+  def quantileNormalize(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("source"), col("n_chars"))
+    val vc = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+      .withColumn("below", coalesce(sum(col("c")).over(
+        Window.orderBy(col("n_chars"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val n = docs.agg(count(lit(1)).as("n"))
+    docs.join(broadcast(vc.select(col("n_chars"), col("below"))), "n_chars")
+      .crossJoin(broadcast(n))
+      .withColumn("pr_ppm", expr("below * 1000000 div (n - 1)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(pr_ppm) div count(1)").as("mean_pr_ppm"),
+        min(col("pr_ppm")).as("min_pr_ppm"),
+        max(col("pr_ppm")).as("max_pr_ppm"))
+      .orderBy(col("source"))
+  }
+
+  private val Budget = 10000L
+
+  /** q210: Hamilton apportionment of `Budget` samples across strata. */
+  def sampleAllocation(s: SparkSession, d: String): DataFrame = {
+    val strata = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = strata.agg(sum(col("n_docs")).as("total"),
+      count(lit(1)).as("n_strata"))
+    val base = strata.crossJoin(broadcast(tot))
+      .withColumn("floor_q", expr(s"$Budget * n_docs div total"))
+      .withColumn("rem", expr(s"($Budget * n_docs) % total"))
+    val leftover = base.agg(
+      (lit(Budget) - sum(col("floor_q"))).as("leftover"))
+    base.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("lang"), col("source"))))
+      .select(col("lang"), col("source"), col("n_docs"),
+        (col("floor_q") +
+          when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("quota"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_fk_integrity" -> fkIntegrity,
+    "q206_quantile_normalize" -> quantileNormalize,
+    "q210_sample_allocation" -> sampleAllocation)
+
+  val oracle: Map[String, String] = Map(
+    "q205_fk_integrity" ->
+      """SELECT * FROM (
+        |  SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+        |    COUNT(*) AS n_child,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_orphans,
+        |    COUNT(DISTINCT CASE WHEN o_orderkey IS NULL
+        |      THEN l_orderkey END) AS n_orphan_keys
+        |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->part', COUNT(*),
+        |    CAST(SUM(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    COUNT(DISTINCT CASE WHEN p_partkey IS NULL THEN l_partkey END)
+        |  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey->supplier', COUNT(*),
+        |    CAST(SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    COUNT(DISTINCT CASE WHEN s_suppkey IS NULL THEN l_suppkey END)
+        |  FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer', COUNT(*),
+        |    CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    COUNT(DISTINCT CASE WHEN c_custkey IS NULL THEN o_custkey END)
+        |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT 'customer.c_nationkey->nation', COUNT(*),
+        |    CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    COUNT(DISTINCT CASE WHEN n_nationkey IS NULL
+        |      THEN c_nationkey END)
+        |  FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT 'nation.n_regionkey->region', COUNT(*),
+        |    CAST(SUM(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    COUNT(DISTINCT CASE WHEN r_regionkey IS NULL
+        |      THEN n_regionkey END)
+        |  FROM nation LEFT JOIN region ON n_regionkey = r_regionkey)
+        |ORDER BY fk_edge""".stripMargin,
+    "q206_quantile_normalize" ->
+      """WITH vc AS (
+        |  SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY n_chars),
+        |blw AS (
+        |  SELECT n_chars,
+        |    COALESCE(SUM(c) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS below
+        |  FROM vc),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |pr AS (
+        |  SELECT source,
+        |    CAST(below * 1000000 // (n - 1) AS BIGINT) AS pr_ppm
+        |  FROM documents JOIN blw USING (n_chars) CROSS JOIN n)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(pr_ppm) // COUNT(*) AS BIGINT) AS mean_pr_ppm,
+        |  MIN(pr_ppm) AS min_pr_ppm, MAX(pr_ppm) AS max_pr_ppm
+        |FROM pr GROUP BY source ORDER BY source""".stripMargin,
+    "q210_sample_allocation" ->
+      s"""WITH strata AS (
+         |  SELECT lang, source, COUNT(*) AS n_docs
+         |  FROM documents GROUP BY lang, source),
+         |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM strata),
+         |base AS (
+         |  SELECT lang, source, n_docs,
+         |    $Budget * n_docs // total AS floor_q,
+         |    ($Budget * n_docs) % total AS rem
+         |  FROM strata CROSS JOIN tot),
+         |lo AS (SELECT $Budget - SUM(floor_q) AS leftover FROM base),
+         |rk AS (
+         |  SELECT lang, source, n_docs, floor_q, leftover,
+         |    row_number() OVER (ORDER BY rem DESC, lang, source) AS rk
+         |  FROM base CROSS JOIN lo)
+         |SELECT lang, source, n_docs,
+         |  floor_q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota
+         |FROM rk ORDER BY lang, source""".stripMargin)
+}

@@ -7,6 +7,23 @@ import org.apache.spark.sql.functions._
 
 /** Business-analytics operators over the event/order streams:
   *
+  *  - q200: RFM segmentation — recency/frequency/monetary quintiles per
+  *    customer (NTILE with full deterministic tie-breaks: metric then
+  *    custkey; 5 = best by classic RFM convention), rolled up to
+  *    segment-level counts and revenue. The windows run over the
+  *    CUSTOMER aggregate (dim-scale, the q199 precedent); at extreme
+  *    customer counts the same quintile boundaries come from a
+  *    counts-of-counts frame (the q161 device, documented trade).
+  *  - q201: association rules from within-order co-purchases — directed
+  *    rules a→b with integer support/confidence/lift in ppm
+  *    (lift = pair_n·N·10⁶ div (n_a·n_b), the cross-multiplied form
+  *    that never materializes a fraction), min-support filtered,
+  *    top-25 by lift.
+  *  - q208: decile lift/gains table — customers scored by balance
+  *    (the stand-in propensity score), NTILE(10) deciles, per-decile
+  *    revenue share and cumulative gain vs the uniform baseline
+  *    (lift_ppm = cum_cents·10·10⁶ div (total·k)). The model-eval
+  *    readout every targeting pipeline publishes.
   *  - q196: time-to-convert distribution — hours from a user's first
   *    touch (view/click) to their first high-value purchase, with
   *    exact p50/p90 from a counts-of-counts frame (the q161 device —
@@ -36,6 +53,91 @@ import org.apache.spark.sql.functions._
   * counts-of-counts frame (documented trade).
   */
 object BusinessOps {
+
+  /** q200: RFM segment census — one row per populated R·100+F·10+M cell. */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val os = Tables.orders(s, d)
+    val maxd = os.agg(max(col("o_orderdate")).as("maxd"))
+    val perCust = os.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("freq"),
+        sum(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100" +
+          " AS BIGINT)")).as("cents"))
+      .crossJoin(broadcast(maxd))
+      .withColumn("rec_days",
+        expr("(unix_micros(CAST(maxd AS TIMESTAMP))" +
+          " - unix_micros(CAST(last_order AS TIMESTAMP)))" +
+          " div 86400000000"))
+    perCust
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(col("rec_days").desc, col("o_custkey"))))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("freq"), col("o_custkey"))))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("cents"), col("o_custkey"))))
+      .groupBy(expr("r_score * 100 + f_score * 10 + m_score")
+        .as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("segment_cents"))
+      .orderBy(col("segment"))
+  }
+
+  private val MinSupport = 3L
+
+  /** q201: top-25 directed association rules by integer lift. */
+  def assocRules(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nOrders = li.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val perPart = li.groupBy(col("pk")).agg(count(lit(1)).as("n_part"))
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") =!= col("y.pk"))
+      .groupBy(col("x.pk").as("ante"), col("y.pk").as("cons"))
+      .agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= MinSupport)
+    pairs
+      .join(perPart.withColumnRenamed("pk", "ante")
+        .withColumnRenamed("n_part", "n_ante"), "ante")
+      .join(perPart.withColumnRenamed("pk", "cons")
+        .withColumnRenamed("n_part", "n_cons"), "cons")
+      .crossJoin(broadcast(nOrders))
+      .select(col("ante"), col("cons"), col("pair_n"),
+        expr("pair_n * 1000000 div n_ante").as("conf_ppm"),
+        expr("pair_n * n_orders * 1000000 div (n_ante * n_cons)")
+          .as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("conf_ppm").desc,
+        col("ante"), col("cons"))
+      .limit(25)
+  }
+
+  /** q208: 10-row gains table over balance-scored customers. */
+  def decileLift(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100" +
+        " AS BIGINT)")).as("cents"))
+    val scored = Tables.customer(s, d)
+      .join(rev, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_acctbal"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("c_acctbal").desc, col("c_custkey"))))
+    val tot = scored.agg(sum(col("cents")).as("total_cents"))
+    scored.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("decile_cents"))
+      .withColumn("cum_cents", sum(col("decile_cents")).over(
+        Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_customers"), col("decile_cents"),
+        expr("cum_cents * 1000000 div total_cents").as("cum_gain_ppm"),
+        expr("cum_cents * 10 * 1000000 div (total_cents * decile)")
+          .as("lift_ppm"))
+      .orderBy(col("decile"))
+  }
 
   /** q196: one row — conversion-lag distribution in whole hours. */
   def timeToConvert(s: SparkSession, d: String): DataFrame = {
@@ -99,9 +201,84 @@ object BusinessOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_time_to_convert" -> timeToConvert,
     "q198_copurchase_pairs" -> copurchasePairs,
-    "q199_revenue_gini" -> revenueGini)
+    "q199_revenue_gini" -> revenueGini,
+    "q200_rfm_segments" -> rfmSegments,
+    "q201_assoc_rules" -> assocRules,
+    "q208_decile_lift" -> decileLift)
 
   val oracle: Map[String, String] = Map(
+    "q200_rfm_segments" ->
+      """WITH maxd AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+        |pc AS (
+        |  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+        |    COUNT(*) AS freq,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |sc AS (
+        |  SELECT o_custkey, freq, cents,
+        |    (epoch_us(maxd) - epoch_us(last_order)) // 86400000000
+        |      AS rec_days
+        |  FROM pc CROSS JOIN maxd),
+        |scored AS (
+        |  SELECT cents,
+        |    ntile(5) OVER (ORDER BY rec_days DESC, o_custkey) AS r_score,
+        |    ntile(5) OVER (ORDER BY freq, o_custkey) AS f_score,
+        |    ntile(5) OVER (ORDER BY cents, o_custkey) AS m_score
+        |  FROM sc)
+        |SELECT r_score * 100 + f_score * 10 + m_score AS segment,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(cents) AS BIGINT) AS segment_cents
+        |FROM scored GROUP BY 1 ORDER BY segment""".stripMargin,
+    "q201_assoc_rules" ->
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem),
+         |n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM li),
+         |pp AS (SELECT pk, COUNT(*) AS n_part FROM li GROUP BY pk),
+         |pairs AS (
+         |  SELECT x.pk AS ante, y.pk AS cons, COUNT(*) AS pair_n
+         |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk <> y.pk
+         |  GROUP BY x.pk, y.pk
+         |  HAVING COUNT(*) >= $MinSupport)
+         |SELECT ante, cons, pair_n,
+         |  pair_n * 1000000 // a.n_part AS conf_ppm,
+         |  pair_n * n_orders * 1000000 // (a.n_part * c.n_part)
+         |    AS lift_ppm
+         |FROM pairs
+         |  JOIN pp a ON ante = a.pk
+         |  JOIN pp c ON cons = c.pk
+         |  CROSS JOIN n
+         |ORDER BY lift_ppm DESC, conf_ppm DESC, ante, cons
+         |LIMIT 25""".stripMargin,
+    "q208_decile_lift" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |scored AS (
+        |  SELECT c_custkey, COALESCE(cents, 0) AS cents,
+        |    ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile
+        |  FROM customer LEFT JOIN rev ON c_custkey = o_custkey),
+        |dec AS (
+        |  SELECT decile, COUNT(*) AS n_customers,
+        |    CAST(SUM(cents) AS BIGINT) AS decile_cents
+        |  FROM scored GROUP BY decile),
+        |cum AS (
+        |  SELECT decile, n_customers, decile_cents,
+        |    SUM(decile_cents) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_cents
+        |  FROM dec),
+        |tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents
+        |  FROM scored)
+        |SELECT decile, n_customers, decile_cents,
+        |  CAST(cum_cents * 1000000 // total_cents AS BIGINT)
+        |    AS cum_gain_ppm,
+        |  CAST(cum_cents * 10 * 1000000 // (total_cents * decile)
+        |    AS BIGINT) AS lift_ppm
+        |FROM cum CROSS JOIN tot ORDER BY decile""".stripMargin,
     "q196_time_to_convert" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, value,

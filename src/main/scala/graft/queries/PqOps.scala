@@ -180,11 +180,49 @@ object PqOps {
       .agg(count(lit(1)).as("n_vecs"))
   }
 
+  /** q207: signed cosine² between label centroids in ppm — the
+    * class-separation readout of an embedding space (are the label
+    * clusters angularly distinct?). Centroids stay UNNORMALIZED
+    * component sums (cosine is scale-invariant, so dividing by counts
+    * would only add a rounding step); cos² carried as the exact
+    * rational dot²·10⁶ div (‖a‖²·‖b‖²) with the sign of the dot —
+    * sqrt never happens, everything stays integral (component sums ≤
+    * 10⁶·n_vecs, so dot² ≤ ~10²⁷ ≪ the DECIMAL(38)/HUGEINT range).
+    *
+    * Scale: one posexplode scan → per-(label, j) sums (map-side
+    * combinable, labels×dims rows out); everything after runs on the
+    * labels×dims frame — the label-pair join is K²·dims at worst. */
+  def centroidSim(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d)
+      .select(col("label").cast("long").as("label"),
+        posexplode(expr("transform(embedding, " +
+          "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")))
+      .select(col("label"), (col("pos") + 1).as("j"), col("col").as("m"))
+    val cen = q.groupBy(col("label"), col("j")).agg(sum(col("m")).as("cs"))
+    val norms = cen.groupBy(col("label"))
+      .agg(sum(expr("CAST(cs AS DECIMAL(38,0)) * cs")).as("nn"))
+    val dots = cen.as("a").join(cen.as("b"),
+        col("a.j") === col("b.j") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(sum(expr("CAST(a.cs AS DECIMAL(38,0)) * b.cs")).as("dot"))
+    dots
+      .join(norms.select(col("label").as("label_a"), col("nn").as("na")),
+        "label_a")
+      .join(norms.select(col("label").as("label_b"), col("nn").as("nb")),
+        "label_b")
+      .select(col("label_a"), col("label_b"),
+        expr("CAST((CASE WHEN dot < 0 THEN -1 ELSE 1 END)" +
+          " * dot * dot * 1000000 div (na * nb) AS BIGINT)")
+          .as("cos2_signed_ppm"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_pq_encode" -> pqEncode,
     "q171_pq_adc" -> pqAdcSearch,
     "q172_pq_train" -> pqTrain,
-    "q177_nearest_centroid" -> nearestCentroid)
+    "q177_nearest_centroid" -> nearestCentroid,
+    "q207_centroid_sim" -> centroidSim)
 
   private val subCte =
     s"""sv AS (
@@ -212,6 +250,30 @@ object PqOps {
        |  WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q207_centroid_sim" ->
+      s"""WITH qv AS (
+         |  SELECT CAST(label AS BIGINT) AS label,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |jd AS (SELECT unnest(range(1, ${M * Sub + 1})) AS j),
+         |cen AS (
+         |  SELECT label, j, CAST(SUM(qv[j]) AS BIGINT) AS cs
+         |  FROM qv CROSS JOIN jd GROUP BY label, j),
+         |norms AS (
+         |  SELECT label, SUM(CAST(cs AS HUGEINT) * cs) AS nn
+         |  FROM cen GROUP BY label),
+         |dots AS (
+         |  SELECT a.label AS label_a, b.label AS label_b,
+         |    SUM(CAST(a.cs AS HUGEINT) * b.cs) AS dot
+         |  FROM cen a JOIN cen b ON a.j = b.j AND a.label < b.label
+         |  GROUP BY 1, 2)
+         |SELECT label_a, label_b,
+         |  CAST((CASE WHEN dot < 0 THEN -1 ELSE 1 END) * dot * dot
+         |    * 1000000 // (na.nn * nb.nn) AS BIGINT) AS cos2_signed_ppm
+         |FROM dots JOIN norms na ON label_a = na.label
+         |  JOIN norms nb ON label_b = nb.label
+         |ORDER BY label_a, label_b""".stripMargin,
     "q177_nearest_centroid" ->
       s"""WITH qv AS (
          |  SELECT vec_id, CAST(label AS BIGINT) AS label,

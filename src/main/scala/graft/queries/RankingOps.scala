@@ -146,13 +146,57 @@ object RankingOps {
       .agg(count(lit(1)).as("docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("ws_tokens"))
 
+  /** q212: Zipf power-law audit via DYADIC frequency buckets — the
+    * engine-exact statement of the usual log-log fit: bucket
+    * b = ⌊log₂ f⌋ computed as a range join against the broadcast
+    * 40-row powers-of-two frame (no transcendental log anywhere), per-
+    * bucket distinct-word and occurrence counts, and the bucket-to-
+    * bucket decay ratio in ppm (a Zipf corpus halves n_words roughly
+    * per dyadic bucket; a bot-inflated one doesn't — this is the drift
+    * alarm for vocabulary statistics).
+    *
+    * Scale: one map-side word-frequency aggregate over the corpus;
+    * the bucket join is vocabulary × 40 broadcast rows; the window
+    * runs on the ≤40-row bucket frame. */
+  def zipfDyadic(s: SparkSession, d: String): DataFrame = {
+    val freq = TextOps.words(s, d)
+      .groupBy("word").agg(count(lit(1)).as("f"))
+    val pows = s.range(0, 40).select(col("id").as("bucket"),
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").as("lo"))
+    freq.join(broadcast(pows),
+        col("f") >= col("lo") && col("f") < col("lo") * 2)
+      .groupBy("bucket", "lo")
+      .agg(count(lit(1)).as("n_words"), sum(col("f")).as("occurrences"))
+      .withColumn("decay_ppm",
+        expr("n_words * 1000000 div lag(n_words)" +
+          " OVER (ORDER BY bucket)"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_tfidf_topk" -> tfidfTopTerms,
     "q113_dup_ngram_stats" -> dupNgramStats,
     "q115_train_val_split" -> trainValSplit,
-    "q133_span_dedup" -> spanDedup)
+    "q133_span_dedup" -> spanDedup,
+    "q212_zipf_dyadic" -> zipfDyadic)
 
   val oracle: Map[String, String] = Map(
+    "q212_zipf_dyadic" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |freq AS (SELECT word, COUNT(*) AS f FROM w GROUP BY word),
+        |pows AS (SELECT b AS bucket, (1::BIGINT << b) AS lo
+        |  FROM (SELECT unnest(range(0, 40)) AS b)),
+        |bk AS (
+        |  SELECT bucket, lo, COUNT(*) AS n_words,
+        |    CAST(SUM(f) AS BIGINT) AS occurrences
+        |  FROM freq JOIN pows ON f >= lo AND f < lo * 2
+        |  GROUP BY bucket, lo)
+        |SELECT bucket, lo, n_words, occurrences,
+        |  CAST(n_words * 1000000 // lag(n_words) OVER (ORDER BY bucket)
+        |    AS BIGINT) AS decay_ppm
+        |FROM bk ORDER BY bucket""".stripMargin,
     "q112_tfidf_topk" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word

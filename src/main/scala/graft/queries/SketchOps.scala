@@ -146,10 +146,50 @@ object SketchOps {
         expr("abs(ht_est_chars - total_chars) * 1000000 div total_chars"))
   }
 
+  // ---- q202 fixed-size priority sampling ------------------------------
+
+  private val PriK = 64
+
+  /** q202: priority sampling (Duffield–Lund–Thorup 2007) — the FIXED
+    * sample-size sibling of q195's threshold sampling: priority
+    * q_i = w_i·H div h_i (h_i the salted uniform hash in [1, H], so
+    * q_i = w_i/u_i in weight units), keep the k largest priorities,
+    * threshold τ = the (k+1)-th, and estimate the weight total as
+    * Σ_sample max(w_i, τ) — unbiased for any weight distribution.
+    * Everything integral: priorities, τ, and the estimator never leave
+    * BIGINT (w·H ≤ 10⁴·2³¹ ≪ 2⁶³).
+    *
+    * Scale: the only corpus-scan output is the top-(k+1) by priority —
+    * a TakeOrdered (map-side partial top-k per partition, never a
+    * global sort); the estimator then aggregates k rows. The same
+    * affine-degeneracy rule as q195 applies to the hash choice. */
+  def prioritySample(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GramOps.register(s)
+    val pri = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("h",
+        expr("element_at(gram_hashes(concat(CAST(doc_id AS STRING)," +
+          s" ':pri'), 1), 1) % $H + 1"))
+      .withColumn("priority", expr(s"n_chars * $H div h"))
+    val top = pri.orderBy(col("priority").desc, col("doc_id"))
+      .limit(PriK + 1)
+    val tau = top.orderBy(col("priority"), col("doc_id").desc).limit(1)
+      .select(col("priority").as("tau"))
+    val tot = pri.agg(sum(col("n_chars")).as("true_total"))
+    top.orderBy(col("priority").desc, col("doc_id")).limit(PriK)
+      .crossJoin(broadcast(tau)).crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("k"), max(col("tau")).as("tau"),
+        sum(greatest(col("n_chars"), col("tau"))).as("est_total"),
+        max(col("true_total")).as("true_total"))
+      .withColumn("err_ppm",
+        expr("abs(est_total - true_total) * 1000000 div true_total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q191_kmv_sketch" -> kmvSketch,
     "q192_kmv_set_ops" -> kmvSetOps,
-    "q195_pps_sample" -> ppsSample)
+    "q195_pps_sample" -> ppsSample,
+    "q202_priority_sample" -> prioritySample)
 
   /** Distinct 4-gram hashes per source (the q141 gram-string device —
     * hashes evaluated once per DISTINCT gram), then bottom-K via
@@ -177,6 +217,29 @@ object SketchOps {
        |    FROM hs) WHERE rn <= $K)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q202_priority_sample" ->
+      s"""WITH pri AS (
+         |  SELECT doc_id, n_chars,
+         |    n_chars * $H
+         |      // ((${OracleHash.polySql(
+                  "(CAST(doc_id AS VARCHAR) || ':pri')")}) % $H + 1)
+         |      AS priority
+         |  FROM documents),
+         |rk AS (
+         |  SELECT doc_id, n_chars, priority,
+         |    row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
+         |  FROM (SELECT * FROM pri
+         |        ORDER BY priority DESC, doc_id LIMIT ${PriK + 1})),
+         |tau AS (SELECT priority AS tau FROM rk WHERE rn = ${PriK + 1}),
+         |tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS true_total
+         |  FROM pri)
+         |SELECT COUNT(*) AS k, MAX(tau) AS tau,
+         |  CAST(SUM(GREATEST(n_chars, tau)) AS BIGINT) AS est_total,
+         |  MAX(true_total) AS true_total,
+         |  abs(CAST(SUM(GREATEST(n_chars, tau)) AS BIGINT)
+         |    - MAX(true_total)) * 1000000 // MAX(true_total) AS err_ppm
+         |FROM rk CROSS JOIN tau CROSS JOIN tot
+         |WHERE rn <= $PriK""".stripMargin,
     "q195_pps_sample" ->
       s"""WITH w AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS tot_w
          |  FROM documents),

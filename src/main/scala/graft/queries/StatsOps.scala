@@ -1,0 +1,235 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical monitoring operators, all in exact integer arithmetic so
+  * both engines agree bit-for-bit:
+  *
+  *  - q203: CUSUM changepoint detection over the daily revenue series —
+  *    cumulative sums of mean-deviations located at their maximum
+  *    absolute excursion (Page 1954). Deviations are kept integral by
+  *    scaling with the day count (dev_d = s_d·D − T) instead of
+  *    subtracting a fractional mean.
+  *  - q204: day-of-week seasonality indices — per-dow mean daily revenue
+  *    vs the overall mean, as the cross-multiplied integer ratio
+  *    sum_dow·D_total·10⁶ div (days_dow·T_total). The weekday is derived
+  *    from the epoch day ((days+4) mod 7, 0=Sunday; 1970-01-01 was a
+  *    Thursday) — pure integer arithmetic, immune to the engines'
+  *    different dayofweek() origins.
+  *  - q209: robust outlier census per market segment — exact lower
+  *    median and MAD (median absolute deviation) from per-segment
+  *    value-frequency frames, then |x−med| > 3·MAD flags. The classic
+  *    Hampel identifier, stated without any floating quantile.
+  *
+  * Ref: the reference's trade-stats dashboards chart daily GMV
+  * (`PublisherController` date-series endpoints); these add the
+  * monitoring math a pipeline runs on those series.
+  *
+  * Scale (100 TB): every query reduces the fact scan to one map-side-
+  * combinable aggregate (per day / per (segment, value)); all windows
+  * that follow run on the bounded reduced frame (days, dow, or the
+  * per-segment value domain — customer-dim-scale at worst, the q199
+  * precedent), never on the fact table.
+  */
+object StatsOps {
+
+  private def dailyCents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("s"))
+
+  /** q203: one row — the CUSUM changepoint of the daily value series. */
+  def cusumChangepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = dailyCents(s, d)
+    val tot = daily.agg(count(lit(1)).as("dcnt"), sum(col("s")).as("t"))
+    val cum = daily.crossJoin(broadcast(tot))
+      .withColumn("dev", expr("s * dcnt - t"))
+      .withColumn("cum", sum(col("dev")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val mx = cum.agg(max(abs(col("cum"))).as("mxabs"))
+    cum.crossJoin(broadcast(mx))
+      .filter(abs(col("cum")) === col("mxabs"))
+      .agg(max(col("dcnt")).as("n_days"),
+        max(col("t")).as("total_cents"),
+        min(col("day")).as("cp_day"),
+        max(expr("mxabs * 1000000 div (dcnt * abs(t))")).as("cusum_ppm"))
+  }
+
+  /** q204: per-dow seasonality index in ppm of the overall daily mean. */
+  def dowSeasonality(s: SparkSession, d: String): DataFrame = {
+    val daily = dailyCents(s, d)
+      .withColumn("dow", expr("(day + 4) % 7"))
+    val tot = daily.agg(count(lit(1)).as("d_total"), sum(col("s")).as("t"))
+    daily.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("s")).as("dow_cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_days"), col("dow_cents"),
+        expr("dow_cents * d_total * 1000000 div (n_days * t)")
+          .as("index_ppm"))
+      .orderBy(col("dow"))
+  }
+
+  /** q209: per-segment exact median / MAD / Hampel outlier census over
+    * customer balances in cents. */
+  def madOutliers(s: SparkSession, d: String): DataFrame = {
+    val cts = Tables.customer(s, d)
+      .select(col("c_mktsegment").as("seg"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("x"))
+    val n = cts.groupBy(col("seg")).agg(count(lit(1)).as("n"))
+    def lowerMedian(values: DataFrame, vcol: String): DataFrame =
+      values.groupBy(col("seg"), col(vcol)).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("seg")).orderBy(col(vcol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(n), "seg")
+        .filter(col("cum") >= expr("(n + 1) div 2"))
+        .groupBy(col("seg")).agg(min(col(vcol)).as(s"med_$vcol"))
+    val med = lowerMedian(cts, "x")
+    val dev = cts.join(broadcast(med), "seg")
+      .withColumn("adev", abs(col("x") - col("med_x")))
+    val mad = lowerMedian(dev, "adev")
+    dev.join(broadcast(mad), "seg")
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_customers"),
+        max(col("med_x")).as("median_cents"),
+        max(col("med_adev")).as("mad_cents"),
+        sum(when(col("adev") > lit(3) * col("med_adev"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy(col("seg"))
+  }
+
+  /** q213: traffic burstiness per event type — the squared coefficient
+    * of variation of per-user inter-arrival times, as the exact
+    * rational CV² = (n·Σg² − (Σg)²)/(Σg)² in ppm (CV² ≈ 1 ⇒ Poisson
+    * arrivals; ≫ 1 ⇒ bursty/bot traffic). Gaps are truncated to whole
+    * seconds so every power stays far inside DECIMAL(38)/HUGEINT.
+    *
+    * Scale: the lag window partitions by (user, type) — per-user state
+    * only, never a global ordering; everything after is one map-side
+    * aggregate per type. */
+  def burstiness(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("tsu"))
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("tsu"), col("event_id"))
+    val gaps = ev.withColumn("prev", lag(col("tsu"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), expr("(tsu - prev) div 1000000").as("g"))
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("g")).as("sum_s"),
+        sum(expr("CAST(g AS DECIMAL(38,0)) * g")).as("sum_s2"))
+      .select(col("event_type"), col("n_gaps"),
+        expr("sum_s div n_gaps").as("mean_gap_s"),
+        expr("CAST((n_gaps * sum_s2 - CAST(sum_s AS DECIMAL(38,0))" +
+          " * sum_s) * 1000000 div (CAST(sum_s AS DECIMAL(38,0))" +
+          " * sum_s) AS BIGINT)").as("cv2_ppm"))
+      .orderBy("event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_cusum_changepoint" -> cusumChangepoint,
+    "q204_dow_seasonality" -> dowSeasonality,
+    "q209_mad_outliers" -> madOutliers,
+    "q213_burstiness" -> burstiness)
+
+  private val dailyCte =
+    """daily AS (
+      |  SELECT epoch_us(date_trunc('microseconds', ts)) // 86400000000
+      |      AS day,
+      |    SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS s
+      |  FROM events GROUP BY 1)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q203_cusum_changepoint" ->
+      s"""WITH $dailyCte,
+         |tot AS (SELECT COUNT(*) AS dcnt, CAST(SUM(s) AS BIGINT) AS t
+         |  FROM daily),
+         |cum AS (
+         |  SELECT day, dcnt, t,
+         |    SUM(s * dcnt - t) OVER (ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM daily CROSS JOIN tot),
+         |mx AS (SELECT MAX(abs(cum)) AS mxabs FROM cum)
+         |SELECT MAX(dcnt) AS n_days, MAX(t) AS total_cents,
+         |  MIN(day) AS cp_day,
+         |  CAST(MAX(mxabs * 1000000 // (dcnt * abs(t))) AS BIGINT)
+         |    AS cusum_ppm
+         |FROM cum CROSS JOIN mx WHERE abs(cum) = mxabs""".stripMargin,
+    "q204_dow_seasonality" ->
+      s"""WITH $dailyCte,
+         |tot AS (SELECT COUNT(*) AS d_total, CAST(SUM(s) AS BIGINT) AS t
+         |  FROM daily)
+         |SELECT (day + 4) % 7 AS dow, COUNT(*) AS n_days,
+         |  CAST(SUM(s) AS BIGINT) AS dow_cents,
+         |  CAST(SUM(s) AS BIGINT) * MAX(d_total) * 1000000
+         |    // (COUNT(*) * MAX(t)) AS index_ppm
+         |FROM daily CROSS JOIN tot
+         |GROUP BY 1 ORDER BY dow""".stripMargin,
+    "q213_burstiness" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, event_id,
+        |    epoch_us(date_trunc('microseconds', ts)) AS tsu
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    (tsu - lag(tsu) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY tsu, event_id)) // 1000000 AS g
+        |  FROM ev),
+        |gg AS (SELECT event_type, g FROM g WHERE g IS NOT NULL),
+        |agg AS (
+        |  SELECT event_type, COUNT(*) AS n_gaps,
+        |    CAST(SUM(g) AS BIGINT) AS sum_s,
+        |    SUM(CAST(g AS HUGEINT) * g) AS sum_s2
+        |  FROM gg GROUP BY event_type)
+        |SELECT event_type, n_gaps,
+        |  CAST(sum_s // n_gaps AS BIGINT) AS mean_gap_s,
+        |  CAST((n_gaps * sum_s2 - CAST(sum_s AS HUGEINT) * sum_s)
+        |    * 1000000 // (CAST(sum_s AS HUGEINT) * sum_s) AS BIGINT)
+        |    AS cv2_ppm
+        |FROM agg ORDER BY event_type""".stripMargin,
+    "q209_mad_outliers" ->
+      """WITH cts AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+        |  FROM customer),
+        |n AS (SELECT seg, COUNT(*) AS n FROM cts GROUP BY seg),
+        |vc AS (
+        |  SELECT seg, x, COUNT(*) AS c FROM cts GROUP BY seg, x),
+        |cum AS (
+        |  SELECT seg, x, SUM(c) OVER (PARTITION BY seg ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM vc),
+        |med AS (
+        |  SELECT cum.seg, MIN(x) AS med_x
+        |  FROM cum JOIN n ON cum.seg = n.seg
+        |  WHERE cum >= (n + 1) // 2 GROUP BY cum.seg),
+        |dev AS (
+        |  SELECT cts.seg, x, abs(x - med_x) AS adev, med_x
+        |  FROM cts JOIN med ON cts.seg = med.seg),
+        |vc2 AS (
+        |  SELECT seg, adev, COUNT(*) AS c FROM dev GROUP BY seg, adev),
+        |cum2 AS (
+        |  SELECT seg, adev, SUM(c) OVER (PARTITION BY seg ORDER BY adev
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM vc2),
+        |mad AS (
+        |  SELECT cum2.seg, MIN(adev) AS med_adev
+        |  FROM cum2 JOIN n ON cum2.seg = n.seg
+        |  WHERE cum >= (n + 1) // 2 GROUP BY cum2.seg)
+        |SELECT dev.seg, COUNT(*) AS n_customers,
+        |  MAX(med_x) AS median_cents,
+        |  MAX(med_adev) AS mad_cents,
+        |  CAST(SUM(CASE WHEN adev > 3 * med_adev THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad ON dev.seg = mad.seg
+        |GROUP BY dev.seg ORDER BY dev.seg""".stripMargin)
+}

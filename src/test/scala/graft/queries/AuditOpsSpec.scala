@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q205/q206/q210 re-derivations against literal driver-side scans. */
+class AuditOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q205 ≡ driver set-difference orphan census per edge") {
+    def keys(t: String, c: String): Seq[Long] =
+      spark.read.parquet(s"$sf/$t.parquet").select(c).collect()
+        .map(r => r.get(0) match {
+          case l: java.lang.Long => l.longValue
+          case i: java.lang.Integer => i.longValue
+        }).toSeq
+    val edges = Seq(
+      ("lineitem.l_orderkey->orders", keys("lineitem", "l_orderkey"),
+        keys("orders", "o_orderkey")),
+      ("orders.o_custkey->customer", keys("orders", "o_custkey"),
+        keys("customer", "c_custkey")),
+      ("nation.n_regionkey->region", keys("nation", "n_regionkey"),
+        keys("region", "r_regionkey")))
+    val got = AuditOps.fkIntegrity(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.size == 6)
+    edges.foreach { case (name, child, parent) =>
+      val ps = parent.toSet
+      val orphans = child.filterNot(ps)
+      assert(got(name) ==
+        ((child.length.toLong, orphans.length.toLong,
+          orphans.distinct.length.toLong)), name)
+    }
+  }
+
+  test("q206 ≡ driver tie-sharing rank percentiles; source means bounded") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = docs.length.toLong
+    val freq = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val below = freq.keys
+      .map(v => (v, freq.filter(_._1 < v).values.sum)).toMap
+    val exp = docs.groupBy(_._1).map { case (src, ds) =>
+      val prs = ds.map(d => below(d._2) * 1000000L / (n - 1))
+      (src, (ds.length.toLong, prs.sum / ds.length,
+        prs.min, prs.max))
+    }
+    val got = AuditOps.quantileNormalize(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == exp)
+  }
+
+  test("q210 quotas sum EXACTLY to the budget and stay within ±1 of " +
+    "proportional") {
+    val rows = AuditOps.sampleAllocation(spark, sf).collect()
+    val total = rows.map(_.getLong(2)).sum
+    assert(rows.map(_.getLong(3)).sum == 10000L)
+    rows.foreach { r =>
+      val floorQ = 10000L * r.getLong(2) / total
+      assert(r.getLong(3) == floorQ || r.getLong(3) == floorQ + 1)
+    }
+  }
+}

@@ -68,4 +68,89 @@ class BusinessOpsSpec extends AnyFunSuite {
     assert(r.getLong(2) == gini)
     assert(gini >= 0 && gini < 1000000)
   }
+
+  test("q200 ≡ driver NTILE quintiles with the same tie-breaks") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val os = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey",
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS odu",
+        "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        JBD.valueOf(r.getDouble(2)).setScale(2, RoundingMode.HALF_UP)
+          .movePointRight(2).longValueExact))
+    val maxd = os.map(_._2).max
+    val pc = os.groupBy(_._1).map { case (k, rs) =>
+      (k, (maxd - rs.map(_._2).max) / 86400000000L,
+        rs.length.toLong, rs.map(_._3).sum)
+    }.toSeq
+    def ntile5[A](xs: Seq[(Long, A)]): Map[Long, Int] = {
+      // xs already ordered; NTILE(5): first (n mod 5) buckets get +1
+      val n = xs.length
+      val base = n / 5; val extra = n % 5
+      xs.zipWithIndex.map { case ((k, _), i) =>
+        var acc = 0; var b = 0
+        while (acc + base + (if (b < extra) 1 else 0) <= i) {
+          acc += base + (if (b < extra) 1 else 0); b += 1
+        }
+        (k, b + 1)
+      }.toMap
+    }
+    val r = ntile5(pc.sortBy { case (k, rec, _, _) => (-rec, k) }
+      .map(t => (t._1, ())))
+    val f = ntile5(pc.sortBy { case (k, _, fr, _) => (fr, k) }
+      .map(t => (t._1, ())))
+    val m = ntile5(pc.sortBy { case (k, _, _, c) => (c, k) }
+      .map(t => (t._1, ())))
+    val exp = pc.groupBy { case (k, _, _, _) =>
+      r(k) * 100 + f(k) * 10 + m(k)
+    }.map { case (seg, cs) =>
+      (seg.toLong, (cs.length.toLong, cs.map(_._4).sum))
+    }
+    val got = BusinessOps.rfmSegments(spark, sf).collect()
+      .map(row => row.getInt(0).toLong ->
+        (row.getLong(1), row.getLong(2))).toMap
+    assert(got == exp)
+  }
+
+  test("q201 lift/confidence re-derived for every returned rule") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val nOrders = li.map(_._1).distinct.length.toLong
+    val nPart = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairN = li.groupBy(_._1).values.flatMap { rs =>
+      val ps = rs.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = BusinessOps.assocRules(spark, sf).collect()
+    assert(got.length == 25)
+    got.foreach { r =>
+      val (a, c, pn) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(pairN((a, c)) == pn && pn >= 3)
+      assert(r.getLong(3) == pn * 1000000L / nPart(a))
+      assert(r.getLong(4) == pn * nOrders * 1000000L / (nPart(a) * nPart(c)))
+    }
+    // descending lift with the declared tie-breaks
+    val keys = got.map(r => (-r.getLong(4), -r.getLong(3),
+      r.getLong(0), r.getLong(1))).toSeq
+    assert(keys == keys.sorted)
+  }
+
+  test("q208 gains table: partition, cumulative closure, final gain = 1e6") {
+    val rows = BusinessOps.decileLift(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == nCust)
+    val gains = rows.map(_.getLong(3))
+    assert(gains.zip(gains.tail).forall { case (a, b) => a <= b })
+    assert(gains.last == 1000000L)
+    val totalCents = rows.map(_.getLong(2)).sum
+    var cum = 0L
+    rows.foreach { r =>
+      cum += r.getLong(2)
+      assert(r.getLong(3) == BigInt(cum) * 1000000 / totalCents)
+      assert(r.getLong(4) ==
+        (BigInt(cum) * 10 * 1000000 / (BigInt(totalCents) * r.getInt(0))))
+    }
+  }
 }

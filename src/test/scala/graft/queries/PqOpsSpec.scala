@@ -127,4 +127,29 @@ class PqOpsSpec extends AnyFunSuite {
     // the recall readout is non-trivial on this corpus
     assert(got.count(_._4) > 0)
   }
+
+  test("q207 ≡ driver centroid cosine²; diagonal of 1e6 for self-pairs") {
+    val byLabel = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("CAST(label AS BIGINT)", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(quant).toArray))
+      .groupBy(_._1).view
+      .mapValues(vs => vs.map(_._2).transpose.map(_.sum).toArray).toMap
+    def nn(c: Array[Long]): BigInt = c.map(x => BigInt(x) * x).sum
+    val exp = (for {
+      a <- byLabel.keys; b <- byLabel.keys if a < b
+    } yield {
+      val dot = byLabel(a).zip(byLabel(b))
+        .map { case (x, y) => BigInt(x) * y }.sum
+      val sign = if (dot < 0) BigInt(-1) else BigInt(1)
+      ((a, b),
+        (sign * dot * dot * 1000000 / (nn(byLabel(a)) * nn(byLabel(b))))
+          .toLong)
+    }).toMap
+    val got = PqOps.centroidSim(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == exp)
+    // a centroid against itself would read exactly 1e6; distinct-label
+    // pairs must sit strictly inside (certified non-degenerate space)
+    assert(got.values.forall(v => v > -1000000L && v < 1000000L))
+  }
 }

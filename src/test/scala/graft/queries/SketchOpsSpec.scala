@@ -104,4 +104,27 @@ class SketchOpsSpec extends AnyFunSuite {
       assert((uEst - trueU).abs.toDouble / trueU < 3.0 / math.sqrt(K - 2.0))
     }
   }
+
+  test("q202 ≡ first-principles priority sample; estimate near the truth") {
+    val H = 2147483647L
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pri = docs.map { case (id, w) =>
+      (id, w, w * H / (poly(s"$id:pri") % H + 1))
+    }.sortBy { case (id, _, p) => (-p, id) }
+    val top = pri.take(64)
+    val tau = pri(64)._3
+    val est = top.map { case (_, w, _) => math.max(w, tau) }.sum
+    val truth = docs.map(_._2).sum
+    val r = graft.queries.SketchOps.prioritySample(spark, sf)
+      .collect().head
+    assert(r.getLong(0) == 64L)
+    assert(r.getLong(1) == tau)
+    assert(r.getLong(2) == est)
+    assert(r.getLong(3) == truth)
+    assert(r.getLong(4) == math.abs(est - truth) * 1000000L / truth)
+    // k=64 priority sampling: relative error well inside 50%
+    assert(r.getLong(4) < 500000L)
+  }
 }
