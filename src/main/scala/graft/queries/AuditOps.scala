@@ -105,12 +105,71 @@ object AuditOps {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** q214: right-to-be-forgotten cascade census — given a deterministic
+    * deletion cohort (id % 100 = 0 stands in for the request list),
+    * count what a GDPR erasure sweep would touch per table, following
+    * the FK cascade customer → orders → lineitem plus the events
+    * stream by user id. Counts only — no row materialization; the
+    * same joins ARE the deletion predicate pushed to each table.
+    *
+    * Scale: the cohort tables are dim-scale broadcasts; the fact-side
+    * scans aggregate map-side. The order-key set for the lineitem hop
+    * is order-dim-scale (shuffle join, AQE-broadcastable). */
+  def forgetCascade(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .filter(col("c_custkey") % 100 === 0).select(col("c_custkey"))
+    val ords = Tables.orders(s, d)
+      .join(broadcast(cust.withColumnRenamed("c_custkey", "o_custkey")),
+        "o_custkey")
+    val ordKeys = ords.select(col("o_orderkey"))
+    val ev = Tables.events(s, d).filter(col("user_id") % 100 === 0)
+      .agg(count_distinct(col("user_id")).as("n_entities"),
+        count(lit(1)).as("n_rows"))
+      .select(lit("events").as("table_name"), col("n_entities"),
+        col("n_rows"))
+    val cu = cust.agg(count(lit(1)).as("n_entities"),
+        count(lit(1)).as("n_rows"))
+      .select(lit("customer").as("table_name"), col("n_entities"),
+        col("n_rows"))
+    val or = ords.agg(count_distinct(col("o_custkey")).as("n_entities"),
+        count(lit(1)).as("n_rows"))
+      .select(lit("orders").as("table_name"), col("n_entities"),
+        col("n_rows"))
+    val li = Tables.lineitem(s, d)
+      .join(ordKeys.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey")
+      .agg(count_distinct(col("l_orderkey")).as("n_entities"),
+        count(lit(1)).as("n_rows"))
+      .select(lit("lineitem").as("table_name"), col("n_entities"),
+        col("n_rows"))
+    ev.unionAll(cu).unionAll(or).unionAll(li).orderBy(col("table_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q205_fk_integrity" -> fkIntegrity,
     "q206_quantile_normalize" -> quantileNormalize,
-    "q210_sample_allocation" -> sampleAllocation)
+    "q210_sample_allocation" -> sampleAllocation,
+    "q214_forget_cascade" -> forgetCascade)
 
   val oracle: Map[String, String] = Map(
+    "q214_forget_cascade" ->
+      """WITH cust AS (
+        |  SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0),
+        |ords AS (
+        |  SELECT o_orderkey, o_custkey FROM orders
+        |  JOIN cust ON o_custkey = c_custkey)
+        |SELECT * FROM (
+        |  SELECT 'events' AS table_name,
+        |    COUNT(DISTINCT user_id) AS n_entities, COUNT(*) AS n_rows
+        |  FROM events WHERE user_id % 100 = 0
+        |  UNION ALL
+        |  SELECT 'customer', COUNT(*), COUNT(*) FROM cust
+        |  UNION ALL
+        |  SELECT 'orders', COUNT(DISTINCT o_custkey), COUNT(*) FROM ords
+        |  UNION ALL
+        |  SELECT 'lineitem', COUNT(DISTINCT l_orderkey), COUNT(*)
+        |  FROM lineitem JOIN ords ON l_orderkey = o_orderkey)
+        |ORDER BY table_name""".stripMargin,
     "q205_fk_integrity" ->
       """SELECT * FROM (
         |  SELECT 'lineitem.l_orderkey->orders' AS fk_edge,

@@ -140,11 +140,105 @@ object PackingOps {
         sum(col("toks")).as("admitted_tokens"))
   }
 
+  // ---- q215 water-filling source caps ----
+
+  private val FillBudgetPermille = 500L  // target = half the corpus tokens
+
+  /** q215: water-filling source caps — the balanced-mixture primitive:
+    * find the uniform per-source cap c with Σ min(tok_i, c) = B (here
+    * B = ½ the corpus tokens), exactly, in integers. Sources sorted by
+    * token count ascending on the STRATA frame; the unique boundary j
+    * (last uncapped source) satisfies tok_j ≤ c_j < tok_{j+1} with
+    * c_j = (B − cum_j) div (S − j); the division remainder goes +1 to
+    * the first r capped sources in source order (they can absorb it:
+    * capped ⇒ tok > c ⇒ tok ≥ c+1), so quotas sum to B BY
+    * CONSTRUCTION — the same exactness theorem as q210's Hamilton
+    * apportionment, for the capped (not proportional) allocation.
+    *
+    * Scale: one map-side per-source token aggregate over the corpus;
+    * every window after runs on the |sources| strata frame. */
+  def waterFill(s: SparkSession, d: String): DataFrame = {
+    val strata = Tables.documents(s, d)
+      .groupBy(col("source")).agg(sum(wsTokens).as("tok"))
+    val tot = strata.agg(sum(col("tok")).as("total"),
+      count(lit(1)).as("n_src"))
+    val ordered = strata.crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"total * $FillBudgetPermille div 1000"))
+      .withColumn("j", row_number().over(
+        Window.orderBy(col("tok"), col("source"))))
+      .withColumn("cum", sum(col("tok")).over(
+        Window.orderBy(col("tok"), col("source"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_tok", lag(col("tok"), 1).over(
+        Window.orderBy(col("tok"), col("source"))))
+    // the boundary: row j is the FIRST CAPPED source (k = j−1 uncapped
+    // before it, cum_k = cum − tok). B < total guarantees existence;
+    // the k = 0 all-capped case (balanced sources!) is j = 1.
+    val cRow = ordered
+      .withColumn("cj",
+        expr("(budget - (cum - tok)) div (n_src - j + 1)"))
+      .filter(col("tok") > col("cj") &&
+        (col("j") === 1 || col("prev_tok") <= col("cj")))
+      .select((col("j") - 1).as("jb"), col("cj").as("c"),
+        (col("cum") - col("tok")).as("cum_j"))
+    val withC = ordered.crossJoin(broadcast(cRow))
+      .withColumn("r",
+        expr("budget - cum_j - c * (n_src - jb)"))
+      .withColumn("capped", col("j") > col("jb"))
+      .withColumn("bonus_rk", row_number().over(
+        Window.orderBy(col("capped").desc, col("source"))))
+    withC.select(col("source"), col("tok").as("n_tokens"),
+        (when(col("capped"),
+          col("c") + when(col("bonus_rk") <= col("r"), 1L).otherwise(0L))
+          .otherwise(col("tok"))).as("quota"),
+        col("capped"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q127_sequence_packing" -> sequencePacking,
-    "q128_token_budget_mix" -> tokenBudgetMix)
+    "q128_token_budget_mix" -> tokenBudgetMix,
+    "q215_water_fill" -> waterFill)
 
   val oracle: Map[String, String] = Map(
+    "q215_water_fill" ->
+      s"""WITH strata AS (
+         |  SELECT source,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(SUM(tok) AS BIGINT) AS total,
+         |  COUNT(*) AS n_src FROM strata),
+         |ord AS (
+         |  SELECT source, tok, total, n_src,
+         |    total * $FillBudgetPermille // 1000 AS budget,
+         |    row_number() OVER (ORDER BY tok, source) AS j,
+         |    CAST(SUM(tok) OVER (ORDER BY tok, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum,
+         |    lag(tok) OVER (ORDER BY tok, source) AS prev_tok
+         |  FROM strata CROSS JOIN tot),
+         |crow AS (
+         |  SELECT j - 1 AS jb,
+         |    CAST((budget - (cum - tok)) // (n_src - j + 1) AS BIGINT)
+         |      AS c,
+         |    cum - tok AS cum_j
+         |  FROM ord
+         |  WHERE tok > (budget - (cum - tok)) // (n_src - j + 1)
+         |    AND (j = 1 OR
+         |      prev_tok <= (budget - (cum - tok)) // (n_src - j + 1))),
+         |wc AS (
+         |  SELECT source, tok, j, budget, n_src, jb, c,
+         |    budget - cum_j - c * (n_src - jb) AS r,
+         |    j > jb AS capped,
+         |    row_number() OVER (ORDER BY (j > jb) DESC, source)
+         |      AS bonus_rk
+         |  FROM ord CROSS JOIN crow)
+         |SELECT source, tok AS n_tokens,
+         |  CAST(CASE WHEN capped
+         |    THEN c + CASE WHEN bonus_rk <= r THEN 1 ELSE 0 END
+         |    ELSE tok END AS BIGINT) AS quota,
+         |  capped
+         |FROM wc ORDER BY source""".stripMargin,
     "q127_sequence_packing" ->
       s"""WITH t AS (
          |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,

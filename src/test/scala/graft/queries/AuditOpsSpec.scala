@@ -64,4 +64,29 @@ class AuditOpsSpec extends AnyFunSuite {
       assert(r.getLong(3) == floorQ || r.getLong(3) == floorQ + 1)
     }
   }
+
+  test("q214 ≡ driver cascade census over the deletion cohort") {
+    def col0(t: String, c: String) =
+      spark.read.parquet(s"$sf/$t.parquet").select(c).collect()
+    val custs = col0("customer", "c_custkey").map(_.getLong(0))
+      .filter(_ % 100 == 0).toSet
+    val orders = col0("orders", "o_custkey").map(_.getLong(0))
+    val ordersK = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(p => custs(p._2))
+    val ordKeys = ordersK.map(_._1).toSet
+    val li = col0("lineitem", "l_orderkey").map(_.getLong(0))
+      .filter(ordKeys)
+    val ev = col0("events", "user_id").map(_.getLong(0))
+      .filter(_ % 100 == 0)
+    val got = AuditOps.forgetCascade(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("customer") == ((custs.size.toLong, custs.size.toLong)))
+    assert(got("orders") ==
+      ((ordersK.map(_._2).distinct.length.toLong, ordersK.length.toLong)))
+    assert(got("lineitem") ==
+      ((li.distinct.length.toLong, li.length.toLong)))
+    assert(got("events") ==
+      ((ev.distinct.length.toLong, ev.length.toLong)))
+  }
 }

@@ -97,4 +97,26 @@ class MixRepresentativesSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((2L, 2L, 5L, 1000000L)),
       s"quality-aware selection keeps doc 5 (diversity 1.0), got ${got.toSeq}")
   }
+
+  test("q211 yield curve ≡ q110 clusters + token census (composition)") {
+    val sf = "/root/testdata/sf0.001"
+    val clusters = Advanced.minhashDedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val byCluster = clusters.groupBy(_._2).toSeq.map { case (rep, ms) =>
+      (ms.length.toLong, ms.map(m => toks(m._1)).sum
+        - ms.filter(_._3).map(m => toks(m._1)).sum)
+    }
+    val exp = byCluster.groupBy(_._1).map { case (sz, cs) =>
+      sz -> ((cs.length.toLong, (sz - 1) * cs.length, cs.map(_._2).sum))
+    }
+    val got = Advanced.clusterYield(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == exp)
+    // every cluster here is a real one (size >= 2)
+    assert(got.keys.forall(_ >= 2L))
+  }
 }

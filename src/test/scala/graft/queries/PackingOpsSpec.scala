@@ -72,4 +72,24 @@ class PackingOpsSpec extends AnyFunSuite {
       assert(toks - maxToks < 600L, s"${r.getString(0)}: overshoot > one doc")
     }
   }
+
+  test("q215 water-fill: quotas sum EXACTLY to the budget; level maximal") {
+    val rows = PackingOps.waterFill(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    val total = rows.map(_._2).sum
+    val budget = total * 500 / 1000
+    assert(rows.map(_._3).sum == budget)
+    rows.foreach { case (src, tok, quota, capped) =>
+      if (capped) assert(quota < tok)
+      else assert(quota == tok, s"$src uncapped must keep all tokens")
+    }
+    // the level is maximal: raising every capped quota by one overshoots
+    val cappedN = rows.count(_._4)
+    assert(cappedN > 0)
+    assert(rows.map(_._3).sum + cappedN > budget)
+    // quotas of capped sources differ by at most 1 (c or c+1)
+    val capQ = rows.filter(_._4).map(_._3)
+    assert(capQ.max - capQ.min <= 1)
+  }
 }

@@ -86,4 +86,21 @@ class RankingOpsSpec extends AnyFunSuite {
     assert(got(3L) == ((10L, 8L, "gamma delta")), "only the shared span removed")
     assert(got(4L) == ((2L, 0L, "tiny doc")), "short doc untouched")
   }
+
+  test("q212 ≡ driver dyadic bucket census; buckets partition the vocab") {
+    val freq = spark.read.parquet(s"$d/documents.parquet")
+      .selectExpr("explode(split(text, ' ')) AS word").collect()
+      .map(_.getString(0)).groupBy(identity).view.mapValues(_.length).toMap
+    val byBucket = freq.values.groupBy(f =>
+      63 - java.lang.Long.numberOfLeadingZeros(f.toLong))
+    val rows = RankingOps.zipfDyadic(spark, d).collect()
+    assert(rows.map(_.getLong(2)).sum == freq.size)
+    assert(rows.map(_.getLong(3)).sum == freq.values.map(_.toLong).sum)
+    rows.foreach { r =>
+      val b = r.getLong(0).toInt
+      assert(r.getLong(1) == (1L << b))
+      assert(r.getLong(2) == byBucket(b).size.toLong)
+      assert(r.getLong(3) == byBucket(b).map(_.toLong).sum)
+    }
+  }
 }

@@ -73,4 +73,26 @@ class StatsOpsSpec extends AnyFunSuite {
       assert(got(seg) == ((xs.length.toLong, med, mad, out.toLong)))
     }
   }
+
+  test("q213 ≡ driver BigInt CV² per event type") {
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "event_id",
+        "unix_micros(ts) AS tsu").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val gaps = ev.groupBy(e => (e._1, e._2)).values.flatMap { es =>
+      val s = es.sortBy(e => (e._4, e._3))
+      s.zip(s.tail).map { case (a, b) => (a._2, (b._4 - a._4) / 1000000L) }
+    }.toSeq.groupBy(_._1)
+    val got = StatsOps.burstiness(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == gaps.keySet)
+    gaps.foreach { case (t, gs) =>
+      val n = BigInt(gs.length)
+      val s1 = gs.map(g => BigInt(g._2)).sum
+      val s2 = gs.map(g => BigInt(g._2) * g._2).sum
+      assert(got(t) == ((gs.length.toLong, (s1 / n).toLong,
+        ((n * s2 - s1 * s1) * 1000000 / (s1 * s1)).toLong)), t)
+    }
+  }
 }
