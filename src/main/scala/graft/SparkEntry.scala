@@ -56,7 +56,8 @@ object SparkEntry {
       graft.queries.SketchOps.queries ++
       graft.queries.BusinessOps.queries ++
       graft.queries.StatsOps.queries ++
-      graft.queries.AuditOps.queries
+      graft.queries.AuditOps.queries ++
+      graft.queries.SqlSurface.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -102,5 +103,6 @@ object SparkEntry {
       graft.queries.SketchOps.oracle ++
       graft.queries.BusinessOps.oracle ++
       graft.queries.StatsOps.oracle ++
-      graft.queries.AuditOps.oracle
+      graft.queries.AuditOps.oracle ++
+      graft.queries.SqlSurface.oracle
 }
