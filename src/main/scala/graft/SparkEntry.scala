@@ -57,7 +57,8 @@ object SparkEntry {
       graft.queries.BusinessOps.queries ++
       graft.queries.StatsOps.queries ++
       graft.queries.AuditOps.queries ++
-      graft.queries.SqlSurface.queries
+      graft.queries.SqlSurface.queries ++
+      graft.queries.WarehouseOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -104,5 +105,6 @@ object SparkEntry {
       graft.queries.BusinessOps.oracle ++
       graft.queries.StatsOps.oracle ++
       graft.queries.AuditOps.oracle ++
-      graft.queries.SqlSurface.oracle
+      graft.queries.SqlSurface.oracle ++
+      graft.queries.WarehouseOps.oracle
 }
