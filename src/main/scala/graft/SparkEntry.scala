@@ -58,7 +58,8 @@ object SparkEntry {
       graft.queries.StatsOps.queries ++
       graft.queries.AuditOps.queries ++
       graft.queries.SqlSurface.queries ++
-      graft.queries.WarehouseOps.queries
+      graft.queries.WarehouseOps.queries ++
+      graft.queries.FeatureOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -106,5 +107,6 @@ object SparkEntry {
       graft.queries.StatsOps.oracle ++
       graft.queries.AuditOps.oracle ++
       graft.queries.SqlSurface.oracle ++
-      graft.queries.WarehouseOps.oracle
+      graft.queries.WarehouseOps.oracle ++
+      graft.queries.FeatureOps.oracle
 }

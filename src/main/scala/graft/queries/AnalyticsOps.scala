@@ -265,10 +265,57 @@ object AnalyticsOps {
         graft.Num.dsum(col("value")).as("revenue"))
   }
 
+  /** q223: LINEAR multi-touch attribution — each purchase's cents split
+    * EQUALLY (in exact integer cents) across every preceding same-user
+    * touch within 7 days: share = cents div n, and the `cents mod n`
+    * remainder goes +1 to the EARLIEST touches (deterministic by
+    * (ts, event_id)) — so credited cents sum to the purchase exactly,
+    * the q210/q215 conservation theorem in attribution form.
+    * Touchless purchases credit a 'direct' bucket whole. The
+    * multi-touch sibling of q194's last-touch.
+    *
+    * Scale: the purchase×touch pair join is per-user bounded by the
+    * 7-day window; both windows partition by purchase (per-purchase
+    * state only). */
+  def linearAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      col("event_id"), col("event_type"),
+      expr("unix_micros(ts)").as("tsu"),
+      expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        .as("cents"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        col("tsu").as("ptsu"), col("cents"))
+    val tch = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("tid"),
+        col("tsu").as("ttsu"), col("event_type").as("touch_type"))
+    val pairs = pur.join(tch, Seq("user_id"))
+      .filter(col("ttsu") < col("ptsu") &&
+        col("ttsu") >= col("ptsu") - lit(7L * 86400000000L))
+    val byP = Window.partitionBy(col("pid"))
+    val credited = pairs
+      .withColumn("n", count(lit(1)).over(byP))
+      .withColumn("rk", row_number().over(
+        byP.orderBy(col("ttsu"), col("tid"))))
+      .withColumn("credit", expr("cents div n") +
+        when(col("rk") <= expr("cents % n"), 1L).otherwise(0L))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("credit")).as("credited_cents"))
+    val direct = pur.join(
+        pairs.select(col("pid")).distinct(), Seq("pid"), "left_anti")
+      .agg(count(lit(1)).as("n_credits"),
+        coalesce(sum(col("cents")), lit(0L)).as("credited_cents"))
+      .select(lit("direct").as("touch_type"), col("n_credits"),
+        col("credited_cents"))
+    credited.unionByName(direct).orderBy(col("touch_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q185_event_paths" -> eventPaths,
     "q193_snm_dedup" -> snmDedup,
     "q194_attribution" -> attribution,
+    "q223_linear_attribution" -> linearAttribution,
     "q186_cms_cells" -> cmsCells,
     "q187_cms_estimate" -> cmsEstimate,
     "q188_ab_test" -> abTest,
@@ -376,6 +423,41 @@ object AnalyticsOps {
         |FROM pairs
         |WHERE name_b IS NOT NULL AND levenshtein(name_a, name_b) <= 2"""
         .stripMargin,
+    "q223_linear_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(date_trunc('microseconds', ts)) AS tsu,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |pur AS (
+        |  SELECT user_id, event_id AS pid, tsu AS ptsu, cents
+        |  FROM ev WHERE event_type = 'purchase'),
+        |tch AS (
+        |  SELECT user_id, event_id AS tid, tsu AS ttsu,
+        |    event_type AS touch_type
+        |  FROM ev WHERE event_type <> 'purchase'),
+        |pairs AS (
+        |  SELECT pid, cents, tid, ttsu, touch_type
+        |  FROM pur JOIN tch USING (user_id)
+        |  WHERE ttsu < ptsu AND ttsu >= ptsu - 7 * 86400000000),
+        |ranked AS (
+        |  SELECT touch_type, cents,
+        |    COUNT(*) OVER (PARTITION BY pid) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY ttsu, tid)
+        |      AS rk
+        |  FROM pairs),
+        |credited AS (
+        |  SELECT touch_type, COUNT(*) AS n_credits,
+        |    CAST(SUM(cents // n
+        |      + CASE WHEN rk <= cents % n THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS credited_cents
+        |  FROM ranked GROUP BY touch_type),
+        |direct AS (
+        |  SELECT 'direct' AS touch_type, COUNT(*) AS n_credits,
+        |    CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS credited_cents
+        |  FROM pur WHERE pid NOT IN (SELECT DISTINCT pid FROM pairs))
+        |SELECT * FROM credited UNION ALL SELECT * FROM direct
+        |ORDER BY touch_type""".stripMargin,
     "q194_attribution" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, event_type, value,

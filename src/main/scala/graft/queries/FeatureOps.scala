@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Feature-engineering pack for model prep:
+  *
+  *  - q224: deterministic k-fold assignment — fold = salted polynomial
+  *    hash of the doc id mod 5 (the q115 train/val split generalized to
+  *    cross-validation), with per-fold size / token / language-balance
+  *    readouts. Any engine computing the same hash places every doc in
+  *    the same fold — the property that makes CV results reproducible
+  *    across runs AND across systems.
+  *  - q225: the hashing trick (feature hashing, Weinberger et al.
+  *    2009) — bag-of-words folded into 256 feature buckets by word
+  *    hash mod 256; the census reports per-bucket occurrence mass and
+  *    the collision load (distinct words per bucket), the number that
+  *    decides whether 256 dims suffice.
+  *
+  * Scale: both are one map-side aggregate over the corpus scan; the
+  * fold/bucket domains (5 / 256) bound every later stage. The hash is
+  * evaluated once per DISTINCT word in the oracle (the q29 rule).
+  */
+object FeatureOps {
+
+  private val Folds = 5L
+  private val Buckets = 256L
+
+  /** q224: per-fold census for 5-fold CV. */
+  def kfoldAssign(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GramOps.register(s)
+    Tables.documents(s, d)
+      .withColumn("fold",
+        expr("element_at(gram_hashes(concat(CAST(doc_id AS STRING)," +
+          s" ':fold'), 1), 1) % $Folds"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("n_tokens"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("source")).as("n_sources"))
+      .orderBy(col("fold"))
+  }
+
+  /** q225: 256-bucket feature-hash census over the corpus vocabulary. */
+  def featureHashing(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GramOps.register(s)
+    val w = TextOps.words(s, d)
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      .select(expr(s"element_at(gram_hashes(word, 1), 1) % $Buckets")
+        .as("feature"), col("word"), col("f"))
+    w.groupBy(col("feature"))
+      .agg(count(lit(1)).as("n_words"), sum(col("f")).as("occurrences"))
+      .orderBy(col("feature"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_kfold_assign" -> kfoldAssign,
+    "q225_feature_hashing" -> featureHashing)
+
+  val oracle: Map[String, String] = Map(
+    "q224_kfold_assign" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang, source,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    (${OracleHash.polySql(
+              "(CAST(doc_id AS VARCHAR) || ':fold')")}) % $Folds AS fold
+         |  FROM documents)
+         |SELECT fold, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  COUNT(DISTINCT lang) AS n_langs,
+         |  COUNT(DISTINCT source) AS n_sources
+         |FROM docs GROUP BY fold ORDER BY fold""".stripMargin,
+    "q225_feature_hashing" ->
+      s"""WITH w AS (
+         |  SELECT unnest(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |freq AS (SELECT word, COUNT(*) AS f FROM w GROUP BY word),
+         |vh AS MATERIALIZED (
+         |  SELECT word, (${OracleHash.polySql("word")}) % $Buckets
+         |      AS feature
+         |  FROM (SELECT DISTINCT word FROM freq))
+         |SELECT feature, COUNT(*) AS n_words,
+         |  CAST(SUM(f) AS BIGINT) AS occurrences
+         |FROM freq JOIN vh USING (word)
+         |GROUP BY feature ORDER BY feature""".stripMargin)
+}

@@ -167,4 +167,19 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(got(src) == ((n, counts.size.toLong, ppm)), src)
     }
   }
+
+  test("q223 conservation: credited cents across ALL buckets equal " +
+    "total purchase cents exactly") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val rows = AnalyticsOps.linearAttribution(spark, sf).collect()
+    val credited = rows.map(_.getLong(2)).sum
+    val purchases = graft.Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select("value").collect()
+      .map(r => JBD.valueOf(r.getDouble(0)).setScale(2, RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact).sum
+    assert(credited == purchases,
+      "integer splitting with remainder-to-earliest must conserve cents")
+    assert(rows.map(_.getString(0)).contains("direct"))
+  }
 }
