@@ -54,11 +54,49 @@ object FeatureOps {
       .orderBy(col("feature"))
   }
 
+  private val EditK = 2
+
+  /** q226: the NATIVE banded Levenshtein ([[graft.functions.EditDist]],
+    * Ukkonen cutoff-k DP — O(k·L) per pair instead of O(L²)) driven
+    * through a prefix-blocked customer-name self-join and proven exact
+    * against DuckDB's FULL levenshtein on every evaluated pair: the
+    * saturating contract (exact when ≤ k, else k+1) makes the ≤ k
+    * filter indistinguishable from the unbounded function.
+    *
+    * Scale: distinct names → prefix-14 equi-blocks (the q65 dedup-
+    * then-compare rule: vocabulary pairs, not row pairs); the banded
+    * DP is what keeps the verify step linear in name length. */
+  def editDistPairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.EditDistOps.register(s)
+    val names = Tables.customer(s, d).select(col("c_name")).distinct()
+      .select(col("c_name"), substring(col("c_name"), 1, 14).as("blk"))
+    names.as("a").join(names.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.c_name") < col("b.c_name"))
+      .select(expr(s"edit_dist_bounded(a.c_name, b.c_name, $EditK)")
+        .as("dist"))
+      .filter(col("dist") <= EditK)
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("pair_count"))
+      .orderBy(col("dist"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q224_kfold_assign" -> kfoldAssign,
-    "q225_feature_hashing" -> featureHashing)
+    "q225_feature_hashing" -> featureHashing,
+    "q226_edit_dist_banded" -> editDistPairs)
 
   val oracle: Map[String, String] = Map(
+    "q226_edit_dist_banded" ->
+      s"""WITH n AS (
+         |  SELECT DISTINCT c_name, substr(c_name, 1, 14) AS blk
+         |  FROM customer)
+         |SELECT CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
+         |  COUNT(*) AS pair_count
+         |FROM n a JOIN n b
+         |  ON a.blk = b.blk AND a.c_name < b.c_name
+         |WHERE levenshtein(a.c_name, b.c_name) <= $EditK
+         |GROUP BY 1 ORDER BY dist""".stripMargin,
     "q224_kfold_assign" ->
       s"""WITH docs AS (
          |  SELECT doc_id, lang, source,
