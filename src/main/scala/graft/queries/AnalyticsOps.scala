@@ -311,7 +311,38 @@ object AnalyticsOps {
     credited.unionByName(direct).orderBy(col("touch_type"))
   }
 
+  /** q229: funnel-window parameter sweep — first-click → purchase
+    * conversion evaluated at 1 min / 10 min / 1 h limits in ONE scan:
+    * the per-user conversion delta is computed once, then exploded
+    * against the limit list (3 rows per converting user) — the
+    * parameter sweep costs one extra projection, not three scans.
+    * Per-user reduction is two conditional MINs (map-side). */
+  def funnelSweep(s: SparkSession, d: String): DataFrame = {
+    val limits = Seq(60L, 600L, 3600L)
+    val ev = Tables.events(s, d).select(col("user_id"),
+      col("event_type"), expr("unix_micros(ts)").as("tsu"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("tsu")).as("c_tsu"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsu").as("p_tsu"))
+    val perUser = clicks
+      .join(pur, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("c_tsu"))
+      .agg(min(when(col("p_tsu") >= col("c_tsu"),
+        expr("(p_tsu - c_tsu) div 1000000"))).as("delta_s"))
+    perUser
+      .select(col("delta_s"),
+        explode(lit(limits.toArray)).as("limit_s"))
+      .groupBy(col("limit_s"))
+      .agg(count(lit(1)).as("clickers"),
+        sum(when(col("delta_s").isNotNull &&
+          col("delta_s") <= col("limit_s"), 1L).otherwise(0L))
+          .as("converted"))
+      .orderBy(col("limit_s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_funnel_sweep" -> funnelSweep,
     "q185_event_paths" -> eventPaths,
     "q193_snm_dedup" -> snmDedup,
     "q194_attribution" -> attribution,
@@ -423,6 +454,31 @@ object AnalyticsOps {
         |FROM pairs
         |WHERE name_b IS NOT NULL AND levenshtein(name_a, name_b) <= 2"""
         .stripMargin,
+    "q229_funnel_sweep" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(date_trunc('microseconds', ts)) AS tsu
+        |  FROM events),
+        |clicks AS (
+        |  SELECT user_id, MIN(tsu) AS c_tsu
+        |  FROM ev WHERE event_type = 'click' GROUP BY user_id),
+        |pur AS (
+        |  SELECT user_id, tsu AS p_tsu FROM ev
+        |  WHERE event_type = 'purchase'),
+        |pu AS (
+        |  SELECT clicks.user_id,
+        |    MIN(CASE WHEN p_tsu >= c_tsu
+        |      THEN (p_tsu - c_tsu) // 1000000 END) AS delta_s
+        |  FROM clicks LEFT JOIN pur ON clicks.user_id = pur.user_id
+        |  GROUP BY clicks.user_id, c_tsu),
+        |lims AS (SELECT unnest([60, 600, 3600]) AS limit_s)
+        |SELECT CAST(limit_s AS BIGINT) AS limit_s,
+        |  COUNT(*) AS clickers,
+        |  CAST(SUM(CASE WHEN delta_s IS NOT NULL
+        |    AND delta_s <= limit_s THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS converted
+        |FROM pu CROSS JOIN lims
+        |GROUP BY limit_s ORDER BY limit_s""".stripMargin,
     "q223_linear_attribution" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, event_type,

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.GramOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-5 curation additions: sketched heavy hitters, per-source quota
@@ -385,7 +386,46 @@ object CurationOps {
         sum(col("reps")).as("realized_docs"))
   }
 
+  /** q227: quality-mass selection — per source, keep the highest-
+    * quality docs until 90% of the source's quality mass is covered
+    * (the "top-p of the corpus" curation rule: spend the token budget
+    * on the quality head, but let low-quality-heavy sources keep more
+    * docs to reach the same mass). Quality = integer lexical diversity
+    * (q151's fragment); the keep rule is boundary-deterministic: a doc
+    * is kept iff the mass STRICTLY BEFORE it (by (q desc, doc_id)
+    * order) is under 90% — so the doc crossing the threshold is kept
+    * and ties are resolved by doc id, not arrival order.
+    *
+    * Scale: one map-side quality aggregate; the cumulative window
+    * partitions by source (per-source scan, never global). */
+  def qualityMass(s: SparkSession, d: String): DataFrame = {
+    val qual = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("word")).as("n_distinct"))
+      .select(col("doc_id"), col("source"),
+        expr("(n_distinct * 1000000L) div n_tokens").as("q"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = qual.groupBy(col("source"))
+      .agg(sum(col("q")).as("total_q"), count(lit(1)).as("n_docs"))
+    qual
+      .withColumn("before", coalesce(sum(col("q")).over(w), lit(0L)))
+      .join(tot, "source")
+      .withColumn("kept", col("before") * 10 < col("total_q") * 9)
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("q")).otherwise(0L)).as("kept_q"),
+        max(col("total_q")).as("total_q"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_quality_mass" -> qualityMass,
     "q124_heavy_hitters" -> heavyHitterWords,
     "q125_source_quota" -> sourceQuota,
     "q126_bloom_blocklist" -> ((s: SparkSession, d: String) =>
@@ -400,6 +440,35 @@ object CurationOps {
     // q124/q130/q132 deliberately have NO oracle: sketch content is
     // merge-order dependent (rows-only check; bounds proven in
     // HeavyHittersSpec/CooccurSpec).
+    "q227_quality_mass" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |qual AS (
+        |  SELECT doc_id, source,
+        |    CAST((COUNT(DISTINCT word) * 1000000) // COUNT(*) AS BIGINT)
+        |      AS q
+        |  FROM w GROUP BY doc_id, source),
+        |tot AS (
+        |  SELECT source, CAST(SUM(q) AS BIGINT) AS total_q,
+        |    COUNT(*) AS n_docs
+        |  FROM qual GROUP BY source),
+        |cum AS (
+        |  SELECT source, q,
+        |    CAST(COALESCE(SUM(q) OVER (PARTITION BY source
+        |      ORDER BY q DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS bf
+        |  FROM qual)
+        |SELECT cum.source, MAX(n_docs) AS n_docs,
+        |  CAST(SUM(CASE WHEN bf * 10 < total_q * 9 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN bf * 10 < total_q * 9 THEN q ELSE 0 END)
+        |    AS BIGINT) AS kept_q,
+        |  MAX(total_q) AS total_q
+        |FROM cum JOIN tot ON cum.source = tot.source
+        |GROUP BY cum.source ORDER BY cum.source""".stripMargin,
     "q125_source_quota" ->
       s"""WITH ranked AS (
          |  SELECT source, lang, n_chars,

@@ -63,13 +63,13 @@ object FeatureOps {
     * saturating contract (exact when ≤ k, else k+1) makes the ≤ k
     * filter indistinguishable from the unbounded function.
     *
-    * Scale: distinct names → prefix-14 equi-blocks (the q65 dedup-
+    * Scale: distinct names → prefix-16 equi-blocks (the q65 dedup-
     * then-compare rule: vocabulary pairs, not row pairs); the banded
     * DP is what keeps the verify step linear in name length. */
   def editDistPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.EditDistOps.register(s)
     val names = Tables.customer(s, d).select(col("c_name")).distinct()
-      .select(col("c_name"), substring(col("c_name"), 1, 14).as("blk"))
+      .select(col("c_name"), substring(col("c_name"), 1, 16).as("blk"))
     names.as("a").join(names.as("b"),
         col("a.blk") === col("b.blk") &&
           col("a.c_name") < col("b.c_name"))
@@ -89,7 +89,7 @@ object FeatureOps {
   val oracle: Map[String, String] = Map(
     "q226_edit_dist_banded" ->
       s"""WITH n AS (
-         |  SELECT DISTINCT c_name, substr(c_name, 1, 14) AS blk
+         |  SELECT DISTINCT c_name, substr(c_name, 1, 16) AS blk
          |  FROM customer)
          |SELECT CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
          |  COUNT(*) AS pair_count

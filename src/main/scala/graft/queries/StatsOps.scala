@@ -135,7 +135,59 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  // ---- q230 Poisson bootstrap -----------------------------------------
+
+  private val BootB = 32
+  private val BootH = 2147483647L
+  // Poisson(1) inverse-CDF thresholds scaled by H: P(X≤0)=e⁻¹,
+  // P(X≤1)=2e⁻¹, P(X≤2)=2.5e⁻¹ (weights capped at 3). Computed ONCE
+  // here and interpolated into BOTH the Spark expression and the
+  // DuckDB oracle as the same literal — the transcendental never
+  // evaluates inside either engine.
+  private val BootT0 = (BootH * math.exp(-1.0)).toLong
+  private val BootT1 = (BootH * 2.0 * math.exp(-1.0)).toLong
+  private val BootT2 = (BootH * 2.5 * math.exp(-1.0)).toLong
+
+  /** q230: Poisson bootstrap (Chamandy et al. 2012) of the mean
+    * per-customer revenue — THE distributed bootstrap: instead of
+    * resampling n items with replacement (which needs global
+    * coordination), each replicate gives every item an independent
+    * Poisson(1) weight derived here from the salted customer hash, so
+    * the whole B=32-replicate ensemble is one scan + one aggregate.
+    * Replicate means are exact integer ratios; the p5/p95 band comes
+    * from ordering the 32-row replicate frame. */
+  def poissonBootstrap(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GramOps.register(s)
+    val rev = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100" +
+        " AS BIGINT)")).as("cents"))
+    val reps = rev.select(col("o_custkey"), col("cents"),
+        explode(expr(s"sequence(0, ${BootB - 1})")).as("b"))
+      .withColumn("h",
+        expr("element_at(gram_hashes(concat(CAST(o_custkey AS STRING)," +
+          s" ':', CAST(b AS STRING), ':boot'), 1), 1) % $BootH"))
+      .withColumn("w",
+        when(col("h") < BootT0, 0L).when(col("h") < BootT1, 1L)
+          .when(col("h") < BootT2, 2L).otherwise(3L))
+      .groupBy(col("b"))
+      .agg(sum(col("w") * col("cents")).as("wc"), sum(col("w")).as("ws"))
+      .select(expr("wc div ws").as("rep_mean"))
+    val ranked = reps.withColumn("rk", row_number().over(
+      Window.orderBy(col("rep_mean"))))
+    val tru = rev.agg(
+      expr("sum(cents) div count(1)").as("true_mean_cents"))
+    ranked.crossJoin(broadcast(tru))
+      .agg(count(lit(1)).as("n_replicates"),
+        max(col("true_mean_cents")).as("true_mean_cents"),
+        min(when(col("rk") === math.max(1, BootB / 20),
+          col("rep_mean"))).as("p5_mean_cents"),
+        min(when(col("rk") === BootB - BootB / 20,
+          col("rep_mean"))).as("p95_mean_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_poisson_bootstrap" -> poissonBootstrap,
     "q203_cusum_changepoint" -> cusumChangepoint,
     "q204_dow_seasonality" -> dowSeasonality,
     "q209_mad_outliers" -> madOutliers,
@@ -149,6 +201,45 @@ object StatsOps {
       |  FROM events GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q230_poisson_bootstrap" ->
+      s"""WITH rev AS (
+         |  SELECT o_custkey,
+         |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS cents
+         |  FROM orders GROUP BY o_custkey),
+         |reps AS (
+         |  SELECT o_custkey, cents, unnest(range(0, $BootB)) AS b
+         |  FROM rev),
+         |hashed AS (
+         |  SELECT cents, b,
+         |    (${OracleHash.polySql(
+              "(CAST(o_custkey AS VARCHAR) || ':' || " +
+                "CAST(b AS VARCHAR) || ':boot')")}) % $BootH AS h
+         |  FROM reps),
+         |weighted AS (
+         |  SELECT b, cents,
+         |    CASE WHEN h < $BootT0 THEN 0 WHEN h < $BootT1 THEN 1
+         |         WHEN h < $BootT2 THEN 2 ELSE 3 END AS w
+         |  FROM hashed),
+         |rm AS (
+         |  SELECT b,
+         |    CAST(SUM(w * cents) // SUM(w) AS BIGINT) AS rep_mean
+         |  FROM weighted GROUP BY b),
+         |rk AS (
+         |  SELECT rep_mean,
+         |    row_number() OVER (ORDER BY rep_mean) AS rk
+         |  FROM rm),
+         |tru AS (
+         |  SELECT CAST(SUM(cents) // COUNT(*) AS BIGINT)
+         |      AS true_mean_cents
+         |  FROM rev)
+         |SELECT COUNT(*) AS n_replicates,
+         |  MAX(true_mean_cents) AS true_mean_cents,
+         |  MIN(CASE WHEN rk = ${math.max(1, BootB / 20)}
+         |    THEN rep_mean END) AS p5_mean_cents,
+         |  MIN(CASE WHEN rk = ${BootB - BootB / 20}
+         |    THEN rep_mean END) AS p95_mean_cents
+         |FROM rk CROSS JOIN tru""".stripMargin,
     "q203_cusum_changepoint" ->
       s"""WITH $dailyCte,
          |tot AS (SELECT COUNT(*) AS dcnt, CAST(SUM(s) AS BIGINT) AS t

@@ -122,13 +122,48 @@ object WarehouseOps {
       .orderBy(col("pri"))
   }
 
+  /** q228: week-over-week growth — the BI report on q219's weekly
+    * frame: revenue per Monday-anchored epoch week with the ppm delta
+    * vs the previous PRESENT week (gaps compare against the last
+    * observed week, the standard dashboard convention). Window over
+    * the weeks frame only. */
+  def wowGrowth(s: SparkSession, d: String): DataFrame = {
+    val weekly = Tables.orders(s, d).select(
+        expr("(unix_micros(CAST(o_orderdate AS TIMESTAMP))" +
+          " div 86400000000 + 3) div 7").as("week"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+    weekly
+      .withColumn("prev_cents", lag(col("cents"), 1).over(
+        Window.orderBy(col("week"))))
+      .withColumn("growth_ppm",
+        expr("(cents - prev_cents) * 1000000 div prev_cents"))
+      .orderBy(col("week"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_wow_growth" -> wowGrowth,
     "q219_time_rollup" -> timeRollup,
     "q220_encoding_audit" -> encodingAudit,
     "q221_session_window" -> sessionWindow,
     "q222_trimmed_mean" -> trimmedMean)
 
   val oracle: Map[String, String] = Map(
+    "q228_wow_growth" ->
+      """WITH weekly AS (
+        |  SELECT (epoch_us(date_trunc('microseconds', o_orderdate))
+        |      // 86400000000 + 3) // 7 AS week,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT week, n_orders, cents,
+        |  lag(cents) OVER (ORDER BY week) AS prev_cents,
+        |  CAST((cents - lag(cents) OVER (ORDER BY week)) * 1000000
+        |    // lag(cents) OVER (ORDER BY week) AS BIGINT) AS growth_ppm
+        |FROM weekly ORDER BY week""".stripMargin,
     "q219_time_rollup" ->
       """WITH base AS (
         |  SELECT epoch_us(date_trunc('microseconds', o_orderdate))

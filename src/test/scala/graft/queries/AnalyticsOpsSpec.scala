@@ -182,4 +182,29 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       "integer splitting with remainder-to-earliest must conserve cents")
     assert(rows.map(_.getString(0)).contains("direct"))
   }
+
+  test("q229 sweep: clickers constant, converted monotone in the limit, " +
+    "and ≡ a driver funnel at each limit") {
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "unix_micros(ts)").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val deltas = byUser.values.flatMap { es =>
+      val clicks = es.filter(_._2 == "click").map(_._3)
+      if (clicks.isEmpty) None
+      else {
+        val c = clicks.min
+        val after = es.filter(e => e._2 == "purchase" && e._3 >= c)
+        Some(after.map(e => (e._3 - c) / 1000000L).minOption)
+      }
+    }.toSeq
+    val rows = AnalyticsOps.funnelSweep(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).distinct.length == 1)
+    assert(rows.head.getLong(1) == deltas.length)
+    val conv = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    Seq(60L, 600L, 3600L).foreach { l =>
+      assert(conv(l) == deltas.count(_.exists(_ <= l)), s"limit $l")
+    }
+    assert(conv(60L) <= conv(600L) && conv(600L) <= conv(3600L))
+  }
 }

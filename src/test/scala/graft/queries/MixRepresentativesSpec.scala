@@ -119,4 +119,33 @@ class MixRepresentativesSpec extends AnyFunSuite {
     // every cluster here is a real one (size >= 2)
     assert(got.keys.forall(_ >= 2L))
   }
+
+  test("q227 quality-mass: kept mass crosses 90% with the boundary doc; " +
+    "≡ driver head selection") {
+    val sf = "/root/testdata/sf0.001"
+    val qual = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "source", "split(text, ' ') AS w").collect()
+      .map { r =>
+        val ws = r.getSeq[String](2)
+        (r.getString(1), r.getLong(0),
+          ws.distinct.length.toLong * 1000000L / ws.length)
+      }
+    val exp = qual.groupBy(_._1).view.mapValues { ds =>
+      val sorted = ds.sortBy(d => (-d._3, d._2))
+      val total = sorted.map(_._3).sum
+      var before = 0L
+      val kept = sorted.takeWhile { d =>
+        val in = before * 10 < total * 9; before += d._3; in
+      }
+      (ds.length.toLong, kept.length.toLong, kept.map(_._3).sum, total)
+    }.toMap
+    val got = CurationOps.qualityMass(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == exp)
+    // the boundary-doc rule guarantees >= 90% of the mass is kept
+    got.values.foreach { case (_, _, keptQ, totalQ) =>
+      assert(keptQ * 10 >= totalQ * 9)
+    }
+  }
 }

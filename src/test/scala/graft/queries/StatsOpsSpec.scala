@@ -95,4 +95,38 @@ class StatsOpsSpec extends AnyFunSuite {
         ((n * s2 - s1 * s1) * 1000000 / (s1 * s1)).toLong)), t)
     }
   }
+
+  test("q230 ≡ driver Poisson bootstrap; ordered band") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val P = 36028797018963913L
+    def poly(g: String): Long =
+      g.codePoints().toArray.foldLeft(0L)((h, c) => (h * 131 + c % 256) % P)
+    val H = 2147483647L
+    val t0 = (H * math.exp(-1.0)).toLong
+    val t1 = (H * 2.0 * math.exp(-1.0)).toLong
+    val t2 = (H * 2.5 * math.exp(-1.0)).toLong
+    val rev = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0),
+        JBD.valueOf(r.getDouble(1)).setScale(2, RoundingMode.HALF_UP)
+          .movePointRight(2).longValueExact))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val repMeans = (0 until 32).map { b =>
+      val ws = rev.map { case (k, c) =>
+        val h = poly(s"$k:$b:boot") % H
+        val w = if (h < t0) 0L else if (h < t1) 1L
+                else if (h < t2) 2L else 3L
+        (w, w * c)
+      }
+      ws.map(_._2).sum / ws.map(_._1).sum
+    }.sorted
+    val r = StatsOps.poissonBootstrap(spark, sf).collect().head
+    assert(r.getLong(0) == 32L)
+    assert(r.getLong(1) == rev.map(_._2).sum / rev.length)
+    assert(r.getLong(2) == repMeans(0))   // rank 1 of 32 (B/20 = 1)
+    assert(r.getLong(3) == repMeans(30))  // rank 31 of 32
+    assert(r.getLong(2) <= r.getLong(3))
+    // the band brackets the truth on this corpus (deterministic)
+    assert(r.getLong(2) <= r.getLong(1) && r.getLong(1) <= r.getLong(3))
+  }
 }

@@ -87,4 +87,19 @@ class WarehouseOpsSpec extends AnyFunSuite {
     }
     assert(got("l_returnflag")._3 && got("l_linestatus")._3)
   }
+
+  test("q228 WoW identities: lag chain + ppm delta re-derived") {
+    val rows = WarehouseOps.wowGrowth(spark, sf).collect()
+    assert(rows.head.isNullAt(3) && rows.head.isNullAt(4))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(3) == a.getLong(2), "prev = predecessor cents")
+        assert(b.getLong(4) ==
+          (BigInt(b.getLong(2) - b.getLong(3)) * 1000000 /
+            b.getLong(3)).toLong)
+      case _ =>
+    }
+    val total = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+  }
 }
