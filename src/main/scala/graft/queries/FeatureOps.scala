@@ -81,12 +81,48 @@ object FeatureOps {
       .orderBy(col("dist"))
   }
 
+  /** q231: leave-one-out target encoding — the leakage-safe categorical
+    * encoding: each order's priority is encoded as the mean target of
+    * the OTHER orders in its category, loo = (Σ_cat − own) div (n_cat−1)
+    * — exact in integer cents, no smoothing constant to disagree on.
+    * The device is one category aggregate broadcast back over the fact
+    * scan: encoding 100 TB of rows costs one map-side aggregate + one
+    * broadcast join, never a self-join.
+    */
+  def targetEncoding(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_orderpriority").as("cat"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        .as("cents"))
+    val cats = o.groupBy(col("cat"))
+      .agg(sum(col("cents")).as("cat_sum"), count(lit(1)).as("cat_n"))
+    o.join(broadcast(cats), "cat")
+      .select(col("o_orderkey"), col("cat"), col("cents"),
+        expr("(cat_sum - cents) div (cat_n - 1)").as("loo_mean_cents"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q224_kfold_assign" -> kfoldAssign,
     "q225_feature_hashing" -> featureHashing,
-    "q226_edit_dist_banded" -> editDistPairs)
+    "q226_edit_dist_banded" -> editDistPairs,
+    "q231_target_encoding" -> targetEncoding)
 
   val oracle: Map[String, String] = Map(
+    "q231_target_encoding" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority AS cat,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |cats AS (
+        |  SELECT cat, CAST(SUM(cents) AS BIGINT) AS cat_sum,
+        |    COUNT(*) AS cat_n
+        |  FROM o GROUP BY cat)
+        |SELECT o_orderkey, cat, cents,
+        |  (cat_sum - cents) // (cat_n - 1) AS loo_mean_cents
+        |FROM o JOIN cats USING (cat)
+        |ORDER BY o_orderkey""".stripMargin,
     "q226_edit_dist_banded" ->
       s"""WITH n AS (
          |  SELECT DISTINCT c_name, substr(c_name, 1, 16) AS blk

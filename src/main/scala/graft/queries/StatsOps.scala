@@ -186,7 +186,72 @@ object StatsOps {
           col("rep_mean"))).as("p95_mean_cents"))
   }
 
+  /** q232: Theil–Sen robust trend slope — the lower median of all
+    * pairwise daily-revenue slopes (in ppm-cents/day, truncated
+    * integer division so both engines quantize identically), next to
+    * q180's least-squares slope for contrast: one influential day
+    * shifts LS but not the pairwise median. The pair frame is
+    * days²/2 — BOUNDED (the fact scan reduces to the daily frame
+    * first), so the rank window is fine at any corpus size. */
+  def theilSen(s: SparkSession, d: String): DataFrame = {
+    val daily = dailyCents(s, d)
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.day") < col("b.day"))
+      .select(expr("(b.s - a.s) * 1000000 div (b.day - a.day)")
+        .as("slope_ppm"))
+    val ranked = pairs.withColumn("rk", row_number().over(
+      Window.orderBy(col("slope_ppm"))))
+    val n = pairs.agg(count(lit(1)).as("n_pairs"))
+    val ls = daily.agg(count(lit(1)).as("n_days"),
+      sum(col("day")).as("sx"), sum(col("s")).as("sy"),
+      sum(expr("day * s")).as("sxy"),
+      sum(expr("day * day")).as("sxx"))
+      .select(col("n_days"),
+        expr("(n_days * sxy - sx * sy) * 1000000" +
+          " div (n_days * sxx - sx * sx)").as("ls_slope_ppm"))
+    ranked.crossJoin(broadcast(n)).crossJoin(broadcast(ls))
+      .agg(max(col("n_days")).as("n_days"),
+        max(col("n_pairs")).as("n_pairs"),
+        min(when(col("rk") === expr("(n_pairs + 1) div 2"),
+          col("slope_ppm"))).as("ts_slope_ppm"),
+        max(col("ls_slope_ppm")).as("ls_slope_ppm"))
+  }
+
+  /** q233: split-free conformal interval per market segment — predict
+    * each customer's balance by their segment mean, take the exact p90
+    * of |residual| quantized to whole dollars (the quantization is
+    * what keeps the counts-of-counts frame bounded at corpus scale),
+    * and report the radius + its realized coverage ppm (≥ 90% by
+    * construction of the discrete quantile). */
+  def conformal(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_mktsegment").as("seg"),
+      expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        .as("x"))
+    val m = c.groupBy(col("seg"))
+      .agg(expr("sum(x) div count(1)").as("mu"), count(lit(1)).as("n"))
+    val resid = c.join(broadcast(m), "seg")
+      .withColumn("r", expr("abs(x - mu) div 100"))
+    val vc = resid.groupBy(col("seg"), col("r"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("seg")).orderBy(col("r"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val radius = vc.join(broadcast(m.select(col("seg"), col("n"))), "seg")
+      .filter(col("cum") * 10 >= col("n") * 9)
+      .groupBy(col("seg")).agg(min(col("r")).as("r90_dollars"))
+    resid.join(broadcast(radius), "seg")
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_customers"),
+        max(col("mu")).as("seg_mean_cents"),
+        max(col("r90_dollars")).as("r90_dollars"),
+        expr("sum(CASE WHEN r <= r90_dollars THEN 1 ELSE 0 END)" +
+          " * 1000000 div count(1)").as("coverage_ppm"))
+      .orderBy(col("seg"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_theil_sen" -> theilSen,
+    "q233_conformal" -> conformal,
     "q230_poisson_bootstrap" -> poissonBootstrap,
     "q203_cusum_changepoint" -> cusumChangepoint,
     "q204_dow_seasonality" -> dowSeasonality,
@@ -201,6 +266,60 @@ object StatsOps {
       |  FROM events GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q232_theil_sen" ->
+      s"""WITH $dailyCte,
+         |pairs AS (
+         |  SELECT (b.s - a.s) * 1000000 // (b.day - a.day) AS slope_ppm
+         |  FROM daily a JOIN daily b ON a.day < b.day),
+         |rk AS (
+         |  SELECT slope_ppm,
+         |    row_number() OVER (ORDER BY slope_ppm) AS rk
+         |  FROM pairs),
+         |n AS (SELECT COUNT(*) AS n_pairs FROM pairs),
+         |ls AS (
+         |  SELECT COUNT(*) AS n_days,
+         |    CAST((COUNT(*) * SUM(day * s) - SUM(day) * SUM(s))
+         |      * 1000000
+         |      // (COUNT(*) * SUM(day * day) - SUM(day) * SUM(day))
+         |      AS BIGINT) AS ls_slope_ppm
+         |  FROM daily)
+         |SELECT MAX(n_days) AS n_days, MAX(n_pairs) AS n_pairs,
+         |  CAST(MIN(CASE WHEN rk = (n_pairs + 1) // 2
+         |    THEN slope_ppm END) AS BIGINT) AS ts_slope_ppm,
+         |  MAX(ls_slope_ppm) AS ls_slope_ppm
+         |FROM rk CROSS JOIN n CROSS JOIN ls""".stripMargin,
+    "q233_conformal" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+        |  FROM customer),
+        |m AS (
+        |  SELECT seg, CAST(SUM(x) // COUNT(*) AS BIGINT) AS mu,
+        |    COUNT(*) AS n
+        |  FROM c GROUP BY seg),
+        |resid AS (
+        |  SELECT c.seg, abs(x - mu) // 100 AS r, n
+        |  FROM c JOIN m ON c.seg = m.seg),
+        |vc AS (
+        |  SELECT seg, r, n, COUNT(*) AS cnt
+        |  FROM resid GROUP BY seg, r, n),
+        |cum AS (
+        |  SELECT seg, r, n,
+        |    SUM(cnt) OVER (PARTITION BY seg ORDER BY r
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM vc),
+        |radius AS (
+        |  SELECT seg, MIN(r) AS r90
+        |  FROM cum WHERE cum * 10 >= n * 9 GROUP BY seg)
+        |SELECT resid.seg, COUNT(*) AS n_customers,
+        |  CAST(MAX(mu) AS BIGINT) AS seg_mean_cents,
+        |  CAST(MAX(r90) AS BIGINT) AS r90_dollars,
+        |  CAST(SUM(CASE WHEN r <= r90 THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS coverage_ppm
+        |FROM resid
+        |  JOIN radius ON resid.seg = radius.seg
+        |  JOIN m ON resid.seg = m.seg
+        |GROUP BY resid.seg ORDER BY resid.seg""".stripMargin,
     "q230_poisson_bootstrap" ->
       s"""WITH rev AS (
          |  SELECT o_custkey,

@@ -37,4 +37,23 @@ class FeatureOpsSpec extends AnyFunSuite {
     assert(got == exp)
     assert(got.values.map(_._2).sum == words.length.toLong)
   }
+
+  test("q231 LOO encoding: excludes self; category identity holds") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        JBD.valueOf(r.getDouble(2)).setScale(2, RoundingMode.HALF_UP)
+          .movePointRight(2).longValueExact))
+    val byCat = o.groupBy(_._2).view
+      .mapValues(os => (os.map(_._3).sum, os.length.toLong)).toMap
+    val got = FeatureOps.targetEncoding(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got.size == o.length)
+    o.foreach { case (k, cat, cents) =>
+      val (s1, n) = byCat(cat)
+      assert(got(k) == ((cat, cents, (s1 - cents) / (n - 1))), k)
+    }
+  }
 }

@@ -129,4 +129,37 @@ class StatsOpsSpec extends AnyFunSuite {
     // the band brackets the truth on this corpus (deterministic)
     assert(r.getLong(2) <= r.getLong(1) && r.getLong(1) <= r.getLong(3))
   }
+
+  test("q232 ≡ driver Theil–Sen; robust vs LS on the same series") {
+    val ds = daily
+    val slopes = (for {
+      i <- ds.indices; j <- (i + 1) until ds.length
+    } yield (ds(j)._2 - ds(i)._2) * 1000000L /
+        (ds(j)._1 - ds(i)._1)).sorted
+    val r = StatsOps.theilSen(spark, sf).collect().head
+    assert(r.getLong(0) == ds.length)
+    assert(r.getLong(1) == slopes.length)
+    assert(r.getLong(2) == slopes((slopes.length + 1) / 2 - 1))
+  }
+
+  test("q233 conformal: coverage ≥ 90% by construction; ≡ driver") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getString(0),
+        JBD.valueOf(r.getDouble(1)).setScale(2, RoundingMode.HALF_UP)
+          .movePointRight(2).longValueExact))
+    val exp = c.groupBy(_._1).view.mapValues { xs =>
+      val mu = xs.map(_._2).sum / xs.length
+      val rs = xs.map(x => math.abs(x._2 - mu) / 100).sorted
+      val r90 = rs(((xs.length * 9 + 9) / 10) - 1)
+      val cov = rs.count(_ <= r90).toLong * 1000000L / xs.length
+      (xs.length.toLong, mu, r90, cov)
+    }.toMap
+    val got = StatsOps.conformal(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got == exp)
+    got.values.foreach { case (_, _, _, cov) => assert(cov >= 900000L) }
+  }
 }
