@@ -143,7 +143,84 @@ object WarehouseOps {
       .orderBy(col("week"))
   }
 
+  /** q234: 2-D Pareto skyline of parts — cheapest-for-the-size
+    * frontier: a part survives iff no other part is ≤ price AND
+    * ≥ size with one strict. Computed by two part-dim-scale windows
+    * (running max size over the strictly-cheaper RANGE prefix + the
+    * equal-price group max) — the oracle is the O(n²) NOT-EXISTS
+    * domination statement, so the hash match proves the windowed scan
+    * ≡ the definition. Prices in cents: no float compare drift. */
+  def skyline(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).select(col("p_partkey"),
+      expr("CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        .as("price_cents"), col("p_size").cast("long").as("size"))
+    // dominated iff ∃y with (y.price < x.price ∧ y.size ≥ x.size) or
+    // (y.price = x.price ∧ y.size > x.size) or (y.price < ∧ y.size >
+    // — subsumed). Two windows express exactly that: the value-RANGE
+    // frame sees all STRICTLY cheaper rows; the price partition sees
+    // the equal-price group. Equal (price, size) duplicates all
+    // survive (domination needs a strict coordinate).
+    p.withColumn("max_sz_cheaper",
+        coalesce(max(col("size")).over(
+          Window.orderBy(col("price_cents"))
+            .rangeBetween(Window.unboundedPreceding, -1)), lit(-1L)))
+      .withColumn("grp_max_sz",
+        max(col("size")).over(Window.partitionBy(col("price_cents"))))
+      .filter(col("size") > col("max_sz_cheaper") &&
+        col("size") === col("grp_max_sz"))
+      .select(col("p_partkey"), col("price_cents"), col("size"))
+      .orderBy(col("price_cents"), col("size").desc, col("p_partkey"))
+  }
+
+  /** q235: exact MODE per group with a deterministic smallest-value
+    * tie-break, as a hash-aggregable packed argmax (the q156 device:
+    * max(cnt·2³² − dollars) — no per-group sort, no collect, bounded
+    * aggregation state). The mode of balance DOLLARS per segment
+    * (dollar quantization gives the mode a meaningful support). */
+  def modePerGroup(s: SparkSession, d: String): DataFrame = {
+    // floor BEFORE the integer cast: DuckDB rounds decimal→int casts
+    // while Spark truncates (the NOTES_r7 trap); floor agrees on both
+    val c = Tables.customer(s, d).select(col("c_mktsegment").as("seg"),
+      expr("CAST(floor(CAST(c_acctbal AS DECIMAL(12,2))) AS BIGINT)")
+        .as("dollars"))
+    // dollars ∈ [−1000, 10000] — shift to non-negative for packing
+    c.groupBy(col("seg"), col("dollars"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("seg"))
+      .agg(max(expr("cnt * 4294967296L + (4294967295L - (dollars + 1000))"))
+        .as("packed"))
+      .select(col("seg"),
+        expr("packed div 4294967296L").as("mode_count"),
+        expr("4294967295L - (packed % 4294967296L) - 1000")
+          .as("mode_dollars"))
+      .orderBy(col("seg"))
+  }
+
+  /** q236: per-producer sequence-continuity audit — the Kafka-producer
+    * / CDC-offset completeness check: within each user's event stream,
+    * gaps in the id sequence (lead − id > 1) counted and sized per
+    * user. Windows partition by user (per-user state only, the scale-
+    * correct form of an id audit — a GLOBAL dense-id check is a single
+    * sorted scan and was verified trivially empty on this data). */
+  def idGaps(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    ev.withColumn("nxt", lead(col("event_id"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("nxt") - col("event_id") > 1, 1L).otherwise(0L))
+          .as("n_gaps"),
+        sum(when(col("nxt") - col("event_id") > 1,
+          col("nxt") - col("event_id") - 1).otherwise(0L))
+          .as("missing_total"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_skyline" -> skyline,
+    "q235_mode_per_group" -> modePerGroup,
+    "q236_id_gaps" -> idGaps,
     "q228_wow_growth" -> wowGrowth,
     "q219_time_rollup" -> timeRollup,
     "q220_encoding_audit" -> encodingAudit,
@@ -151,6 +228,50 @@ object WarehouseOps {
     "q222_trimmed_mean" -> trimmedMean)
 
   val oracle: Map[String, String] = Map(
+    "q234_skyline" ->
+      """WITH p AS (
+        |  SELECT p_partkey,
+        |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS price_cents,
+        |    CAST(p_size AS BIGINT) AS size
+        |  FROM part)
+        |SELECT p_partkey, price_cents, size FROM p x
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p y
+        |  WHERE y.price_cents <= x.price_cents AND y.size >= x.size
+        |    AND (y.price_cents < x.price_cents OR y.size > x.size))
+        |ORDER BY price_cents, size DESC, p_partkey""".stripMargin,
+    "q235_mode_per_group" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(floor(CAST(c_acctbal AS DECIMAL(12,2))) AS BIGINT)
+        |      AS dollars
+        |  FROM customer),
+        |vc AS (
+        |  SELECT seg, dollars, COUNT(*) AS cnt
+        |  FROM c GROUP BY seg, dollars),
+        |rk AS (
+        |  SELECT seg, dollars, cnt,
+        |    row_number() OVER (PARTITION BY seg
+        |      ORDER BY cnt DESC, dollars) AS rn
+        |  FROM vc)
+        |SELECT seg, CAST(cnt AS BIGINT) AS mode_count,
+        |  dollars AS mode_dollars
+        |FROM rk WHERE rn = 1 ORDER BY seg""".stripMargin,
+    "q236_id_gaps" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, event_id FROM events),
+        |g AS (
+        |  SELECT user_id, event_id,
+        |    lead(event_id) OVER (PARTITION BY user_id
+        |      ORDER BY event_id) AS nxt
+        |  FROM ev)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN nxt - event_id > 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_gaps,
+        |  CAST(SUM(CASE WHEN nxt - event_id > 1 THEN nxt - event_id - 1
+        |    ELSE 0 END) AS BIGINT) AS missing_total
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q228_wow_growth" ->
       """WITH weekly AS (
         |  SELECT (epoch_us(date_trunc('microseconds', o_orderdate))

@@ -102,4 +102,61 @@ class WarehouseOpsSpec extends AnyFunSuite {
     val total = spark.read.parquet(s"$sf/orders.parquet").count()
     assert(rows.map(_.getLong(1)).sum == total)
   }
+
+  test("q234 skyline ≡ brute-force domination; frontier is a chain") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val p = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_partkey", "p_retailprice", "p_size").collect()
+      .map(r => (r.getLong(0),
+        JBD.valueOf(r.getDouble(1)).setScale(2, RoundingMode.HALF_UP)
+          .movePointRight(2).longValueExact, r.getInt(2).toLong))
+    val exp = p.filter { x =>
+      !p.exists(y => y._2 <= x._2 && y._3 >= x._3 &&
+        (y._2 < x._2 || y._3 > x._3))
+    }.map(t => (t._1, t._2, t._3)).sortBy(t => (t._2, -t._3, t._1)).toSeq
+    val got = WarehouseOps.skyline(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == exp)
+    // along the frontier, size strictly INCREASES with price (you pay
+    // more only for more size), modulo equal-point duplicates
+    got.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a._2 < b._2 && a._3 < b._3 ||
+          (a._2 == b._2 && a._3 == b._3))
+      case _ =>
+    }
+  }
+
+  test("q235 mode ≡ driver frequency argmax with smallest-value ties") {
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("c_mktsegment",
+        "CAST(floor(CAST(c_acctbal AS DECIMAL(12,2))) AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val exp = c.groupBy(_._1).view.mapValues { xs =>
+      val freq = xs.groupBy(_._2).view.mapValues(_.length.toLong).toSeq
+      val best = freq.maxBy { case (v, n) => (n, -v) }
+      (best._2, best._1)
+    }.toMap
+    val got = WarehouseOps.modePerGroup(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == exp)
+  }
+
+  test("q236 ≡ driver per-user sequence scan; gaps exist (interleaved " +
+    "producers)") {
+    val ev = graft.Tables.events(spark, sf)
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val exp = ev.groupBy(_._1).view.mapValues { es =>
+      val ids = es.map(_._2).sorted
+      val gaps = ids.zip(ids.tail).filter { case (a, b) => b - a > 1 }
+      (ids.length.toLong, gaps.length.toLong,
+        gaps.map { case (a, b) => b - a - 1 }.sum)
+    }.toMap
+    val got = WarehouseOps.idGaps(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == exp)
+    assert(got.values.exists(_._2 > 0), "interleaving must show gaps")
+  }
 }
