@@ -145,13 +145,114 @@ object AuditOps {
     ev.unionAll(cu).unionAll(or).unionAll(li).orderBy(col("table_name"))
   }
 
+  /** q237: recurring similar-amount purchase census — the AP screening
+    * audit (duplicate/subscription detection): same customer, same
+    * $1000 amount bucket, order dates within 365 days, distinct
+    * orders. (Exact-amount-within-7-days was verified VACUOUS on the
+    * continuous synthetic totals — an audit whose oracle can only ever
+    * hash an empty set proves nothing, so the parameters are set where
+    * the data has signal.) The self-join co-partitions on (customer,
+    * bucket) — the equality predicate IS the blocking key. */
+  def dupInvoices(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("ok"),
+      col("o_custkey").as("ck"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        .as("cents"),
+      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))" +
+        " div 86400000000").as("day"))
+    val ob = o.withColumn("bucket", expr("cents div 100000"))
+    ob.as("a").join(ob.as("b"),
+        col("a.ck") === col("b.ck") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.ok") < col("b.ok") &&
+          abs(col("a.day") - col("b.day")) <= 365)
+      .select(col("a.ck").as("custkey"), col("a.bucket").as("bucket"),
+        col("a.ok").as("order_a"), col("b.ok").as("order_b"),
+        abs(col("a.day") - col("b.day")).as("days_apart"))
+      .orderBy(col("custkey"), col("bucket"), col("order_a"),
+        col("order_b"))
+  }
+
+  // Benford first-digit expectation in ppm: floor(log10(1+1/d)·10⁶),
+  // computed ONCE driver-side (the q230 literal-threshold device —
+  // the log never evaluates in either engine).
+  private val BenfordPpm: Seq[Long] =
+    (1 to 9).map(dd => (math.log10(1.0 + 1.0 / dd) * 1e6).toLong)
+
+  /** q238: Benford's-law first-digit audit of order totals — observed
+    * first-digit counts vs the Benford expectation, with the χ²-style
+    * milli-statistic Σ (obs·10⁶ − n·exp_ppm)² / (n·exp_ppm·10³)
+    * entirely in DECIMAL(38). One map-side digit census; the digit
+    * frame is 9 rows. */
+  def benford(s: SparkSession, d: String): DataFrame = {
+    val digits = Tables.orders(s, d)
+      .select(expr("CAST(substring(CAST(CAST(CAST(o_totalprice" +
+        " AS DECIMAL(12,2)) * 100 AS BIGINT) AS STRING), 1, 1)" +
+        " AS BIGINT)").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("obs"))
+    val exp_ = s.createDataFrame(
+        BenfordPpm.zipWithIndex.map { case (p, i) => (i + 1L, p) })
+      .toDF("digit", "exp_ppm")
+    val n = digits.agg(sum(col("obs")).as("n"))
+    digits.join(broadcast(exp_), "digit")
+      .crossJoin(broadcast(n))
+      .select(col("digit"), col("obs"), col("exp_ppm"),
+        expr("obs * 1000000 div n").as("obs_ppm"),
+        expr("CAST((CAST(obs AS DECIMAL(38,0)) * 1000000 - CAST(n" +
+          " AS DECIMAL(38,0)) * exp_ppm) * (CAST(obs AS DECIMAL(38,0))" +
+          " * 1000000 - CAST(n AS DECIMAL(38,0)) * exp_ppm)" +
+          " div (CAST(n AS DECIMAL(38,0)) * exp_ppm * 1000)" +
+          " AS BIGINT)").as("chi2_milli"))
+      .orderBy(col("digit"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_dup_invoices" -> dupInvoices,
+    "q238_benford" -> benford,
     "q205_fk_integrity" -> fkIntegrity,
     "q206_quantile_normalize" -> quantileNormalize,
     "q210_sample_allocation" -> sampleAllocation,
     "q214_forget_cascade" -> forgetCascade)
 
   val oracle: Map[String, String] = Map(
+    "q237_dup_invoices" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS ok, o_custkey AS ck,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    epoch_us(date_trunc('microseconds', o_orderdate))
+        |      // 86400000000 AS day
+        |  FROM orders)
+        |SELECT a.ck AS custkey, a.cents // 100000 AS bucket,
+        |  a.ok AS order_a, b.ok AS order_b,
+        |  abs(a.day - b.day) AS days_apart
+        |FROM o a JOIN o b
+        |  ON a.ck = b.ck AND a.cents // 100000 = b.cents // 100000
+        |  AND a.ok < b.ok AND abs(a.day - b.day) <= 365
+        |ORDER BY custkey, bucket, order_a, order_b""".stripMargin,
+    "q238_benford" -> {
+      val expValues = BenfordPpm.zipWithIndex
+        .map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")
+      s"""WITH digits AS (
+         |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice
+         |      AS DECIMAL(12,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1)
+         |      AS BIGINT) AS digit
+         |  FROM orders),
+         |ob AS (SELECT digit, COUNT(*) AS obs FROM digits
+         |  GROUP BY digit),
+         |e(digit, exp_ppm) AS (VALUES $expValues),
+         |n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM ob)
+         |SELECT ob.digit, obs, CAST(exp_ppm AS BIGINT) AS exp_ppm,
+         |  obs * 1000000 // n AS obs_ppm,
+         |  CAST((CAST(obs AS HUGEINT) * 1000000
+         |      - CAST(n AS HUGEINT) * exp_ppm)
+         |    * (CAST(obs AS HUGEINT) * 1000000
+         |      - CAST(n AS HUGEINT) * exp_ppm)
+         |    // (CAST(n AS HUGEINT) * exp_ppm * 1000) AS BIGINT)
+         |    AS chi2_milli
+         |FROM ob JOIN e ON ob.digit = e.digit CROSS JOIN n
+         |ORDER BY ob.digit""".stripMargin
+    },
     "q214_forget_cascade" ->
       """WITH cust AS (
         |  SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0),

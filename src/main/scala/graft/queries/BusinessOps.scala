@@ -139,6 +139,59 @@ object BusinessOps {
       .orderBy(col("decile"))
   }
 
+  /** q239: order-to-ship lag percentiles per order month — exact
+    * p50/p90 from per-month lag-day histograms (the q161 device,
+    * partitioned by month: the lag domain is bounded by the fulfilment
+    * window, so the frames stay tiny at any order volume). */
+  def shipLag(s: SparkSession, d: String): DataFrame = {
+    val lags = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        expr("year(CAST(o_orderdate AS TIMESTAMP)) * 100" +
+          " + month(CAST(o_orderdate AS TIMESTAMP))").as("ym"),
+        expr("(unix_micros(CAST(l_shipdate AS TIMESTAMP))" +
+          " - unix_micros(CAST(o_orderdate AS TIMESTAMP)))" +
+          " div 86400000000").as("lag_d"))
+    val n = lags.groupBy(col("ym")).agg(count(lit(1)).as("n"))
+    lags.groupBy(col("ym"), col("lag_d")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("ym")).orderBy(col("lag_d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(n), "ym")
+      .groupBy(col("ym"))
+      .agg(max(col("n")).as("n_lines"),
+        min(when(col("cum") * 2 >= col("n"), col("lag_d")))
+          .as("p50_days"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("lag_d")))
+          .as("p90_days"))
+      .orderBy(col("ym"))
+  }
+
+  /** q240: supplier concentration (Herfindahl–Hirschman index) per part
+    * type — HHI = Σ share² over supplier revenue shares, carried as
+    * Σ share_ppm² div 10⁶ ∈ [0, 10⁶]. Shares from one co-partitioned
+    * lineitem×part join; the HHI sum is per-(type, supplier) —
+    * vocabulary-bounded. */
+  def supplierHhi(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"), col("l_suppkey"))
+      .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100" +
+        " AS BIGINT)")).as("cents"))
+    val tot = rev.groupBy(col("p_type")).agg(sum(col("cents")).as("t"),
+      count_distinct(col("l_suppkey")).as("n_suppliers"))
+    rev.join(broadcast(tot), "p_type")
+      .withColumn("share_ppm", expr("cents * 1000000 div t"))
+      .groupBy(col("p_type"))
+      .agg(max(col("n_suppliers")).as("n_suppliers"),
+        expr("CAST(sum(share_ppm * share_ppm) div 1000000 AS BIGINT)")
+          .as("hhi_ppm"))
+      .orderBy(col("p_type"))
+  }
+
   /** q196: one row — conversion-lag distribution in whole hours. */
   def timeToConvert(s: SparkSession, d: String): DataFrame = {
     val perUser = Tables.events(s, d)
@@ -204,9 +257,47 @@ object BusinessOps {
     "q199_revenue_gini" -> revenueGini,
     "q200_rfm_segments" -> rfmSegments,
     "q201_assoc_rules" -> assocRules,
-    "q208_decile_lift" -> decileLift)
+    "q208_decile_lift" -> decileLift,
+    "q239_ship_lag" -> shipLag,
+    "q240_supplier_hhi" -> supplierHhi)
 
   val oracle: Map[String, String] = Map(
+    "q239_ship_lag" ->
+      """WITH lags AS (
+        |  SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+        |    (epoch_us(date_trunc('microseconds', l_shipdate))
+        |      - epoch_us(date_trunc('microseconds', o_orderdate)))
+        |      // 86400000000 AS lag_d
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |n AS (SELECT ym, COUNT(*) AS n FROM lags GROUP BY ym),
+        |vc AS (
+        |  SELECT ym, lag_d, COUNT(*) AS c FROM lags GROUP BY ym, lag_d),
+        |cum AS (
+        |  SELECT ym, lag_d,
+        |    SUM(c) OVER (PARTITION BY ym ORDER BY lag_d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM vc)
+        |SELECT cum.ym, MAX(n) AS n_lines,
+        |  MIN(CASE WHEN cum * 2 >= n THEN lag_d END) AS p50_days,
+        |  MIN(CASE WHEN cum * 10 >= n * 9 THEN lag_d END) AS p90_days
+        |FROM cum JOIN n ON cum.ym = n.ym
+        |GROUP BY cum.ym ORDER BY 1""".stripMargin,
+    "q240_supplier_hhi" ->
+      """WITH rev AS (
+        |  SELECT p_type, l_suppkey,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_type, l_suppkey),
+        |tot AS (
+        |  SELECT p_type, CAST(SUM(cents) AS BIGINT) AS t,
+        |    COUNT(DISTINCT l_suppkey) AS n_suppliers
+        |  FROM rev GROUP BY p_type)
+        |SELECT rev.p_type, MAX(n_suppliers) AS n_suppliers,
+        |  CAST(SUM((cents * 1000000 // t) * (cents * 1000000 // t))
+        |    // 1000000 AS BIGINT) AS hhi_ppm
+        |FROM rev JOIN tot ON rev.p_type = tot.p_type
+        |GROUP BY rev.p_type ORDER BY 1""".stripMargin,
     "q200_rfm_segments" ->
       """WITH maxd AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
         |pc AS (

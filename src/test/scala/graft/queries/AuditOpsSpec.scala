@@ -89,4 +89,40 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(got("events") ==
       ((ev.distinct.length.toLong, ev.length.toLong)))
   }
+
+  test("q237 ≡ driver recurring-amount scan") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_orderkey", "o_custkey",
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000",
+        "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        JBD.valueOf(r.getDouble(3)).setScale(2, RoundingMode.HALF_UP)
+          .movePointRight(2).longValueExact / 100000L))
+    val exp = (for {
+      a <- o; b <- o
+      if a._2 == b._2 && a._4 == b._4 && a._1 < b._1 &&
+        math.abs(a._3 - b._3) <= 365
+    } yield (a._2, a._4, a._1, b._1, math.abs(a._3 - b._3)))
+      .sortBy(t => (t._1, t._2, t._3, t._4)).toSeq
+    val got = AuditOps.dupInvoices(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == exp)
+    assert(got.nonEmpty, "parameters must produce signal on this data")
+  }
+
+  test("q238 Benford: census partitions orders; constants are Benford") {
+    val rows = AuditOps.benford(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 9L))
+    val n = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == n)
+    rows.foreach { r =>
+      val d = r.getLong(0).toInt
+      assert(r.getLong(2) == (math.log10(1.0 + 1.0 / d) * 1e6).toLong)
+      val (obs, exp) = (BigInt(r.getLong(1)), BigInt(r.getLong(2)))
+      val dev = obs * 1000000 - BigInt(n) * exp
+      assert(r.getLong(4) == dev * dev / (BigInt(n) * exp * 1000))
+    }
+  }
 }

@@ -153,4 +153,59 @@ class BusinessOpsSpec extends AnyFunSuite {
         (BigInt(cum) * 10 * 1000000 / (BigInt(totalCents) * r.getInt(0))))
     }
   }
+
+  test("q239 ≡ driver ship-lag percentiles for every month") {
+    val ords = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_orderkey",
+        "year(o_orderdate) * 100 + month(o_orderdate)",
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP))").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val lags = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_orderkey",
+        "unix_micros(CAST(l_shipdate AS TIMESTAMP))").collect()
+      .map { r =>
+        val (ym, odu) = ords(r.getLong(0))
+        (ym, (r.getLong(1) - odu) / 86400000000L)
+      }
+    val exp = lags.groupBy(_._1).view.mapValues { ls =>
+      val xs = ls.map(_._2).sorted
+      def pct(num: Int, den: Int) =
+        xs.zipWithIndex.collectFirst {
+          case (v, i) if (i + 1).toLong * den >= xs.length.toLong * num => v
+        }.get
+      (xs.length.toLong, pct(1, 2), pct(9, 10))
+    }.toMap
+    val got = BusinessOps.shipLag(spark, sf).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == exp)
+    got.values.foreach { case (_, p50, p90) => assert(p50 <= p90) }
+  }
+
+  test("q240 HHI ≡ driver shares; bounded by [1e6/n, 1e6]") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val types = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_partkey", "p_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val rev = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_partkey", "l_suppkey", "l_extendedprice").collect()
+      .map(r => ((types(r.getLong(0)), r.getLong(1)),
+        JBD.valueOf(r.getDouble(2)).setScale(2, RoundingMode.HALF_UP)
+          .movePointRight(2).longValueExact))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val exp = rev.keys.map(_._1).toSeq.distinct.map { t =>
+      val sups = rev.filter(_._1._1 == t)
+      val tot = sups.values.sum
+      val hhi = sups.values.map { c =>
+        val p = BigInt(c) * 1000000 / tot; p * p
+      }.sum / 1000000
+      t -> ((sups.size.toLong, hhi.toLong))
+    }.toMap
+    val got = BusinessOps.supplierHhi(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == exp)
+    got.values.foreach { case (n, hhi) =>
+      assert(hhi >= 1000000L / n - 1 && hhi <= 1000000L)
+    }
+  }
 }
