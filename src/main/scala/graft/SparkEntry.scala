@@ -59,7 +59,10 @@ object SparkEntry {
       graft.queries.AuditOps.queries ++
       graft.queries.SqlSurface.queries ++
       graft.queries.WarehouseOps.queries ++
-      graft.queries.FeatureOps.queries
+      graft.queries.FeatureOps.queries ++
+      graft.queries.IntervalOps.queries ++
+      graft.queries.GovernanceOps.queries ++
+      graft.queries.CustomerValueOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -108,5 +111,8 @@ object SparkEntry {
       graft.queries.AuditOps.oracle ++
       graft.queries.SqlSurface.oracle ++
       graft.queries.WarehouseOps.oracle ++
-      graft.queries.FeatureOps.oracle
+      graft.queries.FeatureOps.oracle ++
+      graft.queries.IntervalOps.oracle ++
+      graft.queries.GovernanceOps.oracle ++
+      graft.queries.CustomerValueOps.oracle
 }
