@@ -62,7 +62,9 @@ object SparkEntry {
       graft.queries.FeatureOps.queries ++
       graft.queries.IntervalOps.queries ++
       graft.queries.GovernanceOps.queries ++
-      graft.queries.CustomerValueOps.queries
+      graft.queries.CustomerValueOps.queries ++
+      graft.queries.ReadabilityOps.queries ++
+      graft.queries.EntityResolutionOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -114,5 +116,7 @@ object SparkEntry {
       graft.queries.FeatureOps.oracle ++
       graft.queries.IntervalOps.oracle ++
       graft.queries.GovernanceOps.oracle ++
-      graft.queries.CustomerValueOps.oracle
+      graft.queries.CustomerValueOps.oracle ++
+      graft.queries.ReadabilityOps.oracle ++
+      graft.queries.EntityResolutionOps.oracle
 }

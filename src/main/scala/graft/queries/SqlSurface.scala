@@ -75,10 +75,59 @@ object SqlSurface {
          |  ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2) t
          |ORDER BY n.n_name, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
 
+  /** q250: the window-function surface in one query — ranking (ROW_NUMBER
+    * / RANK / DENSE_RANK / NTILE), navigation (LAG / LEAD / FIRST_VALUE /
+    * LAST_VALUE / NTH_VALUE) and relative position (PERCENT_RANK /
+    * CUME_DIST) over each customer's order sequence. The ordering key
+    * (day, orderkey) is unique, so every function is deterministic; the
+    * relative-position doubles are exact small-integer ratios computed
+    * identically by both engines. Restricted to customers with ≥ 2
+    * orders so PERCENT_RANK's (n−1) denominator never hits zero.
+    * Scale: one shuffle to custkey, per-customer sorts — no global sort. */
+  def windowSurface(s: SparkSession, d: String): DataFrame =
+    s.sql(
+      s"""WITH o AS (
+         |  SELECT o_custkey AS custkey, o_orderkey AS ok,
+         |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+         |      AS cents,
+         |    unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000
+         |      AS day
+         |  FROM ${tbl(d, "orders")}),
+         |w AS (
+         |  SELECT custkey, ok, cents,
+         |    COUNT(*) OVER (PARTITION BY custkey) AS n_orders,
+         |    ROW_NUMBER() OVER win AS rn,
+         |    RANK() OVER (PARTITION BY custkey ORDER BY cents DESC)
+         |      AS rnk,
+         |    DENSE_RANK() OVER (PARTITION BY custkey ORDER BY cents DESC)
+         |      AS drnk,
+         |    NTILE(4) OVER win AS quartile,
+         |    LAG(cents) OVER win AS prev_cents,
+         |    LEAD(cents) OVER win AS next_cents,
+         |    FIRST_VALUE(cents) OVER win AS first_cents,
+         |    LAST_VALUE(cents) OVER (PARTITION BY custkey
+         |      ORDER BY day, ok
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |      AS last_cents,
+         |    NTH_VALUE(cents, 2) OVER (PARTITION BY custkey
+         |      ORDER BY day, ok
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS second_cents,
+         |    PERCENT_RANK() OVER win AS pct_rank,
+         |    CUME_DIST() OVER win AS cume
+         |  FROM o
+         |  WINDOW win AS (PARTITION BY custkey ORDER BY day, ok))
+         |SELECT custkey, ok, cents, rn, rnk, drnk, quartile, prev_cents,
+         |  next_cents, first_cents, last_cents, second_cents, pct_rank,
+         |  cume
+         |FROM w WHERE n_orders >= 2
+         |ORDER BY custkey, rn""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q216_grouping_sets" -> groupingSets,
     "q217_correlated_subquery" -> correlatedSubquery,
-    "q218_lateral_topn" -> lateralTopOrders)
+    "q218_lateral_topn" -> lateralTopOrders,
+    "q250_window_surface" -> windowSurface)
 
   val oracle: Map[String, String] = Map(
     "q216_grouping_sets" ->
@@ -112,5 +161,42 @@ object SqlSurface {
         |  JOIN customer c ON o.o_custkey = c.c_custkey
         |  WHERE c.c_nationkey = n.n_nationkey
         |  ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2) t
-        |ORDER BY n.n_name, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+        |ORDER BY n.n_name, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
+    "q250_window_surface" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS custkey, o_orderkey AS ok,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    epoch_us(date_trunc('microseconds', o_orderdate))
+        |      // 86400000000 AS day
+        |  FROM orders),
+        |w AS (
+        |  SELECT custkey, ok, cents,
+        |    COUNT(*) OVER (PARTITION BY custkey) AS n_orders,
+        |    CAST(ROW_NUMBER() OVER win AS BIGINT) AS rn,
+        |    CAST(RANK() OVER (PARTITION BY custkey ORDER BY cents DESC)
+        |      AS BIGINT) AS rnk,
+        |    CAST(DENSE_RANK() OVER (PARTITION BY custkey
+        |      ORDER BY cents DESC) AS BIGINT) AS drnk,
+        |    CAST(NTILE(4) OVER win AS BIGINT) AS quartile,
+        |    LAG(cents) OVER win AS prev_cents,
+        |    LEAD(cents) OVER win AS next_cents,
+        |    FIRST_VALUE(cents) OVER win AS first_cents,
+        |    LAST_VALUE(cents) OVER (PARTITION BY custkey
+        |      ORDER BY day, ok
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS last_cents,
+        |    NTH_VALUE(cents, 2) OVER (PARTITION BY custkey
+        |      ORDER BY day, ok
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS second_cents,
+        |    PERCENT_RANK() OVER win AS pct_rank,
+        |    CUME_DIST() OVER win AS cume
+        |  FROM o
+        |  WINDOW win AS (PARTITION BY custkey ORDER BY day, ok))
+        |SELECT custkey, ok, cents, rn, rnk, drnk, quartile, prev_cents,
+        |  next_cents, first_cents, last_cents, second_cents, pct_rank,
+        |  cume
+        |FROM w WHERE n_orders >= 2
+        |ORDER BY custkey, rn""".stripMargin)
 }

@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q251 — third-algorithm re-derivation (driver union-find over driver
+  * Levenshtein) + a fixture where clusters are strictly inside blocks. */
+class EntityResolutionOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to a.length) {
+        val t = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = t
+      }
+    }
+    dp(a.length)
+  }
+
+  private def unionFind(names: Seq[String],
+      edges: Seq[(String, String)]): Map[String, String] = {
+    val parent = scala.collection.mutable.Map(names.map(n => n -> n): _*)
+    def find(x: String): String = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    // path-compress to canonical min via repeated find (min-union above)
+    names.map(n => n -> find(n)).toMap
+  }
+
+  test("q251 ≡ driver union-find over driver Levenshtein") {
+    val names = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_name").collect().map(_.getString(0)).distinct.toSeq
+    val edges = names.groupBy(_.take(16)).values.flatMap { blk =>
+      for {
+        a <- blk; b <- blk
+        if a < b && lev(a, b) <= 2
+      } yield (a, b)
+    }.toSeq
+    val labels = unionFind(names, edges)
+    val expect = labels.groupBy(_._2).view
+      .mapValues(_.size.toLong).toMap
+    // min-union keeps the lexicographic min as root only if unions
+    // always attach the larger root; re-canonicalize per component
+    val byComp = labels.groupBy(_._2).map { case (_, ms) =>
+      val members = ms.keys.toSeq
+      members.min -> members.size.toLong
+    }
+    val got = EntityResolutionOps.erPipeline(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == byComp)
+    assert(expect.values.sum == names.size)
+  }
+
+  test("fixture: clusters strictly inside a block; chain transitivity") {
+    import spark.implicits._
+    // one 16-char block prefix; suffixes craft two clusters + a loner:
+    //  n01 ~ n02 (dist 1), n02 ~ n13 (dist 2) -> chain {n01,n02,n13}
+    //  zz9 far from everything (dist > 2 to all) -> singleton
+    val blk = "BLOCKAAAAAAAAAA_" // 16 chars
+    val names = Seq(s"${blk}a0000", s"${blk}a0011", s"${blk}a1111",
+      s"${blk}zzzzz")
+    val df = names.toDF("c_name")
+    val got = EntityResolutionOps.resolve(spark, df).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(s"${blk}a0000" -> 3L, s"${blk}zzzzz" -> 1L))
+    // the endpoints are NOT a direct match (dist 3 > 2) — only the
+    // a0011 bridge joins them:
+    assert(lev(s"${blk}a0000", s"${blk}a1111") > 2)
+  }
+}

@@ -59,4 +59,47 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got == exp)
   }
+
+  test("q250: window-function surface obeys its defining identities") {
+    val rows = SqlSurface.windowSurface(spark, sf).collect()
+    val byCust = rows.groupBy(_.getLong(0))
+    assert(byCust.nonEmpty)
+    byCust.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(3))
+      val n = sorted.length
+      assert(n >= 2)
+      // rn is 1..n; first/last frame values match the sequence ends
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to n))
+      val cents = sorted.map(_.getLong(2))
+      assert(sorted.forall(_.getLong(9) == cents.head))  // first_cents
+      assert(sorted.forall(_.getLong(10) == cents.last)) // last_cents
+      // nth_value(2) null on row 1, then the 2nd cents
+      assert(sorted.head.isNullAt(11))
+      sorted.tail.foreach(r => assert(r.getLong(11) == cents(1)))
+      // lag/lead stitch the sequence
+      assert(sorted.head.isNullAt(7) && sorted.last.isNullAt(8))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(7) == a.getLong(2))
+          assert(a.getLong(8) == b.getLong(2))
+        case _ =>
+      }
+      // rank census: dense_rank is a gapless relabeling of rank;
+      // ntile buckets differ by at most one, non-increasing
+      val rnk = sorted.map(_.getInt(4)).sorted
+      val drnk = sorted.map(_.getInt(5)).sorted
+      assert(drnk.distinct.length == rnk.distinct.length)
+      assert(drnk.distinct.toSeq == (1 to drnk.distinct.length))
+      val tiles = sorted.map(_.getInt(6)).groupBy(identity).view
+        .mapValues(_.length).toMap
+      val sizes = tiles.toSeq.sortBy(_._1).map(_._2)
+      assert(sizes.max - sizes.min <= 1)
+      assert(sizes.zip(sizes.tail).forall(p => p._1 >= p._2))
+      // exact relative positions
+      sorted.foreach { r =>
+        assert(r.getDouble(12) == (r.getInt(3) - 1).toDouble / (n - 1))
+        assert(r.getDouble(13) == r.getInt(3).toDouble / n)
+      }
+    }
+  }
 }
