@@ -38,5 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HeavyHitters].getName, "heavy_hitters"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HeavyHitters(exprs(0), exprs(1)).toAggregateExpression()))
+    // band-join → granule-bucketed equi-join rewrite (see
+    // graft.plans.BandJoinRewrite; spark.graft.bandJoin.enabled=false
+    // to disable)
+    e.injectOptimizerRule(graft.plans.BandJoinRewrite)
   }
 }

@@ -1,0 +1,80 @@
+package graft.plans
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BandJoinRewrite — losslessness (incl. negative keys), plan shape
+  * (BNLJ eliminated), guards (equi-join present / disabled flag). */
+class BandJoinRewriteSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def withRule[T](body: => T): T = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ BandJoinRewrite(spark)
+    try body
+    finally spark.experimental.extraOptimizations = prev
+  }
+
+  private def frames = {
+    import spark.implicits._
+    // negative keys on both sides — floor-division correctness is the
+    // point (truncating div would mis-bucket negatives)
+    val l = (-7L to 7L).map(v => (v, s"l$v")).toDF("lv", "ltag")
+    val r = (-9L to 9L by 2).map(v => (v, s"r$v")).toDF("rv", "rtag")
+    (l, r)
+  }
+
+  test("band join rewritten: result exact, no nested-loop join") {
+    withRule {
+      val (l, r) = frames
+      val joined = l.join(r, abs(col("lv") - col("rv")) <= 3)
+      val got = joined.select("lv", "rv").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      val expect = (for {
+        a <- -7L to 7L; b <- -9L to 9L by 2
+        if math.abs(a - b) <= 3
+      } yield (a, b)).sorted
+      assert(got == expect)
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("graft_band_bl"), "rule should have fired")
+      val phys = joined.queryExecution.executedPlan.toString
+      assert(!phys.contains("NestedLoop"),
+        s"band join should plan as an equi join:\n$phys")
+    }
+  }
+
+  test("guard: an existing equi key suppresses the rewrite") {
+    withRule {
+      val (l, r) = frames
+      val joined = l.join(r,
+        col("ltag") === col("rtag") && abs(col("lv") - col("rv")) <= 3)
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(!opt.contains("graft_band_bl"))
+    }
+  }
+
+  test("guard: spark.graft.bandJoin.enabled=false disables the rule") {
+    withRule {
+      spark.conf.set("spark.graft.bandJoin.enabled", "false")
+      try {
+        val (l, r) = frames
+        val joined = l.join(r, abs(col("lv") - col("rv")) <= 3)
+        val opt = joined.queryExecution.optimizedPlan.toString
+        assert(!opt.contains("graft_band_bl"))
+      } finally spark.conf.unset("spark.graft.bandJoin.enabled")
+    }
+  }
+
+  test("zero-width band (equality in disguise) still exact") {
+    withRule {
+      val (l, r) = frames
+      val joined = l.join(r, abs(col("lv") - col("rv")) <= 0)
+        .select("lv", "rv").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      val expect = (-7L to 7L).filter(v => v >= -9 && v <= 9 &&
+        (v % 2 != 0)).map(v => (v, v)).sorted
+      assert(joined == expect)
+    }
+  }
+}
