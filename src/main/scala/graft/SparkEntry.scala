@@ -64,7 +64,9 @@ object SparkEntry {
       graft.queries.GovernanceOps.queries ++
       graft.queries.CustomerValueOps.queries ++
       graft.queries.ReadabilityOps.queries ++
-      graft.queries.EntityResolutionOps.queries
+      graft.queries.EntityResolutionOps.queries ++
+      graft.queries.EventJoinOps.queries ++
+      graft.queries.CorpusAuditOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -118,5 +120,7 @@ object SparkEntry {
       graft.queries.GovernanceOps.oracle ++
       graft.queries.CustomerValueOps.oracle ++
       graft.queries.ReadabilityOps.oracle ++
-      graft.queries.EntityResolutionOps.oracle
+      graft.queries.EntityResolutionOps.oracle ++
+      graft.queries.EventJoinOps.oracle ++
+      graft.queries.CorpusAuditOps.oracle
 }

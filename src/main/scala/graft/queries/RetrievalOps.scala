@@ -200,8 +200,10 @@ object RetrievalOps {
     * a posting-style equi-join on term (docs sharing ≥1 term), the
     * per-query window ranks only that query's candidates. Output: one
     * row per query. */
-  def retrievalEval(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Shared qrel machinery of q175/q253: candidate (q, doc) matches
+    * with term-overlap stats, and the derived binary relevance set. */
+  private def lexicalJudgments(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d)
     val words = docs.select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
@@ -217,6 +219,12 @@ object RetrievalOps {
         count(lit(1)).as("tf"))
     val rel = matches.filter(col("n_terms") >= 2)
       .select(col("q"), col("doc_id"), lit(1L).as("is_rel"))
+    (matches, rel)
+  }
+
+  def retrievalEval(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (matches, rel) = lexicalJudgments(s, d)
     val ranked = matches
       .withColumn("rank", row_number().over(Window.partitionBy(col("q"))
         .orderBy(col("n_terms").desc, col("tf").desc, col("doc_id"))))
@@ -232,35 +240,90 @@ object RetrievalOps {
         coalesce(expr("1000000L div first_rel"), lit(0L)).as("mrr_ppm"))
   }
 
+  // NDCG@10 discounts 10⁶/log₂(i+1), i = 1..10, computed ONCE driver-
+  // side (the q230/q238 literal device — the log never runs in-engine),
+  // plus their prefix sums (ideal DCG for n_rel = 1..10 binary gains).
+  private val DiscPpm: Seq[Long] =
+    (1 to 10).map(i => (1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+  private val IdcgPpm: Seq[Long] = DiscPpm.scanLeft(0L)(_ + _).tail
+
+  /** q253: NDCG@10 of the lexical ranking against the q175 qrels —
+    * binary gains, literal discount table, all-integer ppm. Exact in
+    * both engines because the only transcendentals are the ten driver-
+    * computed literals. One row per query with ≥1 relevant doc. */
+  def ndcgEval(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (matches, rel) = lexicalJudgments(s, d)
+    val ranked = matches
+      .withColumn("rank", row_number().over(Window.partitionBy(col("q"))
+        .orderBy(col("n_terms").desc, col("tf").desc, col("doc_id"))))
+      .join(rel, Seq("q", "doc_id"), "left")
+    val nrel = rel.groupBy(col("q")).agg(count(lit(1)).as("n_rel"))
+    val discArr = array(DiscPpm.map(lit): _*)
+    val idcgArr = array(IdcgPpm.map(lit): _*)
+    ranked.groupBy(col("q"))
+      .agg(sum(when(col("rank") <= 10 && col("is_rel") === 1L,
+          element_at(discArr, col("rank").cast("int"))).otherwise(0L))
+        .as("dcg_ppm"))
+      .join(broadcast(nrel), Seq("q"))
+      .withColumn("idcg_ppm",
+        element_at(idcgArr, least(col("n_rel"), lit(10L)).cast("int")))
+      .select(col("q"), col("n_rel"), col("dcg_ppm"), col("idcg_ppm"),
+        expr("(dcg_ppm * 1000000L) div idcg_ppm").as("ndcg10_ppm"))
+      .orderBy(col("q"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_retrieval_eval" -> retrievalEval,
+    "q253_ndcg" -> ndcgEval,
     "q146_bm25_topk" -> bm25TopK,
     "q148_posting_lists" -> postingLists,
     "q149_chunking" -> chunkDocs,
     "q155_hybrid_rrf" -> hybridRrf)
 
+  /** Shared oracle CTE prefix of q175/q253 (the qrel machinery). */
+  private val qrelCte: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |qt AS (
+      |  SELECT doc_id AS q, unnest(list_distinct(
+      |    list_slice(string_split(text, ' '), 1, 3))) AS word
+      |  FROM documents WHERE doc_id < 5),
+      |m AS (
+      |  SELECT qt.q, w.doc_id,
+      |    COUNT(DISTINCT w.word) AS n_terms, COUNT(*) AS tf
+      |  FROM w JOIN qt USING (word)
+      |  WHERE w.doc_id <> qt.q
+      |  GROUP BY qt.q, w.doc_id),
+      |rel AS (SELECT q, doc_id FROM m WHERE n_terms >= 2),
+      |rk AS (
+      |  SELECT q, doc_id, n_terms, tf,
+      |    ROW_NUMBER() OVER (PARTITION BY q
+      |      ORDER BY n_terms DESC, tf DESC, doc_id) AS rank
+      |  FROM m),
+      |nrel AS (SELECT q, COUNT(*) AS n_rel FROM rel GROUP BY q)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q253_ndcg" -> {
+      val discList = DiscPpm.mkString("[", ", ", "]")
+      val idcgList = IdcgPpm.mkString("[", ", ", "]")
+      s"""$qrelCte,
+         |agg AS (
+         |  SELECT rk.q,
+         |    CAST(SUM(CASE WHEN rk.rank <= 10 AND rel.doc_id IS NOT NULL
+         |      THEN $discList[rk.rank] ELSE 0 END) AS BIGINT) AS dcg_ppm
+         |  FROM rk LEFT JOIN rel
+         |    ON rel.q = rk.q AND rel.doc_id = rk.doc_id
+         |  GROUP BY rk.q)
+         |SELECT a.q, n.n_rel, a.dcg_ppm,
+         |  CAST($idcgList[LEAST(n.n_rel, 10)] AS BIGINT) AS idcg_ppm,
+         |  CAST((a.dcg_ppm * 1000000)
+         |    // $idcgList[LEAST(n.n_rel, 10)] AS BIGINT) AS ndcg10_ppm
+         |FROM agg a JOIN nrel n USING (q) ORDER BY a.q""".stripMargin
+    },
     "q175_retrieval_eval" ->
-      """WITH w AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
-        |  FROM documents),
-        |qt AS (
-        |  SELECT doc_id AS q, unnest(list_distinct(
-        |    list_slice(string_split(text, ' '), 1, 3))) AS word
-        |  FROM documents WHERE doc_id < 5),
-        |m AS (
-        |  SELECT qt.q, w.doc_id,
-        |    COUNT(DISTINCT w.word) AS n_terms, COUNT(*) AS tf
-        |  FROM w JOIN qt USING (word)
-        |  WHERE w.doc_id <> qt.q
-        |  GROUP BY qt.q, w.doc_id),
-        |rel AS (SELECT q, doc_id FROM m WHERE n_terms >= 2),
-        |rk AS (
-        |  SELECT q, doc_id, n_terms, tf,
-        |    ROW_NUMBER() OVER (PARTITION BY q
-        |      ORDER BY n_terms DESC, tf DESC, doc_id) AS rank
-        |  FROM m),
-        |nrel AS (SELECT q, COUNT(*) AS n_rel FROM rel GROUP BY q),
+      s"""$qrelCte,
         |agg AS (
         |  SELECT rk.q,
         |    SUM(CASE WHEN rk.rank <= 10 AND rel.doc_id IS NOT NULL

@@ -209,4 +209,38 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(got == expected)
     assert(expected.values.exists(_._2 > 0), "some recall is non-zero")
   }
+
+  test("q253 NDCG re-derives from the literal qrels + log table") {
+    val disc = (1 to 10).map(i =>
+      (1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val expected = (0L until 5L).flatMap { q =>
+      val terms = docs(q).take(3).distinct.toSet
+      val matches = docs.toSeq.filter(_._1 != q).map { case (id, ws) =>
+        (id, terms.count(t => ws.contains(t)).toLong,
+          ws.count(terms.contains).toLong)
+      }.filter(_._2 > 0)
+      val rel = matches.filter(_._2 >= 2).map(_._1).toSet
+      if (rel.isEmpty) None
+      else {
+        val ranked = matches.sortBy { case (id, nt, tf) => (-nt, -tf, id) }
+          .map(_._1)
+        val dcg = ranked.take(10).zipWithIndex.collect {
+          case (id, i) if rel.contains(id) => disc(i)
+        }.sum
+        val idcg = disc.take(math.min(rel.size, 10)).sum
+        Some(q -> ((rel.size.toLong, dcg, idcg,
+          dcg * 1000000L / idcg)))
+      }
+    }.toMap
+    val got = RetrievalOps.ndcgEval(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected)
+    // sanity: NDCG bounded by 1e6 and positive somewhere
+    assert(got.values.forall(_._4 <= 1000000L))
+    assert(got.values.exists(_._4 > 0L))
+  }
 }
