@@ -66,7 +66,8 @@ object SparkEntry {
       graft.queries.ReadabilityOps.queries ++
       graft.queries.EntityResolutionOps.queries ++
       graft.queries.EventJoinOps.queries ++
-      graft.queries.CorpusAuditOps.queries
+      graft.queries.CorpusAuditOps.queries ++
+      graft.queries.RevenueOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -122,5 +123,6 @@ object SparkEntry {
       graft.queries.ReadabilityOps.oracle ++
       graft.queries.EntityResolutionOps.oracle ++
       graft.queries.EventJoinOps.oracle ++
-      graft.queries.CorpusAuditOps.oracle
+      graft.queries.CorpusAuditOps.oracle ++
+      graft.queries.RevenueOps.oracle
 }

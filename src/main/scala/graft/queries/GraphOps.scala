@@ -191,10 +191,52 @@ object GraphOps {
     ranks
   }
 
+  private val BfsMaxHops = 30
+
+  /** q259: single-source BFS hop distances on the candidate graph —
+    * the Pregel-style frontier expansion (one equi-join + anti-join
+    * per round, localCheckpoint truncating the iterative lineage;
+    * rounds = eccentricity of the source, NOT graph size). Source =
+    * the smallest node id (deterministic). The oracle is a recursive
+    * CTE enumerating (node, hops) STATES with set-union dedup (UNION,
+    * not UNION ALL — path enumeration would explode on the clique-
+    * heavy candidate graph) and taking MIN(hops); the hash match
+    * proves frontier-BFS ≡ the shortest-path recurrence.
+    *
+    * Scale: each round shuffles only the frontier×edges join; visited
+    * state is (node → hops), never paths. The driver sees one scalar
+    * (the source id) and one per-round emptiness check. */
+  def bfsHops(s: SparkSession, d: String): DataFrame = {
+    val pairs = TextOps.ngramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("u"), col("doc_b").as("v")),
+        struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .distinct().localCheckpoint()
+    val src = edges.agg(min(col("u"))).first().getLong(0)
+    var visited = edges.sparkSession.range(1)
+      .select(lit(src).as("doc_id"), lit(0L).as("hops"))
+      .localCheckpoint()
+    var frontier = visited
+    var round = 0
+    while (round < BfsMaxHops && !frontier.isEmpty) {
+      round += 1
+      frontier = frontier
+        .join(edges, frontier("doc_id") === edges("u"))
+        .select(col("v").as("doc_id")).distinct()
+        .join(visited.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(round.toLong).as("hops"))
+        .localCheckpoint()
+      visited = visited.unionAll(frontier).localCheckpoint()
+    }
+    visited.orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_cc_largestar" -> ccLargeStar,
     "q174_graph_stats" -> graphStats,
-    "q176_pagerank" -> pageRank)
+    "q176_pagerank" -> pageRank,
+    "q259_bfs_hops" -> bfsHops)
 
   /** The PageRank recurrence unrolled as chained CTEs — the
     * sequential statement of exactly what the distributed loop does,
@@ -226,6 +268,19 @@ object GraphOps {
 
   val oracle: Map[String, String] = Map(
     "q176_pagerank" -> prOracleSql,
+    "q259_bfs_hops" -> s"""${Advanced.pairsCte},
+      |edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |src AS (SELECT MIN(u) AS s FROM edges),
+      |reach(doc_id, hops) AS (
+      |  SELECT s, 0 FROM src
+      |  UNION
+      |  SELECT e.v, r.hops + 1 FROM reach r
+      |  JOIN edges e ON e.u = r.doc_id
+      |  WHERE r.hops < $BfsMaxHops)
+      |SELECT doc_id, CAST(MIN(hops) AS BIGINT) AS hops
+      |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q174_graph_stats" -> s"""${Advanced.pairsCte},
       |deg AS (
       |  SELECT doc_id, COUNT(*) AS degree FROM (
