@@ -67,7 +67,8 @@ object SparkEntry {
       graft.queries.EntityResolutionOps.queries ++
       graft.queries.EventJoinOps.queries ++
       graft.queries.CorpusAuditOps.queries ++
-      graft.queries.RevenueOps.queries
+      graft.queries.RevenueOps.queries ++
+      graft.queries.KmeansOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -124,5 +125,6 @@ object SparkEntry {
       graft.queries.EntityResolutionOps.oracle ++
       graft.queries.EventJoinOps.oracle ++
       graft.queries.CorpusAuditOps.oracle ++
-      graft.queries.RevenueOps.oracle
+      graft.queries.RevenueOps.oracle ++
+      graft.queries.KmeansOps.oracle
 }
