@@ -486,9 +486,33 @@ object SetOps {
     f.except(p)
   }
 
+  /** q262: MULTISET set operations — INTERSECT ALL / EXCEPT ALL keep
+    * duplicate cardinalities (min / truncated-difference of
+    * multiplicities), the semantics q88/q89's distinct variants
+    * erase. Operand multisets: per-customer order-priority rows from
+    * fulfilled vs open orders — duplicates are the point. Output is a
+    * census (the raw multisets are row-scale): per priority, the
+    * multiset-intersection and multiset-difference cardinalities. */
+  def multisetOps(s: SparkSession, d: String): DataFrame = {
+    val o = graft.Tables.orders(s, d)
+    def side(st: String) = o.filter(col("o_orderstatus") === st)
+      .select(col("o_custkey"), col("o_orderpriority"))
+    val f = side("F"); val p = side("O")
+    val inter = f.intersectAll(p).groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_intersect_all"))
+    val diff = f.exceptAll(p).groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_except_all"))
+    inter.join(diff, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"),
+        coalesce(col("n_except_all"), lit(0L)).as("n_except_all"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_intersect" -> intersectCustomers,
-    "q89_except" -> exceptCustomers)
+    "q89_except" -> exceptCustomers,
+    "q262_multiset_ops" -> multisetOps)
 
   val oracle: Map[String, String] = Map(
     "q88_intersect" ->
@@ -498,7 +522,27 @@ object SetOps {
     "q89_except" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |EXCEPT
-        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin)
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+    "q262_multiset_ops" ->
+      """WITH f AS (
+        |  SELECT o_custkey, o_orderpriority FROM orders
+        |  WHERE o_orderstatus = 'F'),
+        |p AS (
+        |  SELECT o_custkey, o_orderpriority FROM orders
+        |  WHERE o_orderstatus = 'O'),
+        |i AS (
+        |  SELECT o_orderpriority, COUNT(*) AS n_intersect_all FROM (
+        |    SELECT * FROM f INTERSECT ALL SELECT * FROM p)
+        |  GROUP BY 1),
+        |e AS (
+        |  SELECT o_orderpriority, COUNT(*) AS n_except_all FROM (
+        |    SELECT * FROM f EXCEPT ALL SELECT * FROM p)
+        |  GROUP BY 1)
+        |SELECT o_orderpriority,
+        |  COALESCE(n_intersect_all, 0) AS n_intersect_all,
+        |  COALESCE(n_except_all, 0) AS n_except_all
+        |FROM i FULL OUTER JOIN e USING (o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin)
 }
 
 /** Robustness pack: the dirty-data dead-letter path (P1) as a hard

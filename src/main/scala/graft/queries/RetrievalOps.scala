@@ -273,9 +273,32 @@ object RetrievalOps {
       .orderBy(col("q"))
   }
 
+  private val NegK = 5
+
+  /** q261: hard-negative mining for retrieval training — the top-K
+    * highest-ranked NON-relevant candidates per query (strong lexical
+    * match, fails the relevance bar): exactly the negatives a
+    * contrastive dual-encoder trains against (Karpukhin et al. 2020,
+    * DPR). Reuses the q175 qrel machinery; the anti-join against the
+    * relevance set is what makes them "hard". Per-query window ranks
+    * only that query's candidates; output is queries × K. */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (matches, rel) = lexicalJudgments(s, d)
+    matches.join(rel.select(col("q"), col("doc_id")),
+        Seq("q", "doc_id"), "left_anti")
+      .withColumn("rank", row_number().over(Window.partitionBy(col("q"))
+        .orderBy(col("n_terms").desc, col("tf").desc, col("doc_id"))))
+      .filter(col("rank") <= NegK)
+      .select(col("q"), col("rank"), col("doc_id"), col("n_terms"),
+        col("tf"))
+      .orderBy(col("q"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_retrieval_eval" -> retrievalEval,
     "q253_ndcg" -> ndcgEval,
+    "q261_hard_negatives" -> hardNegatives,
     "q146_bm25_topk" -> bm25TopK,
     "q148_posting_lists" -> postingLists,
     "q149_chunking" -> chunkDocs,
@@ -305,6 +328,22 @@ object RetrievalOps {
       |nrel AS (SELECT q, COUNT(*) AS n_rel FROM rel GROUP BY q)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q261_hard_negatives" ->
+      s"""$qrelCte,
+         |neg AS (
+         |  SELECT m.q, m.doc_id, m.n_terms, m.tf
+         |  FROM m LEFT JOIN rel
+         |    ON rel.q = m.q AND rel.doc_id = m.doc_id
+         |  WHERE rel.doc_id IS NULL),
+         |rkneg AS (
+         |  SELECT q, doc_id, n_terms, tf,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q
+         |      ORDER BY n_terms DESC, tf DESC, doc_id) AS BIGINT)
+         |      AS rank
+         |  FROM neg)
+         |SELECT q, rank, doc_id, n_terms, tf
+         |FROM rkneg WHERE rank <= $NegK
+         |ORDER BY q, rank""".stripMargin,
     "q253_ndcg" -> {
       val discList = DiscPpm.mkString("[", ", ", "]")
       val idcgList = IdcgPpm.mkString("[", ", ", "]")

@@ -123,11 +123,39 @@ object SqlSurface {
          |FROM w WHERE n_orders >= 2
          |ORDER BY custkey, rn""".stripMargin)
 
+  /** q263: higher-order array-function surface — per-customer order
+    * amounts collected into a SORTED array (sort_array makes the
+    * nondeterministic collect_list order irrelevant), then reduced
+    * with HOFs: aggregate (fold), element_at with negative indices,
+    * zip_with over shifted slices (max adjacent gap). Customers with
+    * ≥ 2 orders so every derived value is defined. Scale: one shuffle
+    * to custkey; per-customer arrays are order-count sized. */
+  def arraySurface(s: SparkSession, d: String): DataFrame =
+    s.sql(
+      s"""WITH o AS (
+         |  SELECT o_custkey AS custkey,
+         |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+         |      AS cents
+         |  FROM ${tbl(d, "orders")}),
+         |arrs AS (
+         |  SELECT custkey, sort_array(collect_list(cents)) AS arr
+         |  FROM o GROUP BY custkey HAVING COUNT(*) >= 2)
+         |SELECT custkey, size(arr) AS n_orders,
+         |  aggregate(arr, 0L, (acc, x) -> acc + x) AS arr_sum,
+         |  element_at(arr, -1) AS arr_max,
+         |  element_at(arr, 1) AS arr_min,
+         |  element_at(arr, -1) - element_at(arr, -2) AS top2_gap,
+         |  array_max(zip_with(slice(arr, 2, size(arr) - 1),
+         |    slice(arr, 1, size(arr) - 1), (a, b) -> a - b))
+         |    AS max_step
+         |FROM arrs ORDER BY custkey""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q216_grouping_sets" -> groupingSets,
     "q217_correlated_subquery" -> correlatedSubquery,
     "q218_lateral_topn" -> lateralTopOrders,
-    "q250_window_surface" -> windowSurface)
+    "q250_window_surface" -> windowSurface,
+    "q263_array_surface" -> arraySurface)
 
   val oracle: Map[String, String] = Map(
     "q216_grouping_sets" ->
@@ -198,5 +226,24 @@ object SqlSurface {
         |  next_cents, first_cents, last_cents, second_cents, pct_rank,
         |  cume
         |FROM w WHERE n_orders >= 2
-        |ORDER BY custkey, rn""".stripMargin)
+        |ORDER BY custkey, rn""".stripMargin,
+    "q263_array_surface" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS custkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |arrs AS (
+        |  SELECT custkey, list_sort(list(cents)) AS arr
+        |  FROM o GROUP BY custkey HAVING COUNT(*) >= 2)
+        |SELECT custkey, CAST(len(arr) AS INTEGER) AS n_orders,
+        |  CAST(list_sum(arr) AS BIGINT) AS arr_sum,
+        |  arr[-1] AS arr_max,
+        |  arr[1] AS arr_min,
+        |  arr[-1] - arr[-2] AS top2_gap,
+        |  CAST(list_max(list_transform(
+        |    list_zip(list_slice(arr, 2, len(arr)),
+        |      list_slice(arr, 1, len(arr) - 1)),
+        |    x -> x[1] - x[2])) AS BIGINT) AS max_step
+        |FROM arrs ORDER BY custkey""".stripMargin)
 }

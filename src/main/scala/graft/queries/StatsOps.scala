@@ -249,7 +249,75 @@ object StatsOps {
       .orderBy(col("seg"))
   }
 
+  /** q264: Mann–Whitney U between ASIA and EUROPE order totals — the
+    * rank-sum test in DOUBLED integer units (2U absorbs the ½-per-tie
+    * term, so ties never produce fractions): for each distinct value,
+    * 2U_A += f_A·(2·#{B below} + #{B tied}), computed join-free on the
+    * cumulative windows of the value-frequency frame (the q206/q248
+    * counts-of-counts device — the window sorts the price DOMAIN, not
+    * the orders). The identity 2U_A + 2U_B = 2·n_A·n_B is asserted in
+    * the spec (and is a consequence, not an input). */
+  def mannWhitney(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name").isin("ASIA", "EUROPE"))
+      .select(col("r_name"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    val freq = o.groupBy(col("cents"))
+      .agg(sum(when(col("r_name") === "ASIA", 1L).otherwise(0L)).as("fa"),
+        sum(when(col("r_name") === "EUROPE", 1L).otherwise(0L)).as("fb"))
+    val w = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = freq
+      .withColumn("below_a", coalesce(sum(col("fa")).over(w), lit(0L)))
+      .withColumn("below_b", coalesce(sum(col("fb")).over(w), lit(0L)))
+    cum.agg(sum(col("fa")).as("n_a"), sum(col("fb")).as("n_b"),
+        sum(col("fa") * (lit(2L) * col("below_b") + col("fb")))
+          .as("u2_a"),
+        sum(col("fb") * (lit(2L) * col("below_a") + col("fa")))
+          .as("u2_b"))
+      .select(col("n_a"), col("n_b"), col("u2_a"), col("u2_b"))
+  }
+
+  /** q265: Kendall correlation (τ-a numerator census) between daily
+    * event count and daily value total — concordant / discordant /
+    * tie pair counts from the bounded day×day pair frame (days, not
+    * events — the q232 Theil–Sen trade), τ-a in exact milli units.
+    * Sign tests only, no transcendentals. */
+  def kendallTau(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("x"), sum(col("cents")).as("y"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.day") < col("b.day"))
+      .select((col("a.x") - col("b.x")).as("dx"),
+        (col("a.y") - col("b.y")).as("dy"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L))
+          .as("concordant"),
+        sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L))
+          .as("discordant"),
+        sum(when(col("dx") === 0 && col("dy") =!= 0, 1L).otherwise(0L))
+          .as("ties_x"),
+        sum(when(col("dy") === 0 && col("dx") =!= 0, 1L).otherwise(0L))
+          .as("ties_y"),
+        sum(when(col("dx") === 0 && col("dy") === 0, 1L).otherwise(0L))
+          .as("ties_both"))
+      .withColumn("tau_a_milli",
+        expr("((concordant - discordant) * 1000) div n_pairs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q264_mann_whitney" -> mannWhitney,
+    "q265_kendall_tau" -> kendallTau,
     "q232_theil_sen" -> theilSen,
     "q233_conformal" -> conformal,
     "q230_poisson_bootstrap" -> poissonBootstrap,
@@ -266,6 +334,66 @@ object StatsOps {
       |  FROM events GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q264_mann_whitney" ->
+      """WITH o AS (
+        |  SELECT r_name,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name IN ('ASIA', 'EUROPE')),
+        |freq AS (
+        |  SELECT cents,
+        |    CAST(SUM(CASE WHEN r_name = 'ASIA' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fa,
+        |    CAST(SUM(CASE WHEN r_name = 'EUROPE' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fb
+        |  FROM o GROUP BY cents),
+        |cum AS (
+        |  SELECT fa, fb,
+        |    CAST(COALESCE(SUM(fa) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS below_a,
+        |    CAST(COALESCE(SUM(fb) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS below_b
+        |  FROM freq)
+        |SELECT CAST(SUM(fa) AS BIGINT) AS n_a,
+        |  CAST(SUM(fb) AS BIGINT) AS n_b,
+        |  CAST(SUM(fa * (2 * below_b + fb)) AS BIGINT) AS u2_a,
+        |  CAST(SUM(fb * (2 * below_a + fa)) AS BIGINT) AS u2_b
+        |FROM cum""".stripMargin,
+    "q265_kendall_tau" ->
+      s"""WITH dd AS (
+         |  SELECT epoch_us(date_trunc('microseconds', ts))
+         |      // 86400000000 AS day,
+         |    COUNT(*) AS x,
+         |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.x - b.x AS dx, a.y - b.y AS dy
+         |  FROM dd a JOIN dd b ON a.day < b.day),
+         |agg AS (
+         |  SELECT COUNT(*) AS n_pairs,
+         |    CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS concordant,
+         |    CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS discordant,
+         |    CAST(SUM(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS ties_x,
+         |    CAST(SUM(CASE WHEN dy = 0 AND dx <> 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS ties_y,
+         |    CAST(SUM(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS ties_both
+         |  FROM pairs)
+         |SELECT n_pairs, concordant, discordant, ties_x, ties_y,
+         |  ties_both,
+         |  CAST(((concordant - discordant) * 1000) // n_pairs AS BIGINT)
+         |    AS tau_a_milli
+         |FROM agg""".stripMargin,
     "q232_theil_sen" ->
       s"""WITH $dailyCte,
          |pairs AS (

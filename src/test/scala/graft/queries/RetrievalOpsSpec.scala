@@ -243,4 +243,27 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(got.values.forall(_._4 <= 1000000L))
     assert(got.values.exists(_._4 > 0L))
   }
+
+  test("q261 hard negatives: disjoint from qrels, ranked, top-5") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val expected = (0L until 5L).flatMap { q =>
+      val terms = docs(q).take(3).distinct.toSet
+      val matches = docs.toSeq.filter(_._1 != q).map { case (id, ws) =>
+        (id, terms.count(t => ws.contains(t)).toLong,
+          ws.count(terms.contains).toLong)
+      }.filter(_._2 > 0)
+      matches.filter(_._2 < 2) // non-relevant only
+        .sortBy { case (id, nt, tf) => (-nt, -tf, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, nt, tf), i) => (q, i + 1L, id, nt, tf) }
+    }
+    val got = RetrievalOps.hardNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got.sorted == expected.sorted)
+    // hard negatives are never relevant: every negative has < 2 terms
+    assert(got.forall(_._4 < 2))
+  }
 }

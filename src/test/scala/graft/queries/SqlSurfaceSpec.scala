@@ -102,4 +102,50 @@ class SqlSurfaceSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q263 array surface ≡ driver fold/extremes/adjacent gaps") {
+    val cents = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey",
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+      .filter(_._2.length >= 2).toMap
+    val got = SqlSurface.arraySurface(spark, sf).collect()
+    assert(got.length == cents.size)
+    got.foreach { r =>
+      val arr = cents(r.getLong(0))
+      assert(r.getInt(1) == arr.length)
+      assert(r.getLong(2) == arr.sum)
+      assert(r.getLong(3) == arr.max && r.getLong(4) == arr.min)
+      assert(r.getLong(5) == arr(arr.length - 1) - arr(arr.length - 2))
+      assert(r.getLong(6) ==
+        arr.zip(arr.tail).map(p => p._2 - p._1).max)
+    }
+  }
+
+  test("q262 multiset ops ≡ driver multiplicity arithmetic") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_custkey", "o_orderpriority", "o_orderstatus").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def multi(st: String) = o.filter(_._3 == st)
+      .groupBy(x => (x._1, x._2)).view.mapValues(_.length).toMap
+    val f = multi("F"); val p = multi("O")
+    // .toSeq first: mapping a Map to (priority -> n) collapses keys
+    // (the NOTES_r8 Map-view dedup trap)
+    val inter = f.toSeq.map { case (k, n) =>
+      k._2 -> math.min(n, p.getOrElse(k, 0)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2.toLong).sum).toMap
+    val diff = f.toSeq.map { case (k, n) =>
+      k._2 -> math.max(0, n - p.getOrElse(k, 0)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2.toLong).sum).toMap
+    val got = SetOps.multisetOps(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got.foreach { case (pri, (ni, ne)) =>
+      assert(ni == inter.getOrElse(pri, 0L), s"$pri intersect")
+      assert(ne == diff.getOrElse(pri, 0L), s"$pri except")
+    }
+    assert(inter.filter(_._2 > 0).keySet.subsetOf(got.keySet))
+    assert(diff.filter(_._2 > 0).keySet.subsetOf(got.keySet))
+    assert(got.values.exists(v => v._1 > 0 && v._2 > 0))
+  }
 }
