@@ -68,7 +68,8 @@ object SparkEntry {
       graft.queries.EventJoinOps.queries ++
       graft.queries.CorpusAuditOps.queries ++
       graft.queries.RevenueOps.queries ++
-      graft.queries.KmeansOps.queries
+      graft.queries.KmeansOps.queries ++
+      graft.queries.SequentialOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -126,5 +127,6 @@ object SparkEntry {
       graft.queries.EventJoinOps.oracle ++
       graft.queries.CorpusAuditOps.oracle ++
       graft.queries.RevenueOps.oracle ++
-      graft.queries.KmeansOps.oracle
+      graft.queries.KmeansOps.oracle ++
+      graft.queries.SequentialOps.oracle
 }
