@@ -50,8 +50,8 @@ object EntityResolutionOps {
       .select(col("a.c_name").as("doc_a"), col("b.c_name").as("doc_b"))
   }
 
-  /** The full pipeline over any one-column name frame. */
-  private[queries] def resolve(s: SparkSession, raw: DataFrame)
+  /** Per-name entity labels over any one-column name frame. */
+  private[queries] def labels(s: SparkSession, raw: DataFrame)
       : DataFrame = {
     val cc = GraphOps.largeSmallStar(s, nameEdges(s, raw))
     val all = raw.select(col("c_name").as("doc_id")).distinct()
@@ -59,16 +59,51 @@ object EntityResolutionOps {
         Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_rep"), col("doc_id")).as("entity_rep"))
+  }
+
+  /** The full pipeline over any one-column name frame. */
+  private[queries] def resolve(s: SparkSession, raw: DataFrame)
+      : DataFrame =
+    labels(s, raw)
       .groupBy(col("entity_rep"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("entity_rep"))
-  }
 
   def erPipeline(s: SparkSession, d: String): DataFrame =
     resolve(s, Tables.customer(s, d))
 
+  /** q269: survivorship (golden record) — the ER chain's final step:
+    * each resolved entity keeps ONE canonical record, chosen by a
+    * deterministic survivorship rule (highest account balance, ties
+    * to the smallest custkey — a per-entity window rank, mirrored
+    * verbatim in the oracle), plus the field-conflict census a
+    * steward reviews (distinct segments/nations inside the entity).
+    * Completes q251 the way q151 completes q110. */
+  def goldenRecord(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.customer(s, d).select(col("c_name").as("doc_id"),
+      col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+      expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        .as("bal_cents"))
+    val lab = labels(s, Tables.customer(s, d))
+    val members = cust.join(lab, "doc_id")
+    val ranked = members.withColumn("rk", row_number().over(
+      Window.partitionBy(col("entity_rep"))
+        .orderBy(col("bal_cents").desc, col("c_custkey"))))
+    val golden = ranked.filter(col("rk") === 1)
+      .select(col("entity_rep"), col("c_custkey").as("golden_custkey"),
+        col("bal_cents").as("golden_bal_cents"))
+    members.groupBy(col("entity_rep"))
+      .agg(count(lit(1)).as("n_members"),
+        count_distinct(col("c_mktsegment")).as("n_segments"),
+        count_distinct(col("c_nationkey")).as("n_nations"))
+      .join(golden, "entity_rep")
+      .orderBy(col("entity_rep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q251_er_pipeline" -> erPipeline)
+    "q251_er_pipeline" -> erPipeline,
+    "q269_golden_record" -> goldenRecord)
 
   val oracle: Map[String, String] = Map(
     "q251_er_pipeline" ->
@@ -98,5 +133,55 @@ object EntityResolutionOps {
          |    AS entity
          |  FROM names a LEFT JOIN labels l ON a.c_name = l.doc_id)
          |SELECT entity AS entity_rep, COUNT(*) AS n_members
-         |FROM lab2 GROUP BY entity ORDER BY entity""".stripMargin)
+         |FROM lab2 GROUP BY entity ORDER BY entity""".stripMargin,
+    "q269_golden_record" ->
+      s"""WITH RECURSIVE names AS (
+         |  SELECT DISTINCT c_name FROM customer),
+         |blk AS (
+         |  SELECT c_name, substr(c_name, 1, 16) AS blk FROM names),
+         |pairs AS (
+         |  SELECT a.c_name AS doc_a, b.c_name AS doc_b
+         |  FROM blk a JOIN blk b
+         |    ON a.blk = b.blk AND a.c_name < b.c_name
+         |  WHERE levenshtein(a.c_name, b.c_name) <= $EditK),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |labels AS (
+         |  SELECT n.doc_id, LEAST(n.doc_id, MIN(r.v)) AS entity
+         |  FROM nodes n JOIN reach r ON r.u = n.doc_id
+         |  GROUP BY n.doc_id),
+         |lab2 AS (
+         |  SELECT a.c_name AS doc_id, COALESCE(l.entity, a.c_name)
+         |    AS entity
+         |  FROM names a LEFT JOIN labels l ON a.c_name = l.doc_id),
+         |mem AS (
+         |  SELECT l.entity AS entity_rep, c.c_custkey, c.c_mktsegment,
+         |    c.c_nationkey,
+         |    CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+         |      AS bal_cents
+         |  FROM lab2 l JOIN customer c ON l.doc_id = c.c_name),
+         |rk AS (
+         |  SELECT entity_rep, c_custkey, bal_cents,
+         |    ROW_NUMBER() OVER (PARTITION BY entity_rep
+         |      ORDER BY bal_cents DESC, c_custkey) AS rk
+         |  FROM mem),
+         |g AS (
+         |  SELECT entity_rep, c_custkey AS golden_custkey,
+         |    bal_cents AS golden_bal_cents
+         |  FROM rk WHERE rk = 1),
+         |agg AS (
+         |  SELECT entity_rep, COUNT(*) AS n_members,
+         |    COUNT(DISTINCT c_mktsegment) AS n_segments,
+         |    COUNT(DISTINCT c_nationkey) AS n_nations
+         |  FROM mem GROUP BY entity_rep)
+         |SELECT agg.entity_rep, n_members, n_segments, n_nations,
+         |  golden_custkey, golden_bal_cents
+         |FROM agg JOIN g USING (entity_rep)
+         |ORDER BY agg.entity_rep""".stripMargin)
 }

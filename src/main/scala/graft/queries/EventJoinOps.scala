@@ -101,11 +101,59 @@ object EventJoinOps {
       .orderBy(col("user_id"))
   }
 
+  /** q268: time-weighted average event value per user (TWAP) — each
+    * event's value holds until the next event; the weighted mean
+    * weights by holding duration, all integer (cents × µs sums stay
+    * under 2⁶³ through ~10⁶ events/user × full-range gaps; past that
+    * the accumulators move to DECIMAL(38) — documented ceiling, the
+    * q134 discipline). Users with ≥ 2 events (a single event has no
+    * holding interval). One per-user window pass. */
+  def twap(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      expr("unix_micros(ts)").as("t"), col("event_id"),
+      expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        .as("cents"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    ev.withColumn("next_t", lead(col("t"), 1).over(w))
+      .filter(col("next_t").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("next_t") - col("t")).as("span_us"),
+        sum(col("cents") * (col("next_t") - col("t")))
+          .as("weighted_sum"))
+      .select(col("user_id"), col("n_intervals"), col("span_us"),
+        expr("weighted_sum div span_us").as("twap_cents"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q252_nearest_event" -> nearestEvent,
-    "q256_leakage_safe_labels" -> leakageSafeLabels)
+    "q256_leakage_safe_labels" -> leakageSafeLabels,
+    "q268_twap" -> twap)
 
   val oracle: Map[String, String] = Map(
+    "q268_twap" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    epoch_us(date_trunc('microseconds', ts)) AS t,
+        |    event_id,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |iv AS (
+        |  SELECT user_id, t, cents,
+        |    LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |      AS next_t
+        |  FROM ev),
+        |agg AS (
+        |  SELECT user_id, COUNT(*) AS n_intervals,
+        |    CAST(SUM(next_t - t) AS BIGINT) AS span_us,
+        |    CAST(SUM(cents * (next_t - t)) AS BIGINT) AS weighted_sum
+        |  FROM iv WHERE next_t IS NOT NULL
+        |  GROUP BY user_id)
+        |SELECT user_id, n_intervals, span_us,
+        |  CAST(weighted_sum // span_us AS BIGINT) AS twap_cents
+        |FROM agg ORDER BY user_id""".stripMargin,
     "q252_nearest_event" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type,

