@@ -15,6 +15,7 @@ object Explain {
     val pat = if (args.length > 1) args(1) else ""
     val runFirst = !(args.length > 2 && args(2) == "initial")
     val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))

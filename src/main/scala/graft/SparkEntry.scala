@@ -69,7 +69,9 @@ object SparkEntry {
       graft.queries.CorpusAuditOps.queries ++
       graft.queries.RevenueOps.queries ++
       graft.queries.KmeansOps.queries ++
-      graft.queries.SequentialOps.queries
+      graft.queries.SequentialOps.queries ++
+      graft.queries.BandOps.queries ++
+      graft.queries.AllocOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -128,5 +130,7 @@ object SparkEntry {
       graft.queries.CorpusAuditOps.oracle ++
       graft.queries.RevenueOps.oracle ++
       graft.queries.KmeansOps.oracle ++
-      graft.queries.SequentialOps.oracle
+      graft.queries.SequentialOps.oracle ++
+      graft.queries.BandOps.oracle ++
+      graft.queries.AllocOps.oracle
 }

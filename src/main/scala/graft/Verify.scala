@@ -18,6 +18,7 @@ object Verify {
     // over the local master — the partition-count-invariance run.
     val prod = sys.env.get("SPARK_GRAFT_PROFILE").contains("production")
     val builder0 = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
