@@ -150,7 +150,26 @@ object SqlSurface {
          |    AS max_step
          |FROM arrs ORDER BY custkey""".stripMargin)
 
+  /** q274: DYNAMIC pivot — `pivot("source")` with no value list makes
+    * Spark collect the distinct pivot values first (a driver-side
+    * distinct on the dim-scale source column — the documented
+    * justified-collect class, same as DimRouter's config read; q54 is
+    * the static-list variant). Output: one row per lang, one count
+    * column per source. The oracle states the materialized schema
+    * (src0..src19) — which is exactly what the dynamic collect
+    * discovers; a mismatch would fail the schema compare. */
+  def dynamicPivot(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables
+    import org.apache.spark.sql.functions.{col, count, lit}
+    Tables.documents(s, d)
+      .groupBy(col("lang")).pivot("source")
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q274_dynamic_pivot" -> dynamicPivot,
     "q216_grouping_sets" -> groupingSets,
     "q217_correlated_subquery" -> correlatedSubquery,
     "q218_lateral_topn" -> lateralTopOrders,
@@ -158,6 +177,14 @@ object SqlSurface {
     "q263_array_surface" -> arraySurface)
 
   val oracle: Map[String, String] = Map(
+    "q274_dynamic_pivot" -> {
+      val srcCols = (0 until 20).map(i =>
+        s"CAST(SUM(CASE WHEN source = 'src$i' THEN 1 ELSE 0 END)" +
+          s" AS BIGINT) AS src$i").mkString(",\n  ")
+      s"""SELECT lang,
+         |  $srcCols
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "q216_grouping_sets" ->
       """SELECT GROUPING(lang) * 2 + GROUPING(source) AS gid,
         |  lang, source, COUNT(*) AS n_docs,

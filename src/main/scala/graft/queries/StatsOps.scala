@@ -315,7 +315,51 @@ object StatsOps {
         expr("((concordant - discordant) * 1000) div n_pairs"))
   }
 
+  /** q275: 2-D histogram (heat map census) — joint distribution of
+    * unit-price band ($100) × integer quantity over lineitem, with
+    * row/column ppm shares. One map-side-combinable aggregate; the
+    * output frame is price-bands × 50 quantities (bounded). */
+  def histogram2d(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100" +
+        " AS BIGINT) div 1000000").as("price_band"),
+      expr("CAST(l_quantity AS BIGINT)").as("qty"))
+    val grid = li.groupBy(col("price_band"), col("qty"))
+      .agg(count(lit(1)).as("n"))
+    val tot = grid.agg(sum(col("n")).as("total"))
+    grid.crossJoin(broadcast(tot))
+      .select(col("price_band"), col("qty"), col("n"),
+        expr("(n * 1000000) div total").as("ppm"))
+      .orderBy(col("price_band"), col("qty"))
+  }
+
+  /** q276: Wald–Wolfowitz runs census over the daily revenue series —
+    * up/down signs of day-over-day deltas, number of sign runs (zero
+    * deltas dropped; none occur on this data, asserted in the spec).
+    * Integer counts only; the z-statistic needs a sqrt, so the test
+    * DECISION stays with the consumer — the engine's job is the exact
+    * sufficient statistics (the q121/q122 sketch philosophy). */
+  def runsTest(s: SparkSession, d: String): DataFrame = {
+    val daily = dailyCents(s, d)
+    val w = Window.orderBy(col("day"))
+    val signs = daily
+      .withColumn("prev", lag(col("s"), 1).over(w))
+      .filter(col("prev").isNotNull && col("s") =!= col("prev"))
+      .withColumn("up", when(col("s") > col("prev"), 1L).otherwise(0L))
+    val runs = signs
+      .withColumn("prev_up", lag(col("up"), 1).over(Window.orderBy(col("day"))))
+      .withColumn("new_run",
+        when(col("prev_up").isNull || col("up") =!= col("prev_up"), 1L)
+          .otherwise(0L))
+    runs.agg(count(lit(1)).as("n_deltas"),
+      sum(col("up")).as("n_up"),
+      (count(lit(1)) - sum(col("up"))).as("n_down"),
+      sum(col("new_run")).as("n_runs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q275_histogram2d" -> histogram2d,
+    "q276_runs_test" -> runsTest,
     "q264_mann_whitney" -> mannWhitney,
     "q265_kendall_tau" -> kendallTau,
     "q232_theil_sen" -> theilSen,
@@ -334,6 +378,40 @@ object StatsOps {
       |  FROM events GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q275_histogram2d" ->
+      """WITH li AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT) // 1000000 AS price_band,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |grid AS (
+        |  SELECT price_band, qty, COUNT(*) AS n
+        |  FROM li GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM grid)
+        |SELECT price_band, qty, n,
+        |  CAST((n * 1000000) // total AS BIGINT) AS ppm
+        |FROM grid CROSS JOIN tot
+        |ORDER BY price_band, qty""".stripMargin,
+    "q276_runs_test" ->
+      s"""WITH $dailyCte,
+         |signs AS (
+         |  SELECT day, s,
+         |    LAG(s) OVER (ORDER BY day) AS prev
+         |  FROM daily),
+         |ud AS (
+         |  SELECT day,
+         |    CASE WHEN s > prev THEN 1 ELSE 0 END AS up
+         |  FROM signs WHERE prev IS NOT NULL AND s <> prev),
+         |runs AS (
+         |  SELECT up,
+         |    LAG(up) OVER (ORDER BY day) AS prev_up
+         |  FROM ud)
+         |SELECT COUNT(*) AS n_deltas,
+         |  CAST(SUM(up) AS BIGINT) AS n_up,
+         |  CAST(COUNT(*) - SUM(up) AS BIGINT) AS n_down,
+         |  CAST(SUM(CASE WHEN prev_up IS NULL OR up <> prev_up
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+         |FROM runs""".stripMargin,
     "q264_mann_whitney" ->
       """WITH o AS (
         |  SELECT r_name,
