@@ -71,7 +71,8 @@ object SparkEntry {
       graft.queries.KmeansOps.queries ++
       graft.queries.SequentialOps.queries ++
       graft.queries.BandOps.queries ++
-      graft.queries.AllocOps.queries
+      graft.queries.AllocOps.queries ++
+      graft.queries.DensityOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -132,5 +133,6 @@ object SparkEntry {
       graft.queries.KmeansOps.oracle ++
       graft.queries.SequentialOps.oracle ++
       graft.queries.BandOps.oracle ++
-      graft.queries.AllocOps.oracle
+      graft.queries.AllocOps.oracle ++
+      graft.queries.DensityOps.oracle
 }

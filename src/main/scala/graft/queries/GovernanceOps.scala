@@ -90,7 +90,7 @@ object GovernanceOps {
     frames.reduce(_ unionAll _).orderBy(col("rule_id"))
   }
 
-  private val MergeDay = 19000L // effective day of the change batch
+  private val MergeDay = 10500L // effective day: inside the order-date range (1995–2001), so the q278 temporal join matches BOTH versions across time — a post-range day was verified to make the version pick vacuous
 
   /** q246: SCD2 merge of the UPGRADED change batch into the snapshot. */
   def scd2Merge(s: SparkSession, d: String): DataFrame = {
@@ -111,12 +111,67 @@ object GovernanceOps {
       .orderBy(col("c_custkey"), col("valid_from"))
   }
 
+  /** q278: point-in-time (temporal) dimension join — every order
+    * joined to the SCD2 version valid AT ITS ORDER DATE
+    * (valid_from ≤ day < valid_to, open-ended current rows), i.e. the
+    * q246 history consumed the way a warehouse actually reads it.
+    * With MergeDay inside the order-date range, orders BEFORE the
+    * merge resolve to the original segment and orders after resolve
+    * to UPGRADED — the version pick varies over time (non-vacuous by
+    * construction). Census by matched segment.
+    *
+    * Scale: equi join on custkey (the range predicate rides the
+    * hash join as a residual filter — at most 2 versions per key
+    * here, ≤ version-count fan-out in general). */
+  def temporalDimJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = scd2Merge(s, d)
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))" +
+        " div 86400000000").as("day"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        .as("cents"))
+    o.join(dim, col("o_custkey") === col("c_custkey") &&
+        col("day") >= col("valid_from") &&
+        (col("valid_to").isNull || col("day") < col("valid_to")))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        count_distinct(col("o_custkey")).as("n_customers"),
+        sum(col("cents")).as("rev_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q244_k_anonymity" -> kAnonymity,
     "q245_dq_rules" -> dqRules,
-    "q246_scd2_merge" -> scd2Merge)
+    "q246_scd2_merge" -> scd2Merge,
+    "q278_temporal_dim_join" -> temporalDimJoin)
 
   val oracle: Map[String, String] = Map(
+    "q278_temporal_dim_join" ->
+      s"""WITH dim AS (
+         |  SELECT c_custkey, c_mktsegment, 0 AS valid_from,
+         |    CAST(NULL AS BIGINT) AS valid_to
+         |  FROM customer WHERE c_custkey % 10 <> 3
+         |  UNION ALL
+         |  SELECT c_custkey, c_mktsegment, 0, $MergeDay
+         |  FROM customer WHERE c_custkey % 10 = 3
+         |  UNION ALL
+         |  SELECT c_custkey, 'UPGRADED', $MergeDay, CAST(NULL AS BIGINT)
+         |  FROM customer WHERE c_custkey % 10 = 3),
+         |o AS (
+         |  SELECT o_custkey,
+         |    epoch_us(date_trunc('microseconds', o_orderdate))
+         |      // 86400000000 AS day,
+         |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+         |      AS cents
+         |  FROM orders)
+         |SELECT c_mktsegment, COUNT(*) AS n_orders,
+         |  COUNT(DISTINCT o_custkey) AS n_customers,
+         |  CAST(SUM(cents) AS BIGINT) AS rev_cents
+         |FROM o JOIN dim ON o_custkey = c_custkey
+         |  AND day >= valid_from
+         |  AND (valid_to IS NULL OR day < valid_to)
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q244_k_anonymity" ->
       s"""WITH cust AS (
          |  SELECT c_mktsegment, c_nationkey,

@@ -357,7 +357,33 @@ object StatsOps {
       sum(col("new_run")).as("n_runs"))
   }
 
+  /** q277: additive seasonal decomposition (STL-lite, all integer) —
+    * trend = centered 7-day moving average (only where the full ±3
+    * window exists), seasonal = per-weekday mean of the detrended
+    * series, residual = s − trend − seasonal. Exact by truncating
+    * division in both engines; the decomposition identity
+    * s = trend + seasonal + residual holds by construction on every
+    * emitted day. Windows run on the bounded daily frame. */
+  def seasonalDecompose(s: SparkSession, d: String): DataFrame = {
+    val daily = dailyCents(s, d)
+    val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val tr = daily
+      .withColumn("win_n", count(lit(1)).over(w))
+      .withColumn("trend", expr("sum(s) OVER (ORDER BY day" +
+        " ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) div 7"))
+      .filter(col("win_n") === 7)
+      .withColumn("dow", expr("(day + 4) % 7"))
+      .withColumn("detr", col("s") - col("trend"))
+    val seas = tr.groupBy(col("dow"))
+      .agg(expr("sum(detr) div count(1)").as("seasonal"))
+    tr.join(broadcast(seas), "dow")
+      .select(col("day"), col("s"), col("trend"), col("seasonal"),
+        (col("s") - col("trend") - col("seasonal")).as("residual"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q277_seasonal_decompose" -> seasonalDecompose,
     "q275_histogram2d" -> histogram2d,
     "q276_runs_test" -> runsTest,
     "q264_mann_whitney" -> mannWhitney,
@@ -378,6 +404,29 @@ object StatsOps {
       |  FROM events GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q277_seasonal_decompose" ->
+      s"""WITH $dailyCte,
+         |tr AS (
+         |  SELECT day, CAST(s AS BIGINT) AS s,
+         |    COUNT(*) OVER (ORDER BY day
+         |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS win_n,
+         |    CAST(SUM(s) OVER (ORDER BY day
+         |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+         |      // 7 AS trend
+         |  FROM daily),
+         |tr2 AS (
+         |  SELECT day, s, trend, (day + 4) % 7 AS dow,
+         |    s - trend AS detr
+         |  FROM tr WHERE win_n = 7),
+         |seas AS (
+         |  SELECT dow,
+         |    CAST(CAST(SUM(detr) AS BIGINT) // COUNT(*) AS BIGINT)
+         |      AS seasonal
+         |  FROM tr2 GROUP BY dow)
+         |SELECT day, s, CAST(trend AS BIGINT) AS trend, seasonal,
+         |  s - trend - seasonal AS residual
+         |FROM tr2 JOIN seas USING (dow)
+         |ORDER BY day""".stripMargin,
     "q275_histogram2d" ->
       """WITH li AS (
         |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100

@@ -63,10 +63,10 @@ class GovernanceOpsSpec extends AnyFunSuite {
       assert(vs.length == 2)
       val closed = vs.head; val opened = vs.last
       assert(closed.getString(1) == seg && !closed.getBoolean(4) &&
-        closed.getLong(3) == 19000L)
+        closed.getLong(3) == 10500L)
       assert(opened.getString(1) == "UPGRADED" &&
         opened.getBoolean(4) && opened.isNullAt(3) &&
-        opened.getLong(2) == 19000L)
+        opened.getLong(2) == 10500L)
     }
     cust.filter(_._1 % 10 != 3).foreach { case (k, seg) =>
       val vs = byKey(k)
