@@ -375,17 +375,85 @@ object SuffixOps {
         countDistinct(col("run")).as("n_runs"))
   }
 
+  /** q280: contamination-method AGREEMENT audit — the word-8-gram
+    * verdict (q116's method, re-stated under q152's benchmark
+    * definition and doc cap so both methods see the same universe)
+    * versus the suffix-exact ≥ MinRep-char span verdict (q152),
+    * cross-tabulated over every non-benchmark doc in the capped
+    * corpus: (gram_flag, span_flag) → doc count + the smallest
+    * example doc. The off-diagonal cells are the finding: span-only
+    * docs are what the n-gram approximation MISSES (spans not aligned
+    * to word boundaries / shorter than 8 words but ≥ 20 chars);
+    * gram-only docs are 8-word overlaps shorter than 20 chars. Both
+    * inputs are independently oracle-verified; the compare re-runs
+    * both constructions in both engines. */
+  def contaminationCompare(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GramOps.register(s)
+    val docs = Tables.documents(s, d).filter(col("doc_id") < DocCap)
+    val g = docs.select(col("doc_id"),
+      explode(graft.functions.GramOps.gram_hashes(col("text"), 8))
+        .as("gram"))
+    val benchG = g.filter(col("doc_id") % 10 === 0)
+      .select("gram").distinct()
+    val gramDocs = g.filter(col("doc_id") % 10 =!= 0)
+      .join(benchG, Seq("gram"), "left_semi")
+      .select("doc_id").distinct().withColumn("gf", lit(1L))
+    val spanDocs = contaminationSpan(s, d)
+      .select(col("doc_id")).withColumn("sf", lit(1L))
+    docs.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"))
+      .join(gramDocs, Seq("doc_id"), "left")
+      .join(spanDocs, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("gf"), lit(0L)).as("gram_flag"),
+        coalesce(col("sf"), lit(0L)).as("span_flag"))
+      .groupBy(col("gram_flag"), col("span_flag"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .orderBy(col("gram_flag"), col("span_flag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_suffix_ranks" -> suffixRanks,
     "q137_longest_repeat" -> longestRepeat,
     "q139_span_dedup_exact" -> spanDedupExact,
     "q145_span_dedup_rebuild" -> spanDedupRebuild,
-    "q152_contamination_span" -> contaminationSpan)
+    "q152_contamination_span" -> contaminationSpan,
+    "q280_contamination_compare" -> contaminationCompare)
 
   private val posCte =
     s"""WITH p AS (
        |  SELECT doc_id, text, unnest(range(0, len(text))) AS pos
        |  FROM documents WHERE doc_id < $DocCap)""".stripMargin
+
+  /** Shared span-contamination oracle chain (q152 + q280): suffixes →
+    * rank-adjacent LCPs → ≥ MinRep runs → per-run bench flag. */
+  private val spanChainCte = s"""$posCte,
+    |s AS (SELECT doc_id, pos, substr(text, pos + 1) AS suf FROM p),
+    |o AS (SELECT doc_id, pos, suf,
+    |        lead(suf) OVER (ORDER BY suf, doc_id, pos) AS nsuf
+    |      FROM s),
+    |lp AS (SELECT doc_id, pos, suf,
+    |         LEAST(len(suf), len(nsuf)) AS ml,
+    |         list_position(list_transform(
+    |           range(1, LEAST(len(suf), len(nsuf)) + 1),
+    |           j -> substr(suf, j, 1) = substr(nsuf, j, 1)), false) AS fp
+    |       FROM o WHERE nsuf IS NOT NULL),
+    |ln AS (SELECT doc_id, pos, suf,
+    |         CAST(COALESCE(NULLIF(fp, 0) - 1, ml) AS BIGINT) AS lnext
+    |       FROM lp
+    |       UNION ALL
+    |       SELECT doc_id, pos, suf, 0 FROM o WHERE nsuf IS NULL),
+    |r0 AS (SELECT doc_id, pos, suf,
+    |         CASE WHEN COALESCE(lag(lnext)
+    |             OVER (ORDER BY suf, doc_id, pos), -1) < $MinRep
+    |           THEN 1 ELSE 0 END AS brk
+    |       FROM ln),
+    |r1 AS (SELECT doc_id, pos,
+    |         SUM(brk) OVER (ORDER BY suf, doc_id, pos
+    |           ROWS UNBOUNDED PRECEDING) AS run
+    |       FROM r0),
+    |fl AS (SELECT run,
+    |         MAX(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)
+    |           AS has_bench
+    |       FROM r1 GROUP BY run)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // The oracle takes the opposite algorithm on purpose: materialize
@@ -427,40 +495,45 @@ object SuffixOps {
       "md5(COALESCE(r2.ct, '')) AS clean_hash", ""),
     "q145_span_dedup_rebuild" -> spanRemovalOracle(RebuildCap,
       "COALESCE(r2.ct, '') AS clean_text", "d.lang, d.source, "),
-    "q152_contamination_span" -> s"""$posCte,
-      |s AS (SELECT doc_id, pos, substr(text, pos + 1) AS suf FROM p),
-      |o AS (SELECT doc_id, pos, suf,
-      |        lead(suf) OVER (ORDER BY suf, doc_id, pos) AS nsuf
-      |      FROM s),
-      |lp AS (SELECT doc_id, pos, suf,
-      |         LEAST(len(suf), len(nsuf)) AS ml,
-      |         list_position(list_transform(
-      |           range(1, LEAST(len(suf), len(nsuf)) + 1),
-      |           j -> substr(suf, j, 1) = substr(nsuf, j, 1)), false) AS fp
-      |       FROM o WHERE nsuf IS NOT NULL),
-      |ln AS (SELECT doc_id, pos, suf,
-      |         CAST(COALESCE(NULLIF(fp, 0) - 1, ml) AS BIGINT) AS lnext
-      |       FROM lp
-      |       UNION ALL
-      |       SELECT doc_id, pos, suf, 0 FROM o WHERE nsuf IS NULL),
-      |r0 AS (SELECT doc_id, pos, suf,
-      |         CASE WHEN COALESCE(lag(lnext)
-      |             OVER (ORDER BY suf, doc_id, pos), -1) < $MinRep
-      |           THEN 1 ELSE 0 END AS brk
-      |       FROM ln),
-      |r1 AS (SELECT doc_id, pos,
-      |         SUM(brk) OVER (ORDER BY suf, doc_id, pos
-      |           ROWS UNBOUNDED PRECEDING) AS run
-      |       FROM r0),
-      |fl AS (SELECT run,
-      |         MAX(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)
-      |           AS has_bench
-      |       FROM r1 GROUP BY run)
+    "q152_contamination_span" -> s"""$spanChainCte
       |SELECT doc_id, COUNT(*) AS n_contam_pos,
       |  CAST(COUNT(DISTINCT r1.run) AS BIGINT) AS n_runs
       |FROM r1 JOIN fl ON r1.run = fl.run
       |WHERE has_bench = 1 AND doc_id % 10 <> 0
-      |GROUP BY doc_id""".stripMargin)
+      |GROUP BY doc_id""".stripMargin,
+    "q280_contamination_compare" -> s"""$spanChainCte,
+      |sd AS (
+      |  SELECT DISTINCT doc_id FROM r1 JOIN fl ON r1.run = fl.run
+      |  WHERE has_bench = 1 AND doc_id % 10 <> 0),
+      |grams AS (
+      |  SELECT doc_id, ${OracleHash.polySql("g")} AS gram
+      |  FROM (
+      |    SELECT doc_id, array_to_string(t[i:i + 7], ' ') AS g
+      |    FROM (
+      |      SELECT doc_id, t, unnest(generate_series(1, len(t) - 7))
+      |        AS i
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS t
+      |            FROM documents WHERE doc_id < $DocCap)))),
+      |bg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0),
+      |gd AS (
+      |  SELECT DISTINCT doc_id FROM grams
+      |  WHERE doc_id % 10 <> 0 AND gram IN (SELECT gram FROM bg)),
+      |u AS (
+      |  SELECT doc_id FROM documents
+      |  WHERE doc_id < $DocCap AND doc_id % 10 <> 0),
+      |flags AS (
+      |  SELECT u.doc_id,
+      |    CASE WHEN gd.doc_id IS NOT NULL THEN 1 ELSE 0 END
+      |      AS gram_flag,
+      |    CASE WHEN sd.doc_id IS NOT NULL THEN 1 ELSE 0 END
+      |      AS span_flag
+      |  FROM u LEFT JOIN gd ON u.doc_id = gd.doc_id
+      |  LEFT JOIN sd ON u.doc_id = sd.doc_id)
+      |SELECT CAST(gram_flag AS BIGINT) AS gram_flag,
+      |  CAST(span_flag AS BIGINT) AS span_flag,
+      |  COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+      |FROM flags GROUP BY gram_flag, span_flag
+      |ORDER BY gram_flag, span_flag""".stripMargin)
 
   /** q139/q145 oracle body — opposite algorithm by design: materialize
     * every suffix string of the capped corpus, window-sort, run the
