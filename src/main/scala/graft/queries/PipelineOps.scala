@@ -351,7 +351,26 @@ object PipelineOps {
         "n_distinct_texts", "exact_dup_ppm", "mean_diversity_ppm", "p50_len")
   }
 
+  /** q281: curation-gate attribution — which gate kills which docs.
+    * Every non-benchmark doc gets a 3-bit failure mask (4 = Gopher
+    * rules, 2 = contamination, 1 = duplicate); the census over masks
+    * is the full inclusion–exclusion table of the q119 pipeline: the
+    * singleton masks are docs only ONE gate catches (what you'd lose
+    * by dropping that gate), the combined masks are redundant kills,
+    * mask 0 is the kept set. Token counts ride along so the cost is
+    * in tokens too, the unit that matters for a training corpus. */
+  def gateAttribution(s: SparkSession, d: String): DataFrame =
+    curationGates(s, d).select(
+      (when(!col("ok_rules"), 4L).otherwise(0L) +
+        when(col("contaminated").isNotNull, 2L).otherwise(0L) +
+        when(col("is_rep").isNull, 1L).otherwise(0L)).as("fail_mask"),
+      col("n_tok"))
+      .groupBy(col("fail_mask"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("fail_mask"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q281_gate_attribution" -> gateAttribution,
     "q116_decontamination" -> decontamination,
     "q117_gopher_quality" -> gopherQuality,
     "q118_semdedup" -> withVecFns((s, d) => semDedup(s, d)),
@@ -379,6 +398,51 @@ object PipelineOps {
       |            FROM documents))))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q281_gate_attribution" -> {
+      val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH $gramsCte,
+         |bench_grams AS (
+         |  SELECT DISTINCT gram FROM grams
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'),
+         |contaminated AS (
+         |  SELECT DISTINCT doc_id FROM grams
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '2'
+         |    AND gram IN (SELECT gram FROM bench_grams)),
+         |base AS (
+         |  SELECT doc_id, lang, source,
+         |    len(string_split(text, ' ')) AS n_tok,
+         |    len(replace(text, ' ', '')) AS sum_len
+         |  FROM documents
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '2'),
+         |pw AS (
+         |  SELECT doc_id, word, COUNT(*) AS f FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |    FROM documents)
+         |  GROUP BY 1, 2),
+         |stats AS (
+         |  SELECT doc_id, MAX(f) AS top_f,
+         |    COUNT(DISTINCT CASE WHEN word IN ($stopList) THEN word END)
+         |      AS n_stop
+         |  FROM pw GROUP BY 1),
+         |reps AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '2'
+         |  GROUP BY md5(text)),
+         |flags AS (
+         |  SELECT b.doc_id, b.n_tok,
+         |    NOT ((b.n_tok BETWEEN 20 AND 1000)
+         |      AND b.sum_len >= b.n_tok * 3 AND b.sum_len <= b.n_tok * 10
+         |      AND s.top_f * 5 <= b.n_tok AND s.n_stop >= 2) AS f_rules,
+         |    b.doc_id IN (SELECT doc_id FROM contaminated) AS f_contam,
+         |    b.doc_id NOT IN (SELECT doc_id FROM reps) AS f_dup
+         |  FROM base b JOIN stats s USING (doc_id))
+         |SELECT CAST(CASE WHEN f_rules THEN 4 ELSE 0 END
+         |    + CASE WHEN f_contam THEN 2 ELSE 0 END
+         |    + CASE WHEN f_dup THEN 1 ELSE 0 END AS BIGINT) AS fail_mask,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |FROM flags GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q116_decontamination" ->
       s"""WITH $gramsCte,
          |bench_grams AS (
