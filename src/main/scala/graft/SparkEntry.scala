@@ -72,7 +72,8 @@ object SparkEntry {
       graft.queries.SequentialOps.queries ++
       graft.queries.BandOps.queries ++
       graft.queries.AllocOps.queries ++
-      graft.queries.DensityOps.queries
+      graft.queries.DensityOps.queries ++
+      graft.queries.MomentsOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -134,5 +135,6 @@ object SparkEntry {
       graft.queries.SequentialOps.oracle ++
       graft.queries.BandOps.oracle ++
       graft.queries.AllocOps.oracle ++
-      graft.queries.DensityOps.oracle
+      graft.queries.DensityOps.oracle ++
+      graft.queries.MomentsOps.oracle
 }
