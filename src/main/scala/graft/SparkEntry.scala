@@ -73,7 +73,8 @@ object SparkEntry {
       graft.queries.BandOps.queries ++
       graft.queries.AllocOps.queries ++
       graft.queries.DensityOps.queries ++
-      graft.queries.MomentsOps.queries
+      graft.queries.MomentsOps.queries ++
+      graft.queries.DriftOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -136,5 +137,6 @@ object SparkEntry {
       graft.queries.BandOps.oracle ++
       graft.queries.AllocOps.oracle ++
       graft.queries.DensityOps.oracle ++
-      graft.queries.MomentsOps.oracle
+      graft.queries.MomentsOps.oracle ++
+      graft.queries.DriftOps.oracle
 }
