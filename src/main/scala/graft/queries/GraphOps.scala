@@ -232,11 +232,58 @@ object GraphOps {
     visited.orderBy(col("doc_id"))
   }
 
+  /** q287: component-size distribution of the candidate graph — the
+    * q159 star-closure labels rolled into a size histogram plus the
+    * giant-component share in ppm (the first thing one checks before
+    * trusting near-dup clusters: a giant component means the
+    * candidate threshold is too loose). Composes on the verified
+    * clustering the way q151/q211 compose on q110. */
+  def componentSizes(s: SparkSession, d: String): DataFrame = {
+    val sizes = ccLargeStar(s, d)
+      .groupBy(col("cluster_rep")).agg(count(lit(1)).as("sz"))
+    val tot = sizes.agg(sum(col("sz")).as("n_nodes"),
+      max(col("sz")).as("max_sz"))
+    sizes.groupBy(col("sz")).agg(count(lit(1)).as("n_components"))
+      .crossJoin(broadcast(tot))
+      .select(col("sz"), col("n_components"),
+        (col("sz") * col("n_components")).as("nodes_in_size"),
+        expr("(max_sz * 1000000) div n_nodes").as("giant_share_ppm"))
+      .orderBy(col("sz"))
+  }
+
+  /** q288: degree-assortativity moments — over every (undirected)
+    * edge, the exact integer moments of endpoint degrees
+    * (Σdu, Σdv, Σdu·dv, Σdu², Σdv² with u,v both orientations, so
+    * du/dv marginals coincide): the n-scaled Pearson numerator
+    * m·Σdudv − (Σdu)² decides assortative vs disassortative mixing
+    * with no square root (the q284 device on the edge frame). */
+  def degreeAssortativity(s: SparkSession, d: String): DataFrame = {
+    val pairs = TextOps.ngramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("u"), col("doc_b").as("v")),
+        struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .distinct().localCheckpoint() // deg + the moment pass
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    edges
+      .join(deg, "u")
+      .join(deg.select(col("u").as("v"), col("deg").as("deg_v")), "v")
+      .agg(count(lit(1)).as("m"),
+        sum(col("deg")).as("sum_du"),
+        sum(col("deg_v")).as("sum_dv"),
+        sum(col("deg") * col("deg_v")).as("sum_dudv"),
+        sum(col("deg") * col("deg")).as("sum_du2"))
+      .withColumn("assort_num_xn",
+        expr("m * sum_dudv - sum_du * sum_dv"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_cc_largestar" -> ccLargeStar,
     "q174_graph_stats" -> graphStats,
     "q176_pagerank" -> pageRank,
-    "q259_bfs_hops" -> bfsHops)
+    "q259_bfs_hops" -> bfsHops,
+    "q287_component_sizes" -> componentSizes,
+    "q288_degree_assortativity" -> degreeAssortativity)
 
   /** The PageRank recurrence unrolled as chained CTEs — the
     * sequential statement of exactly what the distributed loop does,
@@ -268,6 +315,47 @@ object GraphOps {
 
   val oracle: Map[String, String] = Map(
     "q176_pagerank" -> prOracleSql,
+    "q287_component_sizes" -> s"""${Advanced.pairsCte},
+      |${Advanced.ccCte},
+      |labels AS (
+      |  SELECT n.doc_id,
+      |    LEAST(n.doc_id, MIN(r.v)) AS cluster_rep
+      |  FROM nodes n JOIN reach r ON r.u = n.doc_id
+      |  GROUP BY n.doc_id),
+      |sizes AS (
+      |  SELECT cluster_rep, COUNT(*) AS sz FROM labels
+      |  GROUP BY cluster_rep),
+      |tot AS (
+      |  SELECT CAST(SUM(sz) AS BIGINT) AS n_nodes,
+      |    CAST(MAX(sz) AS BIGINT) AS max_sz
+      |  FROM sizes)
+      |SELECT sz, COUNT(*) AS n_components,
+      |  CAST(sz * COUNT(*) AS BIGINT) AS nodes_in_size,
+      |  CAST((MAX(max_sz) * 1000000) // MAX(n_nodes) AS BIGINT)
+      |    AS giant_share_ppm
+      |FROM sizes CROSS JOIN tot
+      |GROUP BY sz ORDER BY sz""".stripMargin,
+    "q288_degree_assortativity" -> s"""${Advanced.pairsCte},
+      |edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+      |j AS (
+      |  SELECT du.deg AS deg_u, dv.deg AS deg_v
+      |  FROM edges e
+      |  JOIN deg du ON e.u = du.u
+      |  JOIN deg dv ON e.v = dv.u),
+      |m AS (
+      |  SELECT COUNT(*) AS m,
+      |    CAST(SUM(deg_u) AS BIGINT) AS sum_du,
+      |    CAST(SUM(deg_v) AS BIGINT) AS sum_dv,
+      |    CAST(SUM(deg_u * deg_v) AS BIGINT) AS sum_dudv,
+      |    CAST(SUM(deg_u * deg_u) AS BIGINT) AS sum_du2
+      |  FROM j)
+      |SELECT m, sum_du, sum_dv, sum_dudv, sum_du2,
+      |  CAST(m * sum_dudv - sum_du * sum_dv AS BIGINT)
+      |    AS assort_num_xn
+      |FROM m""".stripMargin,
     "q259_bfs_hops" -> s"""${Advanced.pairsCte},
       |edges AS (
       |  SELECT doc_a AS u, doc_b AS v FROM pairs
