@@ -68,11 +68,78 @@ object CorpusAuditOps {
     rows.reduce(_ unionAll _).orderBy(col("vocab_size"))
   }
 
+  private val GrowthSteps = Seq(10L, 20L, 50L, 100L, 200L, 500L,
+    1000L, 2000L, 5000L, 10000L)
+
+  /** q290: vocabulary-growth curves (the Heaps'-law points) —
+    * distinct unigram AND bigram vocabulary after the first N docs,
+    * for a literal ladder of N. Cumulative-distinct is made one-pass
+    * by the FIRST-OCCURRENCE device: vocab(N) = #{grams whose min
+    * doc_id < N} — one aggregate to the per-gram min, then ten
+    * conditional counts; no iterative scan, no distinct-per-prefix.
+    * Both n-gram orders because this corpus's UNIGRAM vocabulary is
+    * 31 words (saturates by N≈10 — verified, and why a corpus-hapax
+    * census was rejected as vacuous); the bigram curve genuinely
+    * grows, which is what makes the ladder informative. */
+  def vocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val uni = TextOps.words(s, d)
+      .groupBy(col("word")).agg(min(col("doc_id")).as("first_doc"))
+    val bi = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1)," +
+          " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+        .as("bigram"))
+      .groupBy(col("bigram")).agg(min(col("doc_id")).as("first_doc"))
+    def wide(f: DataFrame, pfx: String) = f.agg(
+      GrowthSteps.map(n => sum(when(col("first_doc") < n, 1L)
+        .otherwise(0L)).as(s"${pfx}_$n")).head,
+      GrowthSteps.tail.map(n => sum(when(col("first_doc") < n, 1L)
+        .otherwise(0L)).as(s"${pfx}_$n")): _*)
+    val w1 = wide(uni, "u"); val w2 = wide(bi, "b")
+    val joined = w1.crossJoin(w2)
+    GrowthSteps.map(n =>
+      joined.select(lit(n).as("n_docs"),
+        col(s"u_$n").as("unigram_vocab"),
+        col(s"b_$n").as("bigram_vocab")))
+      .reduce(_ unionAll _)
+      .orderBy(col("n_docs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q254_chunk_dedup" -> chunkDedup,
-    "q255_vocab_coverage" -> vocabCoverage)
+    "q255_vocab_coverage" -> vocabCoverage,
+    "q290_vocab_growth" -> vocabGrowth)
 
   val oracle: Map[String, String] = Map(
+    "q290_vocab_growth" -> {
+      def vSel(pfx: String) = GrowthSteps.map(n =>
+        s"CAST(SUM(CASE WHEN first_doc < $n THEN 1 ELSE 0 END)" +
+          s" AS BIGINT) AS ${pfx}_$n").mkString(",\n    ")
+      val branches = GrowthSteps.map(n =>
+        s"SELECT $n AS n_docs, u_$n AS unigram_vocab," +
+          s" b_$n AS bigram_vocab FROM w1 CROSS JOIN w2")
+        .mkString("\nUNION ALL\n")
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |fsu AS (
+         |  SELECT word, MIN(doc_id) AS first_doc FROM w GROUP BY word),
+         |bg AS (
+         |  SELECT doc_id,
+         |    t[i] || ' ' || t[i + 1] AS bigram
+         |  FROM (
+         |    SELECT doc_id, t, unnest(generate_series(1, len(t) - 1))
+         |      AS i
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS t
+         |          FROM documents))),
+         |fsb AS (
+         |  SELECT bigram, MIN(doc_id) AS first_doc FROM bg
+         |  GROUP BY bigram),
+         |w1 AS (SELECT ${vSel("u")} FROM fsu),
+         |w2 AS (SELECT ${vSel("b")} FROM fsb)
+         |SELECT * FROM ($branches) ORDER BY n_docs""".stripMargin
+    },
     "q254_chunk_dedup" -> {
       // mirror of the q149 chunk construction (len 32, stride 24)
       """WITH ws AS (

@@ -88,11 +88,40 @@ object RevenueOps {
       .orderBy(col("r_name"), col("day"))
   }
 
+  /** q289: discount-response curve — per discount percent: order-line
+    * count, exact milli mean quantity and mean revenue cents (the
+    * elasticity proxy a pricing team reads; the regression slope on
+    * top is q180's device if wanted). One aggregate; the discount
+    * domain is 11 values. */
+  def discountResponse(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+        expr("CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("disc_pct"),
+        expr("CAST(l_quantity AS BIGINT)").as("qty"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100" +
+          " AS BIGINT)").as("cents"))
+      .groupBy(col("disc_pct"))
+      .agg(count(lit(1)).as("n"),
+        expr("(sum(qty) * 1000) div count(1)").as("mean_qty_milli"),
+        expr("sum(cents) div count(1)").as("mean_rev_cents"))
+      .orderBy(col("disc_pct"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q257_market_share" -> marketShare,
-    "q258_range_window" -> rangeWindow)
+    "q258_range_window" -> rangeWindow,
+    "q289_discount_response" -> discountResponse)
 
   val oracle: Map[String, String] = Map(
+    "q289_discount_response" ->
+      """SELECT CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    AS disc_pct,
+        |  COUNT(*) AS n,
+        |  CAST((SUM(CAST(l_quantity AS BIGINT)) * 1000) // COUNT(*)
+        |    AS BIGINT) AS mean_qty_milli,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) // COUNT(*) AS BIGINT) AS mean_rev_cents
+        |FROM lineitem
+        |GROUP BY 1 ORDER BY disc_pct""".stripMargin,
     "q257_market_share" ->
       """WITH li AS (
         |  SELECT l_orderkey, l_partkey, l_suppkey,
