@@ -79,11 +79,124 @@ object CustomerValueOps {
       .orderBy(col("n_name"))
   }
 
+  /** q293: Gini mean difference of order value per region — the mean
+    * absolute pairwise gap Σ|xi−xj| / C(n,2), computed WITHOUT pairs:
+    * on the sorted value-frequency frame each distinct value v with
+    * frequency f and `below` smaller values contributes
+    * v·f·(2·below + f − n) to Σ_{i<j}(x_j − x_i) (the sorted-
+    * coefficient identity; tie blocks contribute identically under
+    * any internal order). One window over the price-domain frame.
+    * The dispersion twin of q199's Gini coefficient. */
+  def giniMeanDiff(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    val freq = o.groupBy(col("r_name"), col("cents"))
+      .agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy(col("r_name")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = o.groupBy(col("r_name")).agg(count(lit(1)).as("n"))
+    freq.withColumn("below", coalesce(sum(col("f")).over(w), lit(0L)))
+      .join(broadcast(tot), "r_name")
+      .groupBy(col("r_name"))
+      .agg(max(col("n")).as("n"),
+        sum(col("cents") * col("f") *
+          (lit(2L) * col("below") + col("f") - col("n")))
+          .as("pair_sum"))
+      .select(col("r_name"), col("n"), col("pair_sum"),
+        expr("(pair_sum * 2) div (n * (n - 1))").as("gmd_cents"))
+      .orderBy(col("r_name"))
+  }
+
+  /** q294: Lorenz curve points — cumulative revenue share (ppm) held
+    * by each revenue decile of customers, the curve behind q199's
+    * Gini scalar. Customer deciles by exact position rank on the
+    * per-customer revenue frame (customer-scale window). */
+  def lorenzCurve(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100" +
+        " AS BIGINT)")).as("rev"))
+    val ranked = perCust.withColumn("rn", row_number().over(
+      Window.orderBy(col("rev"), col("o_custkey"))))
+    val tot = perCust.agg(count(lit(1)).as("n"), sum(col("rev")).as("t"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("decile", expr("((rn - 1) * 10) div n + 1"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("rev")).as("rev_cents"),
+        max(col("t")).as("t"))
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(
+        Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("decile"), col("n_customers"), col("rev_cents"),
+        expr("(cum_rev_cents * 1000000) div t").as("cum_share_ppm"))
+      .orderBy(col("decile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q247_cohort_ltv" -> cohortLtv,
-    "q248_weighted_median" -> weightedMedian)
+    "q248_weighted_median" -> weightedMedian,
+    "q293_gini_mean_diff" -> giniMeanDiff,
+    "q294_lorenz_curve" -> lorenzCurve)
 
   val oracle: Map[String, String] = Map(
+    "q293_gini_mean_diff" ->
+      """WITH o AS (
+        |  SELECT r_name,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |freq AS (
+        |  SELECT r_name, cents, COUNT(*) AS f
+        |  FROM o GROUP BY 1, 2),
+        |tot AS (SELECT r_name, COUNT(*) AS n FROM o GROUP BY 1),
+        |cum AS (
+        |  SELECT r_name, cents, f,
+        |    CAST(COALESCE(SUM(f) OVER (PARTITION BY r_name
+        |      ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS below
+        |  FROM freq)
+        |SELECT c.r_name, MAX(n) AS n,
+        |  CAST(SUM(cents * f * (2 * below + f - n)) AS BIGINT)
+        |    AS pair_sum,
+        |  CAST((SUM(cents * f * (2 * below + f - n)) * 2)
+        |    // (MAX(n) * (MAX(n) - 1)) AS BIGINT) AS gmd_cents
+        |FROM cum c JOIN tot USING (r_name)
+        |GROUP BY c.r_name ORDER BY c.r_name""".stripMargin,
+    "q294_lorenz_curve" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |rk AS (
+        |  SELECT rev,
+        |    ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS rn
+        |  FROM pc),
+        |tot AS (SELECT COUNT(*) AS n, CAST(SUM(rev) AS BIGINT) AS t
+        |  FROM pc),
+        |dec AS (
+        |  SELECT ((rn - 1) * 10) // n + 1 AS decile, rev, t
+        |  FROM rk CROSS JOIN tot),
+        |agg AS (
+        |  SELECT decile, COUNT(*) AS n_customers,
+        |    CAST(SUM(rev) AS BIGINT) AS rev_cents, MAX(t) AS t
+        |  FROM dec GROUP BY decile)
+        |SELECT decile, n_customers, rev_cents,
+        |  CAST((CAST(SUM(rev_cents) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) * 1000000) // t AS BIGINT) AS cum_share_ppm
+        |FROM agg ORDER BY decile""".stripMargin,
     "q247_cohort_ltv" ->
       """WITH o AS (
         |  SELECT o_custkey,

@@ -140,12 +140,44 @@ object IntervalOps {
       .orderBy(col("r_name"), col("day"))
   }
 
+  /** q291: weekday × hour activity heat map — event counts and ppm
+    * share per (dow, hour) cell, pure µs arithmetic on the epoch
+    * ((day+4) % 7 — the q204 origin-free weekday device; hour =
+    * µs-of-day div 3600s). One aggregate to a 7×24 frame. */
+  def dowHourHeatmap(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"),
+      expr("(unix_micros(ts) % 86400000000) div 3600000000").as("hour"))
+    val cells = ev.groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum(col("n")).as("total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("dow"), col("hour"), col("n"),
+        expr("(n * 1000000) div total").as("ppm"))
+      .orderBy(col("dow"), col("hour"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q241_max_concurrency" -> maxConcurrency,
     "q242_interval_coalesce" -> intervalCoalesce,
-    "q243_gap_fill" -> gapFill)
+    "q243_gap_fill" -> gapFill,
+    "q291_dow_hour_heatmap" -> dowHourHeatmap)
 
   val oracle: Map[String, String] = Map(
+    "q291_dow_hour_heatmap" ->
+      """WITH ev AS (
+        |  SELECT (epoch_us(date_trunc('microseconds', ts))
+        |      // 86400000000 + 4) % 7 AS dow,
+        |    (epoch_us(date_trunc('microseconds', ts)) % 86400000000)
+        |      // 3600000000 AS hour
+        |  FROM events),
+        |cells AS (
+        |  SELECT dow, hour, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cells)
+        |SELECT dow, hour, n,
+        |  CAST((n * 1000000) // total AS BIGINT) AS ppm
+        |FROM cells CROSS JOIN tot
+        |ORDER BY dow, hour""".stripMargin,
     "q241_max_concurrency" ->
       """WITH iv AS (
         |  SELECT user_id,
