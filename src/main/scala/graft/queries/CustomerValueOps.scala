@@ -139,13 +139,61 @@ object CustomerValueOps {
       .orderBy(col("decile"))
   }
 
+  /** q292: order inter-arrival census — gaps between a customer's
+    * consecutive orders (lead over the per-customer sequence),
+    * bucketed by week, with the cumulative share curve. The
+    * repurchase-cadence histogram behind any replenishment model. */
+  def interArrival(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      col("o_orderkey"),
+      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))" +
+        " div 86400000000").as("day"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    val gaps = o.withColumn("next_day", lead(col("day"), 1).over(w))
+      .filter(col("next_day").isNotNull)
+      .select(expr("(next_day - day) div 7").as("gap_weeks"))
+    val cells = gaps.groupBy(col("gap_weeks"))
+      .agg(count(lit(1)).as("n_gaps"))
+    val tot = cells.agg(sum(col("n_gaps")).as("total"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("cum", sum(col("n_gaps")).over(
+        Window.orderBy(col("gap_weeks"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("gap_weeks"), col("n_gaps"),
+        expr("(cum * 1000000) div total").as("cum_share_ppm"))
+      .orderBy(col("gap_weeks"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q247_cohort_ltv" -> cohortLtv,
     "q248_weighted_median" -> weightedMedian,
+    "q292_interarrival" -> interArrival,
     "q293_gini_mean_diff" -> giniMeanDiff,
     "q294_lorenz_curve" -> lorenzCurve)
 
   val oracle: Map[String, String] = Map(
+    "q292_interarrival" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    epoch_us(date_trunc('microseconds', o_orderdate))
+        |      // 86400000000 AS day
+        |  FROM orders),
+        |gaps AS (
+        |  SELECT (next_day - day) // 7 AS gap_weeks FROM (
+        |    SELECT day, LEAD(day) OVER (PARTITION BY o_custkey
+        |      ORDER BY day, o_orderkey) AS next_day
+        |    FROM o)
+        |  WHERE next_day IS NOT NULL),
+        |cells AS (
+        |  SELECT gap_weeks, COUNT(*) AS n_gaps FROM gaps GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_gaps) AS BIGINT) AS total FROM cells)
+        |SELECT gap_weeks, n_gaps,
+        |  CAST((CAST(SUM(n_gaps) OVER (ORDER BY gap_weeks
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) * 1000000) // total AS BIGINT) AS cum_share_ppm
+        |FROM cells CROSS JOIN tot
+        |ORDER BY gap_weeks""".stripMargin,
     "q293_gini_mean_diff" ->
       """WITH o AS (
         |  SELECT r_name,

@@ -30,6 +30,28 @@ class DistributionOpsSpec extends AnyFunSuite {
     assert(got.map(_.getLong(2)).sum == total)
   }
 
+  test("q292 ≡ driver gap census; shares reach exactly 1e6") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey", "o_orderkey",
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gaps = o.groupBy(_._1).values.flatMap { os =>
+      val sorted = os.sortBy(x => (x._3, x._2)).map(_._3)
+      sorted.zip(sorted.tail).map { case (a, b) => (b - a) / 7 }
+    }.toSeq
+    val expect = gaps.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val got = CustomerValueOps.interArrival(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(g => g._1 -> g._2).toMap == expect)
+    assert(got.maxBy(_._1)._3 == 1000000L)
+    var cum = 0L
+    got.sortBy(_._1).foreach { g =>
+      cum += g._2
+      assert(g._3 == cum * 1000000L / gaps.size)
+    }
+  }
+
   test("q293 ≡ brute-force pairwise |diff| per region") {
     val regionOf = {
       val cust = spark.read.parquet(s"$sf/customer.parquet")
