@@ -74,7 +74,8 @@ object SparkEntry {
       graft.queries.AllocOps.queries ++
       graft.queries.DensityOps.queries ++
       graft.queries.MomentsOps.queries ++
-      graft.queries.DriftOps.queries
+      graft.queries.DriftOps.queries ++
+      graft.queries.CurveOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -138,5 +139,6 @@ object SparkEntry {
       graft.queries.AllocOps.oracle ++
       graft.queries.DensityOps.oracle ++
       graft.queries.MomentsOps.oracle ++
-      graft.queries.DriftOps.oracle
+      graft.queries.DriftOps.oracle ++
+      graft.queries.CurveOps.oracle
 }

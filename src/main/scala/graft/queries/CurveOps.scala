@@ -1,0 +1,184 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Operating-curve queries — the parameter tables one reads BEFORE
+  * fixing a pipeline constant (the q229/q255 sweep discipline):
+  *
+  *  - q295: dedup threshold curve — for Jaccard thresholds {0.005,
+  *    0.015, 0.025} (milli, integer cross-multiplication — no float
+  *    ratio), the candidate-edge count, docs touched, cluster count
+  *    and docs a keep-one-per-cluster pass would remove. Reuses the
+  *    verified q31 pair frame and the q159 star closure per
+  *    threshold; the oracle re-runs THREE recursive-CTE closures.
+  *  - q296: quality-quintile × source matrix — per-doc lexical
+  *    diversity (distinct·10⁶ div tokens), pooled exact quintiles by
+  *    the counts-of-counts device, doc counts per (source, quintile):
+  *    the table that shows WHERE the low-quality mass lives.
+  *  - q297: context-packing padding-waste curve — for max_len ∈
+  *    {128, 256, 512, 1024}: chunk slots (Σ ceil(tok/L)), padded
+  *    tokens, waste ppm. The training-batch design table; ceil is
+  *    (t + L − 1) div L, integer in both engines.
+  *
+  * Scale: q295's per-threshold work is edge-frame-sized (the pair
+  * frame is computed once); q296's window runs on the bounded ppm
+  * domain; q297 is one scan + a 4-way literal explode.
+  */
+object CurveOps {
+
+  // Thresholds sit in the corpus's ACTUAL candidate-Jaccard range
+  // (max ≈ 30 milli here — tiny vocabulary ⇒ incidental shingle
+  // overlap): {200, 333, 500} milli were verified to yield an
+  // all-zero curve at sf0.01 and rejected (the q237 vacuity rule).
+  private val ThreshMilli = Seq(5L, 15L, 25L)
+
+  /** q295: clusters/removals as a function of the Jaccard threshold. */
+  def dedupCurve(s: SparkSession, d: String): DataFrame = {
+    val pairs = TextOps.ngramJaccard(s, d)
+      .localCheckpoint() // reused by all three thresholds
+    val frames = ThreshMilli.map { t =>
+      val edges = pairs.filter(
+        col("inter_size") * 1000 >= col("union_size") * t)
+      val cc = GraphOps.largeSmallStar(s,
+        edges.select(col("doc_a"), col("doc_b")))
+      edges.agg(count(lit(1)).as("n_edges")).crossJoin(
+          cc.agg(count(lit(1)).as("n_docs"),
+            count_distinct(col("cluster_rep")).as("n_clusters")))
+        .select(lit(t).as("thresh_milli"), col("n_edges"),
+          col("n_docs"), col("n_clusters"),
+          (col("n_docs") - col("n_clusters")).as("n_removed"))
+    }
+    frames.reduce(_ unionAll _).orderBy(col("thresh_milli"))
+  }
+
+  /** q296: source × pooled-diversity-quintile doc counts. */
+  def qualityQuintiles(s: SparkSession, d: String): DataFrame = {
+    val perDoc = TextOps.words(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(expr("(count(DISTINCT word) * 1000000) div count(1)")
+        .as("div_ppm"))
+    val freq = perDoc.groupBy(col("div_ppm"))
+      .agg(count(lit(1)).as("f"))
+    val tot = perDoc.agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("div_ppm"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = freq
+      .withColumn("below", coalesce(sum(col("f")).over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("div_ppm"),
+        expr("(below * 5) div n + 1").as("quintile"))
+    perDoc.join(broadcast(buckets), "div_ppm")
+      .groupBy(col("source"), col("quintile"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("quintile"))
+  }
+
+  private val PackLens = Seq(128L, 256L, 512L, 1024L)
+
+  /** q297: padding waste per candidate context length. */
+  def paddingWaste(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(expr("size(split(text, ' '))").cast("long").as("t"))
+    val lens = PackLens.map(l => lit(l)).toArray
+    toks.select(col("t"), explode(array(lens: _*)).as("max_len"))
+      .groupBy(col("max_len"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("total_tokens"),
+        sum(expr("(t + max_len - 1) div max_len")).as("slots"))
+      .select(col("max_len"), col("n_docs"), col("total_tokens"),
+        col("slots"),
+        (col("slots") * col("max_len") - col("total_tokens"))
+          .as("pad_tokens"),
+        expr("((slots * max_len - total_tokens) * 1000000)" +
+          " div (slots * max_len)").as("waste_ppm"))
+      .orderBy(col("max_len"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q295_dedup_curve" -> dedupCurve,
+    "q296_quality_quintiles" -> qualityQuintiles,
+    "q297_padding_waste" -> paddingWaste)
+
+  val oracle: Map[String, String] = Map(
+    "q295_dedup_curve" -> {
+      def perThresh(t: Long): String =
+        s"""e$t AS (
+           |  SELECT da AS u, db AS v FROM pe
+           |  WHERE inter * 1000 >= un * $t
+           |  UNION
+           |  SELECT db, da FROM pe WHERE inter * 1000 >= un * $t),
+           |n$t AS (SELECT DISTINCT u FROM e$t),
+           |r$t(u, v) AS (
+           |  SELECT u, v FROM e$t
+           |  UNION
+           |  SELECT r.u, e.v FROM r$t r JOIN e$t e ON r.v = e.u),
+           |l$t AS (
+           |  SELECT n.u, LEAST(n.u, MIN(r.v)) AS ent
+           |  FROM n$t n JOIN r$t r ON r.u = n.u GROUP BY n.u)""".stripMargin
+      val summaries = ThreshMilli.map(t =>
+        s"""SELECT $t AS thresh_milli,
+           |  (SELECT COUNT(*) FROM pe WHERE inter * 1000 >= un * $t)
+           |    AS n_edges,
+           |  COUNT(*) AS n_docs,
+           |  COUNT(DISTINCT ent) AS n_clusters,
+           |  COUNT(*) - COUNT(DISTINCT ent) AS n_removed
+           |FROM l$t""".stripMargin).mkString("\nUNION ALL\n")
+      s"""${Advanced.pairsCte},
+         |cnts AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+         |pj AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+         |  FROM sh2 a JOIN sh2 b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |pe AS (
+         |  SELECT da, db, inter, ca.n + cb.n - inter AS un
+         |  FROM pj
+         |  JOIN cnts ca ON ca.doc_id = da
+         |  JOIN cnts cb ON cb.doc_id = db),
+         |${ThreshMilli.map(perThresh).mkString(",\n")}
+         |SELECT * FROM ($summaries) ORDER BY thresh_milli""".stripMargin
+    },
+    "q296_quality_quintiles" ->
+      """WITH pd AS (
+        |  SELECT d.doc_id, d.source,
+        |    (COUNT(DISTINCT word) * 1000000)
+        |      // COUNT(*) AS div_ppm
+        |  FROM (SELECT doc_id, source,
+        |          unnest(string_split(text, ' ')) AS word
+        |        FROM documents) d
+        |  GROUP BY d.doc_id, d.source),
+        |freq AS (SELECT div_ppm, COUNT(*) AS f FROM pd GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n FROM pd),
+        |bk AS (
+        |  SELECT div_ppm,
+        |    (CAST(COALESCE(SUM(f) OVER (ORDER BY div_ppm
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) * 5) // n + 1 AS quintile
+        |  FROM freq CROSS JOIN tot)
+        |SELECT source, quintile, COUNT(*) AS n_docs
+        |FROM pd JOIN bk USING (div_ppm)
+        |GROUP BY source, quintile
+        |ORDER BY source, quintile""".stripMargin,
+    "q297_padding_waste" -> {
+      val lenList = PackLens.mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+         |  FROM documents),
+         |g AS (
+         |  SELECT t, UNNEST([$lenList]) AS max_len FROM toks),
+         |agg AS (
+         |  SELECT max_len, COUNT(*) AS n_docs,
+         |    CAST(SUM(t) AS BIGINT) AS total_tokens,
+         |    CAST(SUM((t + max_len - 1) // max_len) AS BIGINT) AS slots
+         |  FROM g GROUP BY max_len)
+         |SELECT max_len, n_docs, total_tokens, slots,
+         |  CAST(slots * max_len - total_tokens AS BIGINT) AS pad_tokens,
+         |  CAST(((slots * max_len - total_tokens) * 1000000)
+         |    // (slots * max_len) AS BIGINT) AS waste_ppm
+         |FROM agg ORDER BY max_len""".stripMargin
+    })
+}
