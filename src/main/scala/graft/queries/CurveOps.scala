@@ -98,12 +98,107 @@ object CurveOps {
       .orderBy(col("max_len"))
   }
 
+  /** q298: MinHash calibration table — for every doc pair in the
+    * capped corpus, the 4-seed signature agreement (0..4 matches)
+    * versus the EXACT word-set Jaccard, aggregated per agreement
+    * level: pair count and mean/min/max exact Jaccard (milli). The
+    * table that tells you what "k of 4 minhashes agree" actually
+    * means on your corpus — the empirical counterpart of the
+    * E[matches] = 4·J identity. Word-level on BOTH sides (q29's
+    * measure); doc_id < 100 keeps the all-pairs frame at the q31 cap.
+    * Mean is integer div; the identity is monotone mean-by-level,
+    * asserted in the spec. */
+  def minhashCalibration(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+    val dw = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("word")).distinct()
+      .localCheckpoint() // pair join + per-doc counts
+    val nw = dw.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
+    val inter = dw.as("a").join(dw.as("b"),
+        col("a.word") === col("b.word") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    val jac = inter
+      .join(nw.select(col("doc_id").as("da"), col("nw").as("na")), "da")
+      .join(nw.select(col("doc_id").as("db"), col("nw").as("nb")), "db")
+      .select(col("da"), col("db"),
+        expr("(inter * 1000) div (na + nb - inter)").as("jac_milli"))
+    val sigs = TextOps.minhashSignatures(s, d)
+      .join(docs.select(col("doc_id")), "doc_id")
+    val est = sigs.as("x").join(sigs.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        ((col("x.mh1") === col("y.mh1")).cast("long") +
+          (col("x.mh2") === col("y.mh2")).cast("long") +
+          (col("x.mh3") === col("y.mh3")).cast("long") +
+          (col("x.mh4") === col("y.mh4")).cast("long")).as("n_matches"))
+    est.join(jac, Seq("da", "db"), "left")
+      .select(col("n_matches"),
+        coalesce(col("jac_milli"), lit(0L)).as("jac_milli"))
+      .groupBy(col("n_matches"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(jac_milli) div count(1)").as("mean_jac_milli"),
+        min(col("jac_milli")).as("min_jac_milli"),
+        max(col("jac_milli")).as("max_jac_milli"))
+      .orderBy(col("n_matches"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q295_dedup_curve" -> dedupCurve,
     "q296_quality_quintiles" -> qualityQuintiles,
-    "q297_padding_waste" -> paddingWaste)
+    "q297_padding_waste" -> paddingWaste,
+    "q298_minhash_calibration" -> minhashCalibration)
 
   val oracle: Map[String, String] = Map(
+    "q298_minhash_calibration" -> {
+      def h(k: Int) = OracleHash.polySql(s"'s$k: ' || word")
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |  FROM documents WHERE doc_id < 100),
+         |dw AS (SELECT DISTINCT doc_id, word FROM w),
+         |nw AS (SELECT doc_id, COUNT(*) AS nw FROM dw GROUP BY 1),
+         |vh AS MATERIALIZED (
+         |  SELECT word,
+         |    ${h(1)} AS h1,
+         |    ${h(2)} AS h2,
+         |    ${h(3)} AS h3,
+         |    ${h(4)} AS h4
+         |  FROM (SELECT DISTINCT word FROM dw)),
+         |mh AS (
+         |  SELECT doc_id, MIN(h1) AS m1, MIN(h2) AS m2,
+         |    MIN(h3) AS m3, MIN(h4) AS m4
+         |  FROM dw JOIN vh USING (word) GROUP BY doc_id),
+         |i AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+         |  FROM dw a JOIN dw b
+         |    ON a.word = b.word AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jac AS (
+         |  SELECT da, db,
+         |    (inter * 1000) // (na.nw + nb.nw - inter) AS jac_milli
+         |  FROM i
+         |  JOIN nw na ON na.doc_id = da
+         |  JOIN nw nb ON nb.doc_id = db),
+         |est AS (
+         |  SELECT x.doc_id AS da, y.doc_id AS db,
+         |    CAST((CASE WHEN x.m1 = y.m1 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN x.m2 = y.m2 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN x.m3 = y.m3 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN x.m4 = y.m4 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_matches
+         |  FROM mh x JOIN mh y ON x.doc_id < y.doc_id),
+         |jj AS (
+         |  SELECT n_matches,
+         |    CAST(COALESCE(jac_milli, 0) AS BIGINT) AS jac_milli
+         |  FROM est LEFT JOIN jac USING (da, db))
+         |SELECT n_matches, COUNT(*) AS n_pairs,
+         |  CAST(SUM(jac_milli) // COUNT(*) AS BIGINT)
+         |    AS mean_jac_milli,
+         |  MIN(jac_milli) AS min_jac_milli,
+         |  MAX(jac_milli) AS max_jac_milli
+         |FROM jj GROUP BY n_matches ORDER BY n_matches""".stripMargin
+    },
     "q295_dedup_curve" -> {
       def perThresh(t: Long): String =
         s"""e$t AS (

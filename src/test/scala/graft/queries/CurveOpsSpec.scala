@@ -27,6 +27,39 @@ class CurveOpsSpec extends AnyFunSuite {
     assert(rows.head._2 > 0, "loosest threshold must keep edges")
   }
 
+  test("q298 ≡ driver minhash/Jaccard calibration") {
+    val base = graft.functions.GramHash.Base
+    val p = graft.functions.GramHash.P
+    def poly(s0: String): Long =
+      s0.foldLeft(0L)((h, c) => (h * base + (c.toInt % 256)) % p)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSet))
+      .filter(_._1 < 100)
+    val sig = docs.map { case (id, ws) =>
+      id -> (1 to 4).map(k => ws.map(w => poly(s"s$k: $w")).min)
+    }.toMap
+    val pairs = for {
+      (a, wa) <- docs; (b, wb) <- docs if a < b
+    } yield {
+      val inter = wa.intersect(wb).size.toLong
+      val jac = if (inter == 0) 0L
+        else inter * 1000 / (wa.size + wb.size - inter)
+      val matches = sig(a).zip(sig(b)).count(x => x._1 == x._2).toLong
+      (matches, jac)
+    }
+    val expect = pairs.groupBy(_._1).view.mapValues { vs =>
+      val js = vs.map(_._2)
+      (js.size.toLong, js.sum / js.size, js.min, js.max)
+    }.toMap
+    val got = CurveOps.minhashCalibration(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect)
+    assert(got.values.map(_._1).sum ==
+      docs.length.toLong * (docs.length - 1) / 2)
+  }
+
   test("q296 ≡ driver quintile matrix; counts conserve") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "source", "text").collect()
