@@ -106,12 +106,123 @@ object RevenueOps {
         expr("sum(cents) div count(1)").as("mean_rev_cents"))
       .orderBy(col("disc_pct"))
 
+  /** q299: year-over-year growth decomposition — the revenue delta
+    * split into a VOLUME effect (order-count change at last year's
+    * average ticket, integer div) and a PRICE effect defined as the
+    * exact remainder, so Δrev = volume + price holds EXACTLY by
+    * construction (the budget-conservation discipline of q210/q215:
+    * make the identity structural, not approximate). */
+  def growthDecomposition(s: SparkSession, d: String): DataFrame = {
+    val yearly = Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100" +
+          " AS BIGINT)")).as("rev_cents"))
+    val w = Window.orderBy(col("yr"))
+    yearly
+      .withColumn("prev_n", lag(col("n_orders"), 1).over(w))
+      .withColumn("prev_rev", lag(col("rev_cents"), 1).over(w))
+      .filter(col("prev_n").isNotNull)
+      .withColumn("delta_rev", col("rev_cents") - col("prev_rev"))
+      .withColumn("volume_effect",
+        expr("((n_orders - prev_n) * prev_rev) div prev_n"))
+      .withColumn("price_effect",
+        col("delta_rev") - col("volume_effect"))
+      .select(col("yr"), col("n_orders"), col("rev_cents"),
+        col("delta_rev"), col("volume_effect"), col("price_effect"))
+      .orderBy(col("yr"))
+  }
+
+  /** q300: the executive dashboard in ONE pass — per (region, year):
+    * revenue, orders, active customers, integer average ticket, the
+    * share of the region's year revenue within that year (ppm), and
+    * YoY revenue growth in ppm — every device verified separately
+    * this round (decimal cents, window shares, lag growth), composed
+    * into the single rollup a BI layer would actually serve. */
+  def execDashboard(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        count_distinct(col("o_custkey")).as("n_customers"),
+        sum(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100" +
+          " AS BIGINT)")).as("rev_cents"))
+    base
+      .withColumn("aov_cents", expr("rev_cents div n_orders"))
+      .withColumn("year_share_ppm", expr(
+        "(rev_cents * 1000000) div sum(rev_cents)" +
+          " OVER (PARTITION BY yr)"))
+      .withColumn("prev_rev", lag(col("rev_cents"), 1).over(
+        Window.partitionBy(col("r_name")).orderBy(col("yr"))))
+      .withColumn("yoy_growth_ppm",
+        when(col("prev_rev").isNull, lit(null).cast("long"))
+          .otherwise(expr(
+            "((rev_cents - prev_rev) * 1000000) div prev_rev")))
+      .select(col("r_name"), col("yr"), col("n_orders"),
+        col("n_customers"), col("rev_cents"), col("aov_cents"),
+        col("year_share_ppm"), col("yoy_growth_ppm"))
+      .orderBy(col("r_name"), col("yr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q257_market_share" -> marketShare,
     "q258_range_window" -> rangeWindow,
-    "q289_discount_response" -> discountResponse)
+    "q289_discount_response" -> discountResponse,
+    "q299_growth_decomposition" -> growthDecomposition,
+    "q300_exec_dashboard" -> execDashboard)
 
   val oracle: Map[String, String] = Map(
+    "q299_growth_decomposition" ->
+      """WITH yearly AS (
+        |  SELECT year(o_orderdate) AS yr, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |l AS (
+        |  SELECT yr, n_orders, rev_cents,
+        |    LAG(n_orders) OVER (ORDER BY yr) AS prev_n,
+        |    LAG(rev_cents) OVER (ORDER BY yr) AS prev_rev
+        |  FROM yearly)
+        |SELECT yr, n_orders, rev_cents,
+        |  rev_cents - prev_rev AS delta_rev,
+        |  CAST(((n_orders - prev_n) * prev_rev) // prev_n AS BIGINT)
+        |    AS volume_effect,
+        |  rev_cents - prev_rev
+        |    - CAST(((n_orders - prev_n) * prev_rev) // prev_n AS BIGINT)
+        |    AS price_effect
+        |FROM l WHERE prev_n IS NOT NULL
+        |ORDER BY yr""".stripMargin,
+    "q300_exec_dashboard" ->
+      """WITH base AS (
+        |  SELECT r_name, year(o_orderdate) AS yr,
+        |    COUNT(*) AS n_orders,
+        |    COUNT(DISTINCT o_custkey) AS n_customers,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |x AS (
+        |  SELECT r_name, yr, n_orders, n_customers, rev_cents,
+        |    CAST(rev_cents // n_orders AS BIGINT) AS aov_cents,
+        |    CAST((rev_cents * 1000000) // CAST(SUM(rev_cents)
+        |      OVER (PARTITION BY yr) AS BIGINT) AS BIGINT)
+        |      AS year_share_ppm,
+        |    LAG(rev_cents) OVER (PARTITION BY r_name ORDER BY yr)
+        |      AS prev_rev
+        |  FROM base)
+        |SELECT r_name, yr, n_orders, n_customers, rev_cents, aov_cents,
+        |  year_share_ppm,
+        |  CAST(CASE WHEN prev_rev IS NULL THEN NULL
+        |    ELSE ((rev_cents - prev_rev) * 1000000) // prev_rev END
+        |    AS BIGINT) AS yoy_growth_ppm
+        |FROM x ORDER BY r_name, yr""".stripMargin,
     "q289_discount_response" ->
       """SELECT CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)
         |    AS disc_pct,

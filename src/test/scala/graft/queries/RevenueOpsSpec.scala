@@ -31,6 +31,49 @@ class RevenueOpsSpec extends AnyFunSuite {
     assert(rows.map(_._2).distinct.length <= 25)
   }
 
+  test("q299: decomposition identity holds exactly per year") {
+    val rows = RevenueOps.growthDecomposition(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r._4 == r._5 + r._6) // delta = volume + price, exactly
+    }
+    // deltas chain: rev_t - rev_{t-1} across consecutive rows
+    rows.sliding(2).foreach {
+      case Array(a, b) if b._1 == a._1 + 1 =>
+        assert(b._4 == b._3 - a._3)
+      case _ =>
+    }
+  }
+
+  test("q300: dashboard internally consistent; shares sum per year") {
+    val rows = RevenueOps.execDashboard(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getLong(7))))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r._6 == r._5 / r._3)      // aov = rev div orders
+      assert(r._4 <= r._3)             // customers <= orders
+    }
+    rows.groupBy(_._2).foreach { case (_, ys) =>
+      val s0 = ys.map(_._7).sum
+      assert(s0 <= 1000000L && s0 > 1000000L - ys.length)
+    }
+    // growth cross-check against the raw revenue sequence
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.head._8.isEmpty)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._8.contains(
+            (b._5 - a._5) * 1000000L / a._5))
+        case _ =>
+      }
+    }
+  }
+
   test("q258 ≡ driver rolling sum on day values; gaps shrink window") {
     val rows = RevenueOps.rangeWindow(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
