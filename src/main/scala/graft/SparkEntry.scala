@@ -75,7 +75,8 @@ object SparkEntry {
       graft.queries.DensityOps.queries ++
       graft.queries.MomentsOps.queries ++
       graft.queries.DriftOps.queries ++
-      graft.queries.CurveOps.queries
+      graft.queries.CurveOps.queries ++
+      graft.queries.TpchClassics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -140,5 +141,6 @@ object SparkEntry {
       graft.queries.DensityOps.oracle ++
       graft.queries.MomentsOps.oracle ++
       graft.queries.DriftOps.oracle ++
-      graft.queries.CurveOps.oracle
+      graft.queries.CurveOps.oracle ++
+      graft.queries.TpchClassics.oracle
 }
