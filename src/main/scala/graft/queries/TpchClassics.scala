@@ -84,10 +84,51 @@ object TpchClassics {
       .limit(20)
   }
 
+  /** q304 (Q7 shape, trade flows): the CROSS-border revenue matrix —
+    * (customer nation → supplier nation) pairs with cust ≠ supp, per
+    * year; q302's complement (the two queries partition the revenue).
+    * Output bounded by nations² × years. */
+  def tradeFlows(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+      col("l_suppkey"), revUnits)
+    li.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("ck"))
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sk"))
+      .groupBy(col("cust_nation"), col("supp_nation"),
+        year(col("o_orderdate")).as("yr"))
+      .agg(sum(col("rev_units")).as("rev_units"))
+      .orderBy(col("cust_nation"), col("supp_nation"), col("yr"))
+  }
+
+  /** q305 (Q4 shape, priority check): orders per priority that have
+    * AT LEAST ONE late-shipped lineitem (EXISTS — a left-semi join,
+    * at most one count per order regardless of lineitem fan-out). */
+  def priorityExists(s: SparkSession, d: String): DataFrame = {
+    val late = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate"))
+      .select(col("l_orderkey")).distinct()
+    Tables.orders(s, d)
+      .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q301_shipping_priority" -> shippingPriority,
     "q302_local_supplier_volume" -> localSupplierVolume,
-    "q303_returned_customers" -> returnedCustomers)
+    "q303_returned_customers" -> returnedCustomers,
+    "q304_trade_flows" -> tradeFlows,
+    "q305_priority_exists" -> priorityExists)
 
   private val RevSql =
     """CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
@@ -95,6 +136,28 @@ object TpchClassics {
       |    AS BIGINT))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q304_trade_flows" ->
+      s"""SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+         |  year(o_orderdate) AS yr,
+         |  CAST(SUM($RevSql) AS BIGINT) AS rev_units
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |WHERE c_nationkey <> s_nationkey
+         |GROUP BY cn.n_name, sn.n_name, year(o_orderdate)
+         |ORDER BY cust_nation, supp_nation, yr""".stripMargin,
+    "q305_priority_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_late_orders
+        |FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q301_shipping_priority" ->
       s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
          |  CAST(SUM($RevSql) AS BIGINT) AS rev_units

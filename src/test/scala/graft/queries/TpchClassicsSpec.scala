@@ -66,6 +66,34 @@ class TpchClassicsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q304 + q302 partition the joined revenue (flow conservation)") {
+    val sup = spark.read.parquet(s"$sf/supplier.parquet")
+      .select("s_suppkey", "s_nationkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val total = li.map { l =>
+      (cust(orders(l._1)._1)._2 == sup(l._2), l._3)
+    }
+    val localRev = total.filter(_._1).map(_._2).sum
+    val crossRev = total.filterNot(_._1).map(_._2).sum
+    val gotLocal = TpchClassics.localSupplierVolume(spark, sf).collect()
+      .map(_.getLong(3)).sum
+    val gotCross = TpchClassics.tradeFlows(spark, sf).collect()
+      .map(_.getLong(3)).sum
+    assert(gotLocal == localRev && gotCross == crossRev)
+    assert(gotLocal + gotCross == li.map(_._3).sum)
+  }
+
+  test("q305 ≡ driver EXISTS census; at most one count per order") {
+    val lateOrders = li.filter(l => l._5 > orders(l._1)._2)
+      .map(_._1).distinct.toSet
+    val expect = lateOrders.toSeq.map(o => orders(o)._4)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = TpchClassics.priorityExists(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    assert(got.values.sum == lateOrders.size.toLong)
+  }
+
   test("q303 ≡ driver returned-revenue top-20 (1997)") {
     val expect = li.filter(_._4 == "R").flatMap { l =>
       val o = orders(l._1)
