@@ -144,13 +144,133 @@ object CurveOps {
       .orderBy(col("n_matches"))
   }
 
+  /** q306: top-k stability under deterministic 50% sampling — the
+    * part-revenue top-k from the FULL corpus vs from the q49-style
+    * salted-hash half sample, overlap and Jaccard per k ∈ {10, 50,
+    * 100}: the fidelity table that says whether a cheap sampled scan
+    * can drive the leaderboard. Everything deterministic (the salted
+    * polynomial inclusion hash — the q195 affine-trap-safe device). */
+  def topkStability(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GramOps.register(s)
+    val li = Tables.lineitem(s, d).select(col("l_partkey"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100" +
+        " AS BIGINT)").as("cents"),
+      expr("element_at(gram_hashes(concat('smp: ', CAST(l_orderkey" +
+        " AS STRING), ':', CAST(l_linenumber AS STRING)), 2), 1)")
+        .as("h"))
+    val full = li.groupBy(col("l_partkey"))
+      .agg(sum(col("cents")).as("rev"))
+    val samp = li.filter(col("h") % 2 === 0)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("cents")).as("rev"))
+    import org.apache.spark.sql.expressions.Window
+    def ranked(f: DataFrame) = f.withColumn("rk", row_number().over(
+      Window.orderBy(col("rev").desc, col("l_partkey"))))
+    val fr = ranked(full).localCheckpoint()
+    val sr = ranked(samp).localCheckpoint()
+    val frames = Seq(10, 50, 100).map { k =>
+      val a = fr.filter(col("rk") <= k).select(col("l_partkey"))
+      val b = sr.filter(col("rk") <= k).select(col("l_partkey"))
+      a.join(b, Seq("l_partkey"), "left_semi")
+        .agg(count(lit(1)).as("overlap"))
+        .select(lit(k.toLong).as("k"), col("overlap"),
+          expr(s"(overlap * 1000) div (2 * $k - overlap)")
+            .as("jaccard_milli"))
+    }
+    frames.reduce(_ unionAll _).orderBy(col("k"))
+  }
+
+  /** q307: leaderboard churn — per nation, yearly revenue rank and
+    * the total |Δrank| across consecutive years (the volatility of
+    * the standings; bounded nation×year frame). */
+  def rankChurn(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val yearly = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100" +
+        " AS BIGINT)")).as("rev"))
+    val ranked = yearly.withColumn("rk", rank().over(
+      Window.partitionBy(col("yr")).orderBy(col("rev").desc)))
+    ranked.withColumn("prev_rk", lag(col("rk"), 1).over(
+        Window.partitionBy(col("n_name")).orderBy(col("yr"))))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_years"),
+        min(col("rk")).as("best_rank"), max(col("rk")).as("worst_rank"),
+        sum(when(col("prev_rk").isNotNull,
+          abs(col("rk") - col("prev_rk"))).otherwise(0L))
+          .as("total_rank_churn"))
+      .orderBy(col("n_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q295_dedup_curve" -> dedupCurve,
     "q296_quality_quintiles" -> qualityQuintiles,
     "q297_padding_waste" -> paddingWaste,
-    "q298_minhash_calibration" -> minhashCalibration)
+    "q298_minhash_calibration" -> minhashCalibration,
+    "q306_topk_stability" -> topkStability,
+    "q307_rank_churn" -> rankChurn)
 
   val oracle: Map[String, String] = Map(
+    "q306_topk_stability" -> {
+      val hs = OracleHash.polySql(
+        "'smp: ' || CAST(l_orderkey AS VARCHAR) || ':' ||" +
+          " CAST(l_linenumber AS VARCHAR)")
+      val branches = Seq(10, 50, 100).map(k =>
+        s"""SELECT $k AS k,
+           |  (SELECT COUNT(*) FROM
+           |    (SELECT l_partkey FROM fr WHERE rk <= $k) a
+           |    JOIN (SELECT l_partkey FROM sr WHERE rk <= $k) b
+           |    USING (l_partkey)) AS overlap""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH li AS (
+         |  SELECT l_partkey,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+         |      AS BIGINT) AS cents,
+         |    $hs AS h
+         |  FROM lineitem),
+         |fr AS (
+         |  SELECT l_partkey,
+         |    ROW_NUMBER() OVER (ORDER BY SUM(cents) DESC, l_partkey)
+         |      AS rk
+         |  FROM li GROUP BY l_partkey),
+         |sr AS (
+         |  SELECT l_partkey,
+         |    ROW_NUMBER() OVER (ORDER BY SUM(cents) DESC, l_partkey)
+         |      AS rk
+         |  FROM li WHERE h % 2 = 0 GROUP BY l_partkey),
+         |o AS ($branches)
+         |SELECT k, CAST(overlap AS BIGINT) AS overlap,
+         |  CAST((overlap * 1000) // (2 * k - overlap) AS BIGINT)
+         |    AS jaccard_milli
+         |FROM o ORDER BY k""".stripMargin
+    },
+    "q307_rank_churn" ->
+      """WITH yearly AS (
+        |  SELECT n_name, year(o_orderdate) AS yr,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT n_name, yr,
+        |    RANK() OVER (PARTITION BY yr ORDER BY rev DESC) AS rk
+        |  FROM yearly),
+        |l AS (
+        |  SELECT n_name, rk,
+        |    LAG(rk) OVER (PARTITION BY n_name ORDER BY yr) AS prev_rk
+        |  FROM rk)
+        |SELECT n_name, COUNT(*) AS n_years,
+        |  CAST(MIN(rk) AS BIGINT) AS best_rank,
+        |  CAST(MAX(rk) AS BIGINT) AS worst_rank,
+        |  CAST(SUM(CASE WHEN prev_rk IS NOT NULL
+        |    THEN abs(rk - prev_rk) ELSE 0 END) AS BIGINT)
+        |    AS total_rank_churn
+        |FROM l GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q298_minhash_calibration" -> {
       def h(k: Int) = OracleHash.polySql(s"'s$k: ' || word")
       s"""WITH w AS (

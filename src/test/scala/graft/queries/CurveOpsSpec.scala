@@ -60,6 +60,47 @@ class CurveOpsSpec extends AnyFunSuite {
       docs.length.toLong * (docs.length - 1) / 2)
   }
 
+  test("q306 ≡ driver sampled-leaderboard overlap") {
+    val base = graft.functions.GramHash.Base
+    val p = graft.functions.GramHash.P
+    def poly(s0: String): Long =
+      s0.foldLeft(0L)((h, c) => (h * base + (c.toInt % 256)) % p)
+    def cents(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_partkey",
+        "l_extendedprice").collect()
+      .map(r => (poly(s"smp: ${r.getLong(0)}:${r.getInt(1)}"),
+        r.getLong(2), cents(r.getDouble(3))))
+    def top(rows: Seq[(Long, Long)], k: Int): Set[Long] =
+      rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+        .sortBy { case (pk, v) => (-v, pk) }.take(k).map(_._1).toSet
+    val full = li.map(x => (x._2, x._3)).toSeq
+    val samp = li.filter(_._1 % 2 == 0).map(x => (x._2, x._3)).toSeq
+    val got = CurveOps.topkStability(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    Seq(10, 50, 100).foreach { k =>
+      val ov = top(full, k).intersect(top(samp, k)).size.toLong
+      assert(got(k.toLong) == ((ov, ov * 1000 / (2 * k - ov))), s"k=$k")
+    }
+    assert(got.values.forall(_._1 > 0), "sampling keeps some overlap")
+  }
+
+  test("q307: rank churn consistent; one rank-1 per year implied") {
+    val rows = CurveOps.rankChurn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4)))
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      assert(r._3 <= r._4)
+      assert(r._5 >= 0 && r._5 <= (r._2 - 1) * 24) // |Δrank| ≤ n−1 per step
+    }
+    assert(rows.exists(_._3 == 1), "someone held rank 1")
+    assert(rows.exists(_._5 > 0), "standings actually moved")
+  }
+
   test("q296 ≡ driver quintile matrix; counts conserve") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "source", "text").collect()
