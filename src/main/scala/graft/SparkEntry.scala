@@ -76,7 +76,8 @@ object SparkEntry {
       graft.queries.MomentsOps.queries ++
       graft.queries.DriftOps.queries ++
       graft.queries.CurveOps.queries ++
-      graft.queries.TpchClassics.queries
+      graft.queries.TpchClassics.queries ++
+      graft.queries.EngagementOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -142,5 +143,6 @@ object SparkEntry {
       graft.queries.MomentsOps.oracle ++
       graft.queries.DriftOps.oracle ++
       graft.queries.CurveOps.oracle ++
-      graft.queries.TpchClassics.oracle
+      graft.queries.TpchClassics.oracle ++
+      graft.queries.EngagementOps.oracle
 }
