@@ -165,14 +165,92 @@ object CustomerValueOps {
       .orderBy(col("gap_weeks"))
   }
 
+  /** q311: basket-size distribution — lineitems-per-order census with
+    * ppm shares and the cumulative curve. */
+  def basketSizes(s: SparkSession, d: String): DataFrame = {
+    val sizes = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("sz"))
+    val cells = sizes.groupBy(col("sz")).agg(count(lit(1)).as("n_orders"))
+    val tot = cells.agg(sum(col("n_orders")).as("total"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("cum", sum(col("n_orders")).over(
+        Window.orderBy(col("sz"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("sz"), col("n_orders"),
+        expr("(n_orders * 1000000) div total").as("share_ppm"),
+        expr("(cum * 1000000) div total").as("cum_ppm"))
+      .orderBy(col("sz"))
+  }
+
+  /** q312: customer lifetime spans — days between first and last
+    * order per customer, bucketed by quarter-year, with the
+    * single-order (span 0) class explicit. */
+  def lifetimeSpans(s: SparkSession, d: String): DataFrame = {
+    val spans = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg((expr("max(unix_micros(CAST(o_orderdate AS TIMESTAMP)))" +
+        " div 86400000000") -
+        expr("min(unix_micros(CAST(o_orderdate AS TIMESTAMP)))" +
+          " div 86400000000")).as("span_days"))
+    val cells = spans
+      .withColumn("quarter_bucket", expr("span_days div 91"))
+      .groupBy(col("quarter_bucket"))
+      .agg(count(lit(1)).as("n_customers"),
+        min(col("span_days")).as("min_days"),
+        max(col("span_days")).as("max_days"))
+    val tot = cells.agg(sum(col("n_customers")).as("total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("quarter_bucket"), col("n_customers"),
+        col("min_days"), col("max_days"),
+        expr("(n_customers * 1000000) div total").as("share_ppm"))
+      .orderBy(col("quarter_bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q247_cohort_ltv" -> cohortLtv,
     "q248_weighted_median" -> weightedMedian,
     "q292_interarrival" -> interArrival,
     "q293_gini_mean_diff" -> giniMeanDiff,
-    "q294_lorenz_curve" -> lorenzCurve)
+    "q294_lorenz_curve" -> lorenzCurve,
+    "q311_basket_sizes" -> basketSizes,
+    "q312_lifetime_spans" -> lifetimeSpans)
 
   val oracle: Map[String, String] = Map(
+    "q311_basket_sizes" ->
+      """WITH sizes AS (
+        |  SELECT l_orderkey, COUNT(*) AS sz FROM lineitem
+        |  GROUP BY l_orderkey),
+        |cells AS (SELECT sz, COUNT(*) AS n_orders FROM sizes
+        |  GROUP BY sz),
+        |tot AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS total
+        |  FROM cells)
+        |SELECT sz, n_orders,
+        |  CAST((n_orders * 1000000) // total AS BIGINT) AS share_ppm,
+        |  CAST((CAST(SUM(n_orders) OVER (ORDER BY sz
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) * 1000000) // total AS BIGINT) AS cum_ppm
+        |FROM cells CROSS JOIN tot
+        |ORDER BY sz""".stripMargin,
+    "q312_lifetime_spans" ->
+      """WITH spans AS (
+        |  SELECT o_custkey,
+        |    MAX(epoch_us(date_trunc('microseconds', o_orderdate))
+        |      // 86400000000)
+        |    - MIN(epoch_us(date_trunc('microseconds', o_orderdate))
+        |      // 86400000000) AS span_days
+        |  FROM orders GROUP BY o_custkey),
+        |cells AS (
+        |  SELECT span_days // 91 AS quarter_bucket,
+        |    COUNT(*) AS n_customers,
+        |    MIN(span_days) AS min_days, MAX(span_days) AS max_days
+        |  FROM spans GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_customers) AS BIGINT) AS total
+        |  FROM cells)
+        |SELECT quarter_bucket, n_customers, min_days, max_days,
+        |  CAST((n_customers * 1000000) // total AS BIGINT)
+        |    AS share_ppm
+        |FROM cells CROSS JOIN tot
+        |ORDER BY quarter_bucket""".stripMargin,
     "q292_interarrival" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderkey,

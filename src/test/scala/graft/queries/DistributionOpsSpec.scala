@@ -52,6 +52,35 @@ class DistributionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q311 ≡ driver basket census; cum curve ends at 1e6") {
+    val sizes = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey").collect().map(_.getLong(0))
+      .groupBy(identity).values.map(_.length).toSeq
+    val expect = sizes.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val got = CustomerValueOps.basketSizes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(g => g._1.toInt -> g._2).toMap == expect)
+    assert(got.maxBy(_._1)._4 == 1000000L)
+    assert(got.map(_._2).sum == sizes.size.toLong)
+  }
+
+  test("q312 ≡ driver lifetime spans; shares conserve") {
+    val spans = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey",
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values
+      .map(os => os.map(_._2).max - os.map(_._2).min).toSeq
+    val expect = spans.groupBy(_ / 91).view.mapValues { vs =>
+      (vs.size.toLong, vs.min, vs.max) }.toMap
+    val got = CustomerValueOps.lifetimeSpans(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got.view.mapValues(v => (v._1, v._2, v._3)).toMap == expect)
+    assert(got.values.map(_._1).sum == spans.size.toLong)
+  }
+
   test("q293 ≡ brute-force pairwise |diff| per region") {
     val regionOf = {
       val cust = spark.read.parquet(s"$sf/customer.parquet")
