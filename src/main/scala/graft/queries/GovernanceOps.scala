@@ -140,13 +140,97 @@ object GovernanceOps {
       .orderBy(col("c_mktsegment"))
   }
 
+  private val TxCorrection = 200L // transaction time of the merge batch
+
+  /** q313: BITEMPORAL querying — the q246 history carried in BOTH time
+    * dimensions: VALID time (when the fact was true in the world) and
+    * TRANSACTION time (when the warehouse knew it). The initial load
+    * commits at tx 0; the UPGRADE merge commits at tx [[TxCorrection]],
+    * which CLOSES the transaction interval of the superseded belief
+    * and opens two corrected rows. Three point queries — (as-known-at,
+    * valid-at) = (100, 11000), (300, 10000), (300, 11000) — give the
+    * classic bitemporal census: before the correction the warehouse
+    * still believes the old segment even for post-merge valid dates;
+    * after it, the segment depends on valid time. One row per (query,
+    * segment).
+    *
+    * Scale: the history is dim-scale; each point query is a filter +
+    * census — the same pruned-scan shape as q278. */
+  def bitemporal(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(col("c_custkey"),
+      col("c_mktsegment"))
+    val changed = col("c_custkey") % 10 === 3
+    val inf = lit(null).cast("long")
+    // (custkey, segment, valid_from, valid_to, tx_from, tx_to)
+    val initialUntouched = cust.filter(!changed)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        lit(0L).as("vf"), inf.as("vt"), lit(0L).as("tf"), inf.as("tt"))
+    val initialSuperseded = cust.filter(changed)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        lit(0L).as("vf"), inf.as("vt"), lit(0L).as("tf"),
+        lit(TxCorrection).as("tt"))
+    val correctedClosed = cust.filter(changed)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        lit(0L).as("vf"), lit(MergeDay).as("vt"),
+        lit(TxCorrection).as("tf"), inf.as("tt"))
+    val correctedOpen = cust.filter(changed)
+      .select(col("c_custkey"), lit("UPGRADED").as("c_mktsegment"),
+        lit(MergeDay).as("vf"), inf.as("vt"),
+        lit(TxCorrection).as("tf"), inf.as("tt"))
+    val hist = initialUntouched.unionAll(initialSuperseded)
+      .unionAll(correctedClosed).unionAll(correctedOpen)
+      .localCheckpoint() // three point queries below
+    def at(label: String, tx: Long, valid: Long): DataFrame =
+      hist.filter(col("tf") <= tx &&
+          (col("tt").isNull || col("tt") > tx) &&
+          col("vf") <= valid &&
+          (col("vt").isNull || col("vt") > valid))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .select(lit(label).as("query"), col("c_mktsegment"),
+          col("n_customers"))
+    at("tx100_valid11000", 100L, 11000L)
+      .unionAll(at("tx300_valid10000", 300L, 10000L))
+      .unionAll(at("tx300_valid11000", 300L, 11000L))
+      .orderBy(col("query"), col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q244_k_anonymity" -> kAnonymity,
     "q245_dq_rules" -> dqRules,
     "q246_scd2_merge" -> scd2Merge,
-    "q278_temporal_dim_join" -> temporalDimJoin)
+    "q278_temporal_dim_join" -> temporalDimJoin,
+    "q313_bitemporal" -> bitemporal)
 
   val oracle: Map[String, String] = Map(
+    "q313_bitemporal" ->
+      s"""WITH hist AS (
+         |  SELECT c_custkey, c_mktsegment, 0 AS vf,
+         |    CAST(NULL AS BIGINT) AS vt, 0 AS tf,
+         |    CAST(NULL AS BIGINT) AS tt
+         |  FROM customer WHERE c_custkey % 10 <> 3
+         |  UNION ALL
+         |  SELECT c_custkey, c_mktsegment, 0, CAST(NULL AS BIGINT),
+         |    0, $TxCorrection
+         |  FROM customer WHERE c_custkey % 10 = 3
+         |  UNION ALL
+         |  SELECT c_custkey, c_mktsegment, 0, $MergeDay,
+         |    $TxCorrection, CAST(NULL AS BIGINT)
+         |  FROM customer WHERE c_custkey % 10 = 3
+         |  UNION ALL
+         |  SELECT c_custkey, 'UPGRADED', $MergeDay,
+         |    CAST(NULL AS BIGINT), $TxCorrection, CAST(NULL AS BIGINT)
+         |  FROM customer WHERE c_custkey % 10 = 3),
+         |q AS (
+         |  SELECT 'tx100_valid11000' AS query, 100 AS tx, 11000 AS v
+         |  UNION ALL SELECT 'tx300_valid10000', 300, 10000
+         |  UNION ALL SELECT 'tx300_valid11000', 300, 11000)
+         |SELECT query, c_mktsegment, COUNT(*) AS n_customers
+         |FROM q JOIN hist
+         |  ON tf <= tx AND (tt IS NULL OR tt > tx)
+         |  AND vf <= v AND (vt IS NULL OR vt > v)
+         |GROUP BY query, c_mktsegment
+         |ORDER BY query, c_mktsegment""".stripMargin,
     "q278_temporal_dim_join" ->
       s"""WITH dim AS (
          |  SELECT c_custkey, c_mktsegment, 0 AS valid_from,

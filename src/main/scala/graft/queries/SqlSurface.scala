@@ -168,7 +168,61 @@ object SqlSurface {
       .orderBy(col("lang"))
   }
 
+  /** q314: NULL-PRESERVING explode (explode_outer / posexplode_outer
+    * semantics) — the 8-gram frame per doc INCLUDING docs too short
+    * to produce any gram (a plain explode silently drops them — the
+    * bug class q116's scaladoc warns about, here pinned as a
+    * first-class row). Census: docs by gram-count band, with the
+    * zero-gram class explicit and non-vacuous. */
+  def explodeOuter(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables
+    import org.apache.spark.sql.functions._
+    val g = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode_outer(expr(
+        "CASE WHEN size(ws) >= 12 THEN sequence(1, size(ws) - 11)" +
+          " ELSE CAST(array() AS ARRAY<INT>) END")).as("i"))
+    g.groupBy(col("doc_id"))
+      .agg(sum(when(col("i").isNotNull, 1L).otherwise(0L)).as("n_grams"))
+      .groupBy(expr("CASE WHEN n_grams = 0 THEN 'zero'" +
+        " WHEN n_grams < 40 THEN 'short' ELSE 'long' END").as("band"))
+      .agg(count(lit(1)).as("n_docs"), min(col("n_grams")).as("min_g"),
+        max(col("n_grams")).as("max_g"))
+      .orderBy(col("band"))
+  }
+
+  /** q315: map-function surface — per-user event-type counts packed
+    * into a MAP column (map_from_entries over the aggregated struct
+    * list), then consumed with element_at / map_keys / the q263-style
+    * HOF aggregate over map_values. Output is scalars only (map
+    * iteration order is engine-specific — never emit a raw map to a
+    * hash-compared sink; the documented reason this query projects
+    * out). */
+  def mapSurface(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables
+    import org.apache.spark.sql.functions._
+    Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(collect_list(struct(col("event_type"),
+        col("n")))).as("m"))
+      .select(col("user_id"),
+        size(col("m")).as("n_types"),
+        coalesce(expr("element_at(m, 'click')"), lit(0L))
+          .as("n_click"),
+        coalesce(expr("element_at(m, 'purchase')"), lit(0L))
+          .as("n_purchase"),
+        expr("aggregate(map_values(m), 0L, (a, x) -> a + x)")
+          .as("n_total"),
+        array_join(array_sort(map_keys(col("m"))), ",")
+          .as("types_sorted"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q314_explode_outer" -> explodeOuter,
+    "q315_map_surface" -> mapSurface,
     "q274_dynamic_pivot" -> dynamicPivot,
     "q216_grouping_sets" -> groupingSets,
     "q217_correlated_subquery" -> correlatedSubquery,
@@ -177,6 +231,31 @@ object SqlSurface {
     "q263_array_surface" -> arraySurface)
 
   val oracle: Map[String, String] = Map(
+    "q314_explode_outer" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    GREATEST(CAST(len(string_split(text, ' ')) AS BIGINT) - 11,
+        |      0) AS n_grams
+        |  FROM documents)
+        |SELECT CASE WHEN n_grams = 0 THEN 'zero'
+        |    WHEN n_grams < 40 THEN 'short' ELSE 'long' END AS band,
+        |  COUNT(*) AS n_docs,
+        |  MIN(n_grams) AS min_g, MAX(n_grams) AS max_g
+        |FROM g GROUP BY 1 ORDER BY band""".stripMargin,
+    "q315_map_surface" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(COUNT(*) AS INTEGER) AS n_types,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN n END),
+        |    0) AS BIGINT) AS n_click,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN n
+        |    END), 0) AS BIGINT) AS n_purchase,
+        |  CAST(SUM(n) AS BIGINT) AS n_total,
+        |  array_to_string(list_sort(list(event_type)), ',')
+        |    AS types_sorted
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q274_dynamic_pivot" -> {
       val srcCols = (0 until 20).map(i =>
         s"CAST(SUM(CASE WHEN source = 'src$i' THEN 1 ELSE 0 END)" +
