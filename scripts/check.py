@@ -28,6 +28,14 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     results = {}
+    # every ATTEMPTED query must have produced output — a thrown query
+    # writes no dir and would silently shrink the denominator (the q70
+    # ANSI divide-by-zero lesson)
+    mpath = os.path.join(out, "manifest.txt")
+    if os.path.exists(mpath):
+        for name in open(mpath).read().split():
+            if not os.path.isdir(os.path.join(out, name)):
+                results[name] = "MISSING_OUTPUT (query threw in Verify)"
     for name in sorted(os.listdir(out)):
         qdir = os.path.join(out, name)
         if not os.path.isdir(qdir): continue

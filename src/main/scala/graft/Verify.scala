@@ -29,13 +29,26 @@ object Verify {
         .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val attempted = SparkEntry.queries.filter(kv => only(kv._1)).keys
+      .toSeq.sorted
+    var failed = 0
     SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Manifest of every ATTEMPTED query: a query that throws produces
+    // no output directory and would otherwise silently shrink the
+    // compare's denominator (exactly how q70's ANSI divide-by-zero hid
+    // for a while) — check.py reports MISSING for manifest entries
+    // with no output.
+    Files.writeString(Paths.get(s"$outDir/manifest.txt"),
+      attempted.mkString("\n"))
+    System.err.println(
+      s"[verify] attempted=${attempted.size} failed=$failed")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -218,9 +218,15 @@ object ServingPack {
          |SELECT ch,
          |  CAST(SUM(uv_ct) AS BIGINT) AS uv_ct,
          |  CAST(SUM(sv_ct) AS BIGINT) AS sv_ct,
-         |  CAST(SUM(pv_ct) AS DOUBLE) / SUM(sv_ct) AS pv_per_session,
-         |  CAST(SUM(dur_sum) AS DOUBLE) / SUM(sv_ct) AS dur_per_session,
-         |  CAST(SUM(uj_ct) AS DOUBLE) / SUM(sv_ct) AS uj_rate
+         |  CASE WHEN SUM(sv_ct) > 0
+         |    THEN CAST(SUM(pv_ct) AS DOUBLE) / SUM(sv_ct) END
+         |    AS pv_per_session,
+         |  CASE WHEN SUM(sv_ct) > 0
+         |    THEN CAST(SUM(dur_sum) AS DOUBLE) / SUM(sv_ct) END
+         |    AS dur_per_session,
+         |  CASE WHEN SUM(sv_ct) > 0
+         |    THEN CAST(SUM(uj_ct) AS DOUBLE) / SUM(sv_ct) END
+         |    AS uj_rate
          |FROM chdws WHERE ${onDate("stt", EvDate)}
          |GROUP BY ch""".stripMargin,
     "q71_serve_keywords" ->

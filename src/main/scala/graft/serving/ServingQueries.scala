@@ -46,16 +46,24 @@ object ServingQueries {
   /** traffic/{uvCt,svCt,pvPerSession,durPerSession,ujRate} per channel
     * (TrafficChannelStatsMapper.java:11-48): ratio-of-sums + ORDER BY
     * metric DESC (O1, A9). */
-  def trafficChannelStats(dwsTrafficChannel: DataFrame, date: Int): DataFrame =
+  def trafficChannelStats(dwsTrafficChannel: DataFrame, date: Int): DataFrame = {
+    // zero-session channels emit NULL ratios (the regenerated events
+    // data produced a channel-date with sv_ct = 0; under ANSI mode the
+    // unguarded division became a DIVIDE_BY_ZERO task failure that
+    // silently DROPPED q70 from the verify output — found by auditing
+    // the gate denominator against the registered query count)
+    def per(c: String) = when(sum(col("sv_ct")) > 0,
+      sum(col(c)).cast("double") / sum(col("sv_ct"))).otherwise(lit(null))
     onDate(dwsTrafficChannel, date)
       .groupBy(col("ch"))
       .agg(
         sum(col("uv_ct")).as("uv_ct"),
         sum(col("sv_ct")).as("sv_ct"),
-        (sum(col("pv_ct")).cast("double") / sum(col("sv_ct"))).as("pv_per_session"),
-        (sum(col("dur_sum")).cast("double") / sum(col("sv_ct"))).as("dur_per_session"),
-        (sum(col("uj_ct")).cast("double") / sum(col("sv_ct"))).as("uj_rate"))
+        per("pv_ct").as("pv_per_session"),
+        per("dur_sum").as("dur_per_session"),
+        per("uj_ct").as("uj_rate"))
       .orderBy(col("uv_ct").desc)
+  }
 
   /** traffic/keywords (TrafficKeywordsMapper.java:10-20): weighted
     * multiIf score per keyword. */
