@@ -31,6 +31,14 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val attempted = SparkEntry.queries.filter(kv => only(kv._1)).keys
       .toSeq.sorted
+    // Manifest of every ATTEMPTED query, written BEFORE the loop: a
+    // query that throws produces no output directory and would
+    // otherwise silently shrink the compare's denominator (the q70
+    // ANSI divide-by-zero lesson), and a mid-run driver crash (OOM,
+    // kill) must leave the partial run visible as MISSING_OUTPUT rows
+    // rather than a smaller denominator.
+    Files.writeString(Paths.get(s"$outDir/manifest.txt"),
+      attempted.mkString("\n"))
     var failed = 0
     SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -40,13 +48,6 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // Manifest of every ATTEMPTED query: a query that throws produces
-    // no output directory and would otherwise silently shrink the
-    // compare's denominator (exactly how q70's ANSI divide-by-zero hid
-    // for a while) — check.py reports MISSING for manifest entries
-    // with no output.
-    Files.writeString(Paths.get(s"$outDir/manifest.txt"),
-      attempted.mkString("\n"))
     System.err.println(
       s"[verify] attempted=${attempted.size} failed=$failed")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

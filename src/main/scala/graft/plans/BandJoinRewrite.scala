@@ -26,10 +26,12 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * exactly one of the three replicated buckets (the three bucket ids
   * are distinct) — no pair is lost, none duplicated. The original band
   * conjunct is kept, so false bucket-mates are filtered as before.
-  * Floor division must be FLOOR (not Spark's truncating `div`) to hold
-  * for negative keys: floor(x/g) = (x − pmod(x, g)) div g, built from
-  * `Pmod` (always-positive modulus) so it is exact on the whole Long
-  * range — no doubles anywhere.
+  * Floor division must be FLOOR (not plain truncating `div`) to hold
+  * for negative keys: floor(x/g) = x div g − [x < 0 ∧ x % g ≠ 0],
+  * exact and overflow-free on the whole Long range — no doubles
+  * anywhere; the neighbor-bucket ±1 saturates at the Long edges (with
+  * array_distinct preserving no-duplication) so ANSI overflow can
+  * never fire where the nested-loop plan would have succeeded.
   *
   * Firing conditions (deliberately narrow — an optimizer rule must
   * never change semantics):
@@ -60,11 +62,19 @@ case class BandJoinRewrite(session: SparkSession)
     case _ => false
   }
 
-  /** floor(x / g) for g > 0, exact over Long: (x − pmod(x,g)) div g. */
+  /** floor(x / g) for g > 0, exact AND overflow-free over the whole
+    * Long range: x div g, minus 1 when x < 0 with a nonzero remainder.
+    * (The former (x − pmod(x,g)) div g form underflows under ANSI eval
+    * at x near Long.MinValue; truncating div is safe for any x when
+    * g ≥ 1, and the −1 correction cannot underflow because x % g == 0
+    * whenever x div g touches the range edge.) */
   private def floorDiv(x: Expression, g: Long): Expression = {
     val xl = if (x.dataType == LongType) x else Cast(x, LongType)
     val gl = Literal(g, LongType)
-    IntegralDivide(Subtract(xl, Pmod(xl, gl)), gl)
+    val trunc = IntegralDivide(xl, gl)
+    If(And(LessThan(xl, Literal(0L, LongType)),
+        Not(EqualTo(Remainder(xl, gl), Literal(0L, LongType)))),
+      Subtract(trunc, Literal(1L, LongType)), trunc)
   }
 
   private def hasEquiKey(cond: Expression, left: LogicalPlan,
@@ -83,10 +93,13 @@ case class BandJoinRewrite(session: SparkSession)
       case _ => false
     }
 
-  /** Find `abs(a − b) <= w`: returns (leftSideExpr, rightSideExpr, w). */
+  /** Find `abs(a − b) <= w`: returns (leftSideExpr, rightSideExpr, w).
+    * Iterates ALL conjuncts (not collectFirst) — an unusable
+    * band-shaped conjunct (negative width, cross-side references) must
+    * not mask a later valid one. */
   private def findBand(cond: Expression, left: LogicalPlan,
       right: LogicalPlan): Option[(Expression, Expression, Long)] =
-    splitConjunctivePredicates(cond).collectFirst {
+    splitConjunctivePredicates(cond).collect {
       case cmp @ LessThanOrEqual(Abs(Subtract(a, b, _), _), lit: Literal)
           if lit.foldable && isIntegral(a) && isIntegral(b) &&
             cmp.deterministic =>
@@ -107,7 +120,7 @@ case class BandJoinRewrite(session: SparkSession)
           a.references.subsetOf(right.outputSet))
           Some((b, a, w))
         else None
-    }.flatten
+    }.flatten.headOption
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
@@ -120,15 +133,30 @@ case class BandJoinRewrite(session: SparkSession)
             val g = math.max(w, 1L)
             val bl = Alias(floorDiv(lExpr, g), "graft_band_bl")()
             val projL = Project(left.output :+ bl, left)
-            val br = floorDiv(rExpr, g)
-            val arr = CreateArray(Seq(
-              Subtract(br, Literal(1L, LongType)), br,
-              Add(br, Literal(1L, LongType))))
+            // Replicate the right row to its bucket and both neighbors,
+            // with SATURATING ±1 at the Long range edges (ANSI Add/
+            // Subtract would throw ARITHMETIC_OVERFLOW for band keys in
+            // the first/last granule) + ArrayDistinct to keep the
+            // no-duplication invariant when saturation collides ids.
+            // Lossless: a saturated-away neighbor bucket is outside the
+            // representable floor(l/g) range, so no left partner lives
+            // there. br is projected once so the CASE arms don't
+            // re-evaluate the user's expression.
+            val brA = Alias(floorDiv(rExpr, g), "graft_band_brv")()
+            val projR = Project(right.output :+ brA, right)
+            val br = brA.toAttribute
+            val minL = Literal(Long.MinValue, LongType)
+            val maxL = Literal(Long.MaxValue, LongType)
+            val down = If(EqualTo(br, minL), minL,
+              Subtract(br, Literal(1L, LongType)))
+            val up = If(EqualTo(br, maxL), maxL,
+              Add(br, Literal(1L, LongType)))
+            val arr = ArrayDistinct(CreateArray(Seq(down, br, up)))
             val genOut = AttributeReference("graft_band_br", LongType,
               nullable = true)()
             val gen = Generate(Explode(arr), unrequiredChildIndex = Nil,
               outer = false, qualifier = None,
-              generatorOutput = Seq(genOut), child = right)
+              generatorOutput = Seq(genOut), child = projR)
             val newCond = And(EqualTo(bl.toAttribute, genOut), cond)
             Project(j.output,
               Join(projL, gen, Inner, Some(newCond), hint))

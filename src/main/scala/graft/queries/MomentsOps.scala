@@ -34,7 +34,16 @@ object MomentsOps {
 
   private val D = "DECIMAL(38,0)"
 
-  /** q282: per-region ANOVA moments + grand total row. */
+  /** q282: per-region ANOVA moments + grand total row.
+    *
+    * The wide moments (sum_x2 ~ 10¹⁹, ss_xn ~ 10²³) are emitted as
+    * CANONICAL DECIMAL STRINGS: both engines compute them exactly in
+    * DECIMAL(38)/HUGEINT, but the driver's compare path converts
+    * numerics through float64, and distinct integers past 2⁵³ can
+    * collapse to DIFFERENT nearest-doubles per engine (the r7 q282/q284
+    * hash-mismatch). A string survives any numeric-type coercion — the
+    * same device as q283's BIGINT-milli terms, for values that don't
+    * fit ANY machine numeric. */
   def anovaMoments(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -57,7 +66,12 @@ object MomentsOps {
         sum(col("sum_x2")).cast(D).as("sum_x2"))
       .withColumn("ss_xn",
         expr(s"CAST(CAST(n AS $D) * sum_x2 - sum_x * sum_x AS $D)"))
-    per.unionByName(grand).orderBy(col("r_name"))
+    per.unionByName(grand)
+      .select(col("r_name"), col("n"),
+        col("sum_x").cast("long").as("sum_x"),
+        col("sum_x2").cast("string").as("sum_x2"),
+        col("ss_xn").cast("string").as("ss_xn"))
+      .orderBy(col("r_name"))
   }
 
   /** q283: region × order-status χ² cells, exact milli terms. */
@@ -111,7 +125,15 @@ object MomentsOps {
         .withColumn("cov_xn", expr(
           s"CAST(CAST(n AS $D) * sum_xy - sum_x * sum_y AS $D)"))
     }
-    frames.reduce(_ unionByName _).orderBy(col("pair"))
+    // sum_xy/cov_xn cross 2⁵³ (cov_xn ~ 10¹⁹ at sf0.1) — canonical
+    // strings for the driver's float64 compare path (see anovaMoments)
+    frames.reduce(_ unionByName _)
+      .select(col("pair"), col("n"),
+        col("sum_x").cast("long").as("sum_x"),
+        col("sum_y").cast("long").as("sum_y"),
+        col("sum_xy").cast("string").as("sum_xy"),
+        col("cov_xn").cast("string").as("cov_xn"))
+      .orderBy(col("pair"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -140,8 +162,10 @@ object MomentsOps {
          |  SELECT 'ALL', CAST(SUM(n) AS BIGINT),
          |    CAST(SUM(sum_x) AS $D), CAST(SUM(sum_x2) AS $D)
          |  FROM per)
-         |SELECT r_name, n, sum_x, sum_x2,
-         |  CAST(CAST(n AS $D) * sum_x2 - sum_x * sum_x AS $D) AS ss_xn
+         |SELECT r_name, n, CAST(sum_x AS BIGINT) AS sum_x,
+         |  CAST(CAST(sum_x2 AS HUGEINT) AS VARCHAR) AS sum_x2,
+         |  CAST(CAST(CAST(n AS $D) * sum_x2 - sum_x * sum_x AS HUGEINT)
+         |    AS VARCHAR) AS ss_xn
          |FROM allb ORDER BY r_name""".stripMargin,
     "q283_chi2_independence" ->
       s"""WITH o AS (
@@ -183,8 +207,11 @@ object MomentsOps {
       }).mkString("\nUNION ALL\n")
       s"""WITH m AS (
          |$selects)
-         |SELECT pair, n, sum_x, sum_y, sum_xy,
-         |  CAST(CAST(n AS $D) * sum_xy - sum_x * sum_y AS $D) AS cov_xn
+         |SELECT pair, n, CAST(sum_x AS BIGINT) AS sum_x,
+         |  CAST(sum_y AS BIGINT) AS sum_y,
+         |  CAST(CAST(sum_xy AS HUGEINT) AS VARCHAR) AS sum_xy,
+         |  CAST(CAST(CAST(n AS $D) * sum_xy - sum_x * sum_y AS HUGEINT)
+         |    AS VARCHAR) AS cov_xn
          |FROM m ORDER BY pair""".stripMargin
     })
 }

@@ -105,11 +105,20 @@ object RetrievalOps {
         """transform(sequence(0, size(ws) - 2),
           |  j -> concat(element_at(ws, j + 1), ' ',
           |              element_at(ws, j + 2)))""".stripMargin)).as("term"))
+    // postings serialized as a CSV STRING, not array<bigint>: the
+    // driver's pandas compare lexsorts column values and throws on
+    // list objects (r7 q148 driver-red) — and the scalar-only output
+    // contract (EntrySpec) now forbids nested columns outright. The
+    // canonical on-disk shape for a posting prefix is a packed
+    // delta-encoded blob anyway; CSV is its testable analog.
     terms.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
       .groupBy("term")
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"),
         sort_array(call_function("topk_by",
-          -col("doc_id"), col("doc_id"), lit(16))).as("postings"))
+          -col("doc_id"), col("doc_id"), lit(16))).as("plist"))
+      .select(col("term"), col("df"), col("tf_total"),
+        expr("array_join(transform(plist, x -> CAST(x AS STRING)), ',')")
+          .as("postings"))
   }
 
   private val ChunkLen = 32
@@ -418,7 +427,9 @@ object RetrievalOps {
         |pd AS (
         |  SELECT term, doc_id, COUNT(*) AS tf FROM t GROUP BY term, doc_id)
         |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total,
-        |  list_slice(list(doc_id ORDER BY doc_id), 1, 16) AS postings
+        |  array_to_string(list_transform(
+        |    list_slice(list(doc_id ORDER BY doc_id), 1, 16),
+        |    x -> CAST(x AS VARCHAR)), ',') AS postings
         |FROM pd GROUP BY term""".stripMargin,
     "q155_hybrid_rrf" -> {
       val tfSel = QueryTerms.map(t =>

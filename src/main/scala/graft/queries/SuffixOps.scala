@@ -387,9 +387,13 @@ object SuffixOps {
     * gram-only docs are 8-word overlaps shorter than 20 chars. Both
     * inputs are independently oracle-verified; the compare re-runs
     * both constructions in both engines. */
-  def contaminationCompare(s: SparkSession, d: String): DataFrame = {
+  def contaminationCompare(s: SparkSession, d: String): DataFrame =
+    contaminationCompareAt(s, d, DocCap)
+
+  private[graft] def contaminationCompareAt(
+      s: SparkSession, d: String, cap: Int): DataFrame = {
     graft.functions.GramOps.register(s)
-    val docs = Tables.documents(s, d).filter(col("doc_id") < DocCap)
+    val docs = Tables.documents(s, d).filter(col("doc_id") < cap)
     val g = docs.select(col("doc_id"),
       explode(graft.functions.GramOps.gram_hashes(col("text"), 8))
         .as("gram"))
@@ -398,7 +402,7 @@ object SuffixOps {
     val gramDocs = g.filter(col("doc_id") % 10 =!= 0)
       .join(benchG, Seq("gram"), "left_semi")
       .select("doc_id").distinct().withColumn("gf", lit(1L))
-    val spanDocs = contaminationSpan(s, d)
+    val spanDocs = contaminationSpanAt(s, d, cap)
       .select(col("doc_id")).withColumn("sf", lit(1L))
     docs.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"))
       .join(gramDocs, Seq("doc_id"), "left")

@@ -19,6 +19,32 @@ class EntrySpec extends AnyFunSuite {
     assert(qs.size >= 60)
   }
 
+  test("driver-compat output contract: scalar-only, no wide decimals") {
+    // The driver's compare path pandas-lexsorts column values (throws
+    // on list/struct objects — the r7 q148 red) and coerces numerics
+    // through float64 (distinct DECIMAL(38) integers past 2^53 can
+    // collapse to different nearest-doubles per engine — the r7
+    // q282/q284 red). Contract: every query's output schema is
+    // scalar-only, and any decimal keeps ≤ 18 digits of integer
+    // magnitude — wider exact values must ship as canonical strings
+    // (q283's BIGINT-milli or q282's CAST(x AS STRING) devices).
+    import org.apache.spark.sql.types._
+    val sf = "/root/testdata/sf0.001"
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
+      fn(spark, sf).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] =>
+          s"$n.${f.name}: nested ${f.dataType.simpleString}"
+        case f @ StructField(_, dt: DecimalType, _, _)
+          if dt.precision - dt.scale > 18 =>
+          s"$n.${f.name}: wide ${dt.simpleString}"
+      }
+    }
+    assert(bad.isEmpty,
+      s"driver-incompatible output columns:\n${bad.mkString("\n")}")
+  }
+
   test("all queries return rows at sf0.001 (non-trivial results)") {
     val sf = "/root/testdata/sf0.001"
     val empty = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (_, fn) =>

@@ -71,7 +71,91 @@ object ScaleProbe {
     }
   }
 
+  /** `er` mode: q251/q269 growth with a REALISTICALLY scaled entity
+    * corpus. A replicated-table ×N probe is wrong twice over for ER:
+    * q251 runs on DISTINCT names (identical copies collapse to a
+    * no-op), and synthetic-identical duplicates inflate blocks
+    * artificially. Instead, generate N TPC-H-shaped customers
+    * (`Customer#%09d` + deterministic balance/segment/nation): the
+    * prefix-16 block census then scales exactly as real TPC-H scaling
+    * does (last-2-digit blocks, ≤ 100 names each at ANY N), so the
+    * expected growth is LINEAR in the block count — the q226
+    * block-size rule made measurable. */
+  def erProbe(spark: SparkSession, ns: Seq[Int]): Unit = {
+    ns.foreach { n =>
+      val dst = s"/tmp/scale_er_$n"
+      if (!new java.io.File(dst).exists()) {
+        spark.range(n).selectExpr(
+          "id + 1 AS c_custkey",
+          "format_string('Customer#%09d', id + 1) AS c_name",
+          "CAST(id % 25 AS INT) AS c_nationkey",
+          "element_at(array('BUILDING','AUTOMOBILE','MACHINERY'," +
+            "'HOUSEHOLD','FURNITURE'), CAST(id % 5 AS INT) + 1)" +
+            " AS c_mktsegment",
+          "CAST((id * 7919 % 999999) - 99999 AS DOUBLE) / 100" +
+            " AS c_acctbal")
+          .write.mode("overwrite").parquet(s"$dst/customer.parquet")
+      }
+      var t0 = System.nanoTime()
+      val ents = graft.queries.EntityResolutionOps
+        .erPipeline(spark, dst).count()
+      println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  q251 er_pipeline " +
+        f"(names=$n, entities=$ents)")
+      t0 = System.nanoTime()
+      val gold = graft.queries.EntityResolutionOps
+        .goldenRecord(spark, dst).count()
+      println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  q269 golden_record " +
+        f"(names=$n, entities=$gold)")
+    }
+  }
+
+  /** `curve` mode: q295's dedup-threshold curve + q280's method
+    * compare. q295's pair frame is scope-capped (doc_id < 100) BY
+    * DESIGN — the probe runs it against ×1 and ×10 corpora to verify
+    * the cost is FLAT in corpus size (exponent ≈ 0: the cap is the
+    * knob, corpus volume is not); q280 inherits the suffix family's
+    * doc-cap knob, probed by cap like the rest of suffixProbe. */
+  def curveProbe(spark: SparkSession, mults: Seq[Int], caps: Seq[Int])
+      : Unit = {
+    val src = "/root/testdata/sf0.1"
+    mults.foreach { mult =>
+      val dst = if (mult == 1) src else s"/tmp/scale_x$mult"
+      require(new java.io.File(dst).exists(),
+        s"run the default xN probe first to build $dst")
+      val t0 = System.nanoTime()
+      val rows = graft.queries.CurveOps.dedupCurve(spark, dst).count()
+      println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  q295 dedup_curve " +
+        f"(x$mult corpus, rows=$rows)")
+    }
+    caps.foreach { cap =>
+      val t0 = System.nanoTime()
+      val cells = graft.queries.SuffixOps
+        .contaminationCompareAt(spark, src, cap).count()
+      println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  q280 contamination_compare " +
+        f"(cap=$cap, cells=$cells)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("er")) {
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      erProbe(spark, if (args.length > 1) args.drop(1).toSeq.map(_.toInt)
+        else Seq(15000, 150000))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("curve")) {
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      curveProbe(spark, Seq(1, 10), Seq(100, 300, 1000))
+      spark.stop(); return
+    }
     if (args.headOption.contains("suffix")) {
       val spark = SparkSession.builder().master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")

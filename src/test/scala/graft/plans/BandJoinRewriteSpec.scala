@@ -66,6 +66,48 @@ class BandJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("Long-extreme band keys: no ANSI overflow, result exact") {
+    // keys in the first/last granule: the ±1 neighbor bucket and the
+    // old pmod-based floor both used to overflow under ANSI eval —
+    // the rewritten plan must succeed wherever nested-loop would
+    withRule {
+      import spark.implicits._
+      val ext = Seq(Long.MinValue, Long.MinValue + 1, -3L, 0L, 2L,
+        Long.MaxValue - 1, Long.MaxValue)
+      val l = ext.map(v => (v, "l")).toDF("lv", "ltag")
+      val r = ext.map(v => (v, "r")).toDF("rv", "rtag")
+      val joined = l.join(r, abs(col("lv") - col("rv")) <= lit(2L))
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("graft_band_bl"), "rule should have fired")
+      val got = joined.select("lv", "rv").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      // reference semantics via unsigned-safe BigInt difference
+      val expect = (for {
+        a <- ext; b <- ext
+        if (BigInt(a) - BigInt(b)).abs <= 2
+      } yield (a, b)).sorted
+      assert(got == expect)
+    }
+  }
+
+  test("an unusable band conjunct does not mask a later valid one") {
+    withRule {
+      val (l, r) = frames
+      // first conjunct is band-SHAPED but unusable (negative width —
+      // the guard matches, the body rejects); the second is the real
+      // band. collectFirst used to give up at the first shape match
+      // and leave the whole join as a nested loop.
+      val joined = l.join(r,
+        abs(col("lv") - col("rv")) <= lit(-1L) &&
+          abs(col("lv") - col("rv")) <= lit(3L))
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("graft_band_bl"),
+        s"rule should fire on the second conjunct:\n$opt")
+      // unsatisfiable first conjunct ⇒ empty result, same as unrewritten
+      assert(joined.isEmpty)
+    }
+  }
+
   test("zero-width band (equality in disguise) still exact") {
     withRule {
       val (l, r) = frames

@@ -35,11 +35,13 @@ class MomentsOpsSpec extends AnyFunSuite {
       val v = vs.map(_._2)
       (v.size, v.sum, v.map(x => x * x).sum)
     }.toMap
+    // sum_x2/ss_xn ship as canonical decimal strings (driver float64
+    // compare contract) — parse them back to BigInt here
     val got = MomentsOps.anovaMoments(spark, sf).collect()
       .map(x => x.getString(0) -> ((x.getLong(1),
-        BigInt(x.getDecimal(2).toBigInteger),
-        BigInt(x.getDecimal(3).toBigInteger),
-        BigInt(x.getDecimal(4).toBigInteger)))).toMap
+        BigInt(x.getLong(2)),
+        BigInt(x.getString(3)),
+        BigInt(x.getString(4))))).toMap
     per.foreach { case (name, (n, s1, s2)) =>
       assert(got(name) == ((n.toLong, s1, s2, n * s2 - s1 * s1)))
     }
@@ -87,10 +89,11 @@ class MomentsOpsSpec extends AnyFunSuite {
       val sx = li.map(fx).sum; val sy = li.map(fy).sum
       val sxy = li.map(v => fx(v) * fy(v)).sum
       assert(row.getLong(1) == li.length.toLong)
-      assert(BigInt(row.getDecimal(2).toBigInteger) == sx)
-      assert(BigInt(row.getDecimal(3).toBigInteger) == sy)
-      assert(BigInt(row.getDecimal(4).toBigInteger) == sxy)
-      assert(BigInt(row.getDecimal(5).toBigInteger) == n * sxy - sx * sy)
+      assert(BigInt(row.getLong(2)) == sx)
+      assert(BigInt(row.getLong(3)) == sy)
+      // sum_xy/cov_xn ship as canonical decimal strings (driver contract)
+      assert(BigInt(row.getString(4)) == sxy)
+      assert(BigInt(row.getString(5)) == n * sxy - sx * sy)
     }
     val got = MomentsOps.covMatrix(spark, sf).collect()
       .map(r0 => r0.getString(0) -> r0).toMap

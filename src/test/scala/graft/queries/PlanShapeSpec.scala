@@ -114,6 +114,21 @@ class PlanShapeSpec extends AnyFunSuite {
         lines.mkString("\n").take(4000))
   }
 
+  test("q271_systematic_sample has no unpartitioned window (two-phase cumsum)") {
+    // the r7 verdict's one named scale-killer: the cumulative-weight
+    // line must come from the per-bucket window + broadcast offsets
+    // (the q127/q128 device), never Window.orderBy over the whole fact
+    // table — an empty partitionSpec anywhere means the global
+    // single-partition sort crept back
+    val plan = SparkEntry.queries("q271_systematic_sample")(spark, d)
+      .queryExecution.optimizedPlan
+    val unpartitioned = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty, plan.toString.take(4000))
+  }
+
   test("q112_tfidf_topk sorts only within doc partitions (no global sort)") {
     val plan = SparkEntry.queries("q112_tfidf_topk")(spark, d)
       .queryExecution.executedPlan

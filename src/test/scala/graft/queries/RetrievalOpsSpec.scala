@@ -111,9 +111,12 @@ class RetrievalOpsSpec extends AnyFunSuite {
     val docs = (0L to 19L).map(i => i -> "a b pad") :+
       (20L -> "a b x a b")
     val dir = writeDocs(docs)
+    // postings ship as a CSV string (driver scalar-only contract) —
+    // split back to ids here
     val rows = RetrievalOps.postingLists(spark, dir).collect()
       .map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getSeq[Long](3))).toMap
+        (r.getLong(1), r.getLong(2),
+          r.getString(3).split(',').toSeq.map(_.toLong))).toMap
     val (df, tf, postings) = rows("a b")
     assert(df == 21L && tf == 22L, "doc 20 counts once in df, twice in tf")
     assert(postings == (0L to 15L), "first 16 doc ids, sorted")
