@@ -77,6 +77,7 @@ object SparkEntry {
       graft.queries.DriftOps.queries ++
       graft.queries.CurveOps.queries ++
       graft.queries.TpchClassics.queries ++
+      graft.queries.TpchClassics2.queries ++
       graft.queries.EngagementOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -144,5 +145,6 @@ object SparkEntry {
       graft.queries.DriftOps.oracle ++
       graft.queries.CurveOps.oracle ++
       graft.queries.TpchClassics.oracle ++
+      graft.queries.TpchClassics2.oracle ++
       graft.queries.EngagementOps.oracle
 }
