@@ -78,6 +78,7 @@ object SparkEntry {
       graft.queries.CurveOps.queries ++
       graft.queries.TpchClassics.queries ++
       graft.queries.TpchClassics2.queries ++
+      graft.queries.TrainPrepOps.queries ++
       graft.queries.EngagementOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -146,5 +147,6 @@ object SparkEntry {
       graft.queries.CurveOps.oracle ++
       graft.queries.TpchClassics.oracle ++
       graft.queries.TpchClassics2.oracle ++
+      graft.queries.TrainPrepOps.oracle ++
       graft.queries.EngagementOps.oracle
 }
