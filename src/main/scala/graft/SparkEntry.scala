@@ -79,6 +79,7 @@ object SparkEntry {
       graft.queries.TpchClassics.queries ++
       graft.queries.TpchClassics2.queries ++
       graft.queries.TrainPrepOps.queries ++
+      graft.queries.CorpusSplitOps.queries ++
       graft.queries.EngagementOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -148,5 +149,6 @@ object SparkEntry {
       graft.queries.TpchClassics.oracle ++
       graft.queries.TpchClassics2.oracle ++
       graft.queries.TrainPrepOps.oracle ++
+      graft.queries.CorpusSplitOps.oracle ++
       graft.queries.EngagementOps.oracle
 }
