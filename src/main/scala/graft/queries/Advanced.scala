@@ -218,6 +218,44 @@ object Advanced {
         (-col("best.nd")).as("kept_doc"), col("best.q").as("best_q_ppm"))
   }
 
+  /** q338: dedup keep-POLICY comparison on the verified q110 clusters —
+    * naive min-id keep vs SOURCE-BALANCED keep (retain the member from
+    * the least-represented source; ties to the smaller doc_id). Naive
+    * keep-first silently biases a deduped corpus against small sources
+    * whenever duplicate families span sources — this is the census a
+    * curator reads before choosing the policy. Pick is a packed-long
+    * argmin per cluster (src_n < 2²⁰, doc_id < 2⁴⁰ — hash-aggregable
+    * MIN, the q156 rule). On this corpus the policies coincide at the
+    * small SFs (families rarely span sources there) — the divergence
+    * case is pinned in AdvancedPolicySpec's fixture, the q151
+    * convention. */
+  def sourceBalancedDedup(s: SparkSession, d: String): DataFrame = {
+    val clusters = minhashDedupClusters(s, d)
+    val srcOf = graft.Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+    val srcSize = srcOf.groupBy("source").agg(count(lit(1)).as("src_n"))
+    val m = clusters.join(srcOf, "doc_id")
+      .join(broadcast(srcSize), "source")
+    val pick = m.select(col("cluster_rep"),
+        (col("src_n") * lit(1099511627776L) + col("doc_id")).as("pk"))
+      .groupBy("cluster_rep").agg(min(col("pk")).as("pk"))
+      .select(col("cluster_rep"),
+        expr("pk % 1099511627776L").as("bal_doc"))
+    val balancedBySrc = pick
+      .join(srcOf, pick("bal_doc") === srcOf("doc_id"))
+      .groupBy("source").agg(count(lit(1)).as("kept_balanced"))
+    val naiveBySrc = clusters.filter(col("is_kept"))
+      .join(srcOf, "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("kept_naive"))
+    m.groupBy("source").agg(count(lit(1)).as("n_clustered"))
+      .join(naiveBySrc, Seq("source"), "left")
+      .join(balancedBySrc, Seq("source"), "left")
+      .select(col("source"), col("n_clustered"),
+        coalesce(col("kept_naive"), lit(0L)).as("kept_naive"),
+        coalesce(col("kept_balanced"), lit(0L)).as("kept_balanced"))
+      .orderBy(col("source"))
+  }
+
   /** q211: dedup yield curve — what keep-one-per-cluster dedup would
     * remove, broken down by cluster size: the readout a pipeline
     * publishes to justify (or skip) near-dedup on a source. Composes
@@ -296,6 +334,7 @@ object Advanced {
     "q107_dedup_clusters_dfcap" -> ((s, d) => dedupClusters(s, d, 3)),
     "q110_minhash_dedup" -> ((s, d) => minhashDedupClusters(s, d)),
     "q151_cluster_representatives" -> clusterRepresentatives,
+    "q338_source_balanced_dedup" -> sourceBalancedDedup,
     "q211_cluster_yield" -> clusterYield,
     "q58_funnel" -> funnel,
     "q82_funnel_operator" -> funnelOperator)
@@ -453,6 +492,36 @@ object Advanced {
       |SELECT cluster_rep, CAST(csz AS BIGINT) AS cluster_size,
       |  doc_id AS kept_doc, q_ppm AS best_q_ppm
       |FROM rk WHERE rn = 1""".stripMargin,
+    "q338_source_balanced_dedup" -> s"""$minhashPairsCte,
+      |$ccCte,
+      |clus AS (
+      |  SELECT n.doc_id, LEAST(n.doc_id, MIN(r.v)) AS cluster_rep
+      |  FROM nodes n JOIN reach r ON r.u = n.doc_id
+      |  GROUP BY n.doc_id),
+      |srcs AS (SELECT doc_id, source FROM documents),
+      |ssz AS (SELECT source, COUNT(*) AS src_n FROM documents
+      |  GROUP BY 1),
+      |m AS (
+      |  SELECT c.doc_id, c.cluster_rep, s.source, z.src_n
+      |  FROM clus c JOIN srcs s USING (doc_id)
+      |  JOIN ssz z USING (source)),
+      |pick AS (
+      |  SELECT cluster_rep,
+      |    MIN(src_n * 1099511627776 + doc_id) % 1099511627776 AS bal_doc
+      |  FROM m GROUP BY 1),
+      |nv AS (
+      |  SELECT s.source, COUNT(*) AS kept_naive
+      |  FROM clus c JOIN srcs s USING (doc_id)
+      |  WHERE c.doc_id = c.cluster_rep GROUP BY 1),
+      |bl AS (
+      |  SELECT s.source, COUNT(*) AS kept_balanced
+      |  FROM pick p JOIN srcs s ON p.bal_doc = s.doc_id GROUP BY 1),
+      |ic AS (SELECT source, COUNT(*) AS n_clustered FROM m GROUP BY 1)
+      |SELECT ic.source, n_clustered,
+      |  CAST(COALESCE(kept_naive, 0) AS BIGINT) AS kept_naive,
+      |  CAST(COALESCE(kept_balanced, 0) AS BIGINT) AS kept_balanced
+      |FROM ic LEFT JOIN nv USING (source) LEFT JOIN bl USING (source)
+      |ORDER BY ic.source""".stripMargin,
     "q211_cluster_yield" -> s"""$minhashPairsCte,
       |$ccCte,
       |clus AS (

@@ -286,8 +286,10 @@ object LmOps {
     "q140_lm_perplexity_buckets" -> lmPerplexityBuckets,
     "q143_quality_classifier" -> qualityClassifierKeep)
 
-  val oracle: Map[String, String] = Map(
-    "q140_lm_perplexity_buckets" ->
+  /** The q140 per-doc LM chain as a reusable CTE prefix ending in
+    * `lm(doc_id, lang, n_bigrams, score_ppm, bucket)` — q339's
+    * scorer-agreement oracle composes onto it. */
+  private[queries] val lmDocCte: String =
       s"""WITH wd AS (
          |  SELECT doc_id, lang,
          |    unnest(string_split(text, ' ')) AS word,
@@ -321,11 +323,18 @@ object LmOps {
          |th AS (SELECT
          |    MIN(CASE WHEN cum >= n // 3 THEN score_ppm END) AS t_lo,
          |    MIN(CASE WHEN cum >= (2 * n) // 3 THEN score_ppm END) AS t_hi
-         |  FROM cm, (SELECT COUNT(*) AS n FROM sc))
-         |SELECT doc_id, lang, n_bigrams, CAST(score_ppm AS BIGINT)
-         |    AS score_ppm,
-         |  CASE WHEN score_ppm >= t_hi THEN 'head'
-         |       WHEN score_ppm >= t_lo THEN 'middle'
-         |       ELSE 'tail' END AS bucket
-         |FROM sc, th""".stripMargin)
+         |  FROM cm, (SELECT COUNT(*) AS n FROM sc)),
+         |lm AS (
+         |  SELECT doc_id, lang, n_bigrams, CAST(score_ppm AS BIGINT)
+         |      AS score_ppm,
+         |    CASE WHEN score_ppm >= t_hi THEN 'head'
+         |         WHEN score_ppm >= t_lo THEN 'middle'
+         |         ELSE 'tail' END AS bucket
+         |  FROM sc, th)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q140_lm_perplexity_buckets" ->
+      s"""$lmDocCte
+         |SELECT doc_id, lang, n_bigrams, score_ppm, bucket
+         |FROM lm""".stripMargin)
 }

@@ -175,7 +175,7 @@ object PipelineOps {
   /** Per-doc rule flags — the shared pre-aggregation stage of q117's
     * rollup and the q119/q120 consumers. One explode + two
     * map-side-combinable aggregations; linear. */
-  private def gopherFlags(s: SparkSession, d: String): DataFrame = {
+  private[queries] def gopherFlags(s: SparkSession, d: String): DataFrame = {
     val toks = split(col("text"), " ")
     val base = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
@@ -369,7 +369,46 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .orderBy(col("fail_mask"))
 
+  /** q339: scorer-agreement audit — the Gopher rule verdict (q117's
+    * conjunction) against the CCNet LM verdict (q140's tertile,
+    * head/middle = keep) on the shared per-doc scope, as a 2×2
+    * confusion census with exact integer agreement (ppm) and Cohen's
+    * κ (milli, cross-multiplied — NULL when a scorer is constant and
+    * κ is undefined, the q70 guarded-division rule). The standard
+    * "do my filters even agree" readout run before stacking gates;
+    * both inputs are independently oracle-verified, the compare
+    * re-runs the whole composition in both engines. */
+  def scorerAgreement(s: SparkSession, d: String): DataFrame = {
+    val rules = gopherFlags(s, d).select(col("doc_id"),
+      (col("ok_count") && col("ok_word_len") && col("ok_repetition") &&
+        col("ok_stopwords")).as("keep_rules"))
+    val lm = LmOps.lmPerplexityBuckets(s, d)
+      .select(col("doc_id"), (col("bucket") =!= "tail").as("keep_lm"))
+    rules.join(lm, "doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("keep_rules") && col("keep_lm"), 1L).otherwise(0L))
+          .as("n11"),
+        sum(when(col("keep_rules") && !col("keep_lm"), 1L).otherwise(0L))
+          .as("n10"),
+        sum(when(!col("keep_rules") && col("keep_lm"), 1L).otherwise(0L))
+          .as("n01"),
+        sum(when(!col("keep_rules") && !col("keep_lm"), 1L).otherwise(0L))
+          .as("n00"))
+      .withColumn("agree_ppm", expr("(n11 + n00) * 1000000 div n"))
+      .withColumn("kappa_milli", expr(
+        """CASE WHEN n * n =
+          |    (n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)
+          |  THEN NULL
+          |  ELSE (n * (n11 + n00)
+          |      - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)))
+          |    * 1000
+          |    div (n * n
+          |      - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)))
+          |  END""".stripMargin))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q339_scorer_agreement" -> scorerAgreement,
     "q281_gate_attribution" -> gateAttribution,
     "q116_decontamination" -> decontamination,
     "q117_gopher_quality" -> gopherQuality,
@@ -398,6 +437,57 @@ object PipelineOps {
       |            FROM documents))))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q339_scorer_agreement" -> {
+      val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""${LmOps.lmDocCte},
+         |base AS (
+         |  SELECT doc_id,
+         |    len(string_split(text, ' ')) AS n_tok,
+         |    len(replace(text, ' ', '')) AS sum_len
+         |  FROM documents),
+         |pw AS (
+         |  SELECT doc_id, word, COUNT(*) AS f FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |    FROM documents)
+         |  GROUP BY 1, 2),
+         |stats AS (
+         |  SELECT doc_id, MAX(f) AS top_f,
+         |    COUNT(DISTINCT CASE WHEN word IN ($stopList) THEN word END)
+         |      AS n_stop
+         |  FROM pw GROUP BY 1),
+         |flg AS (
+         |  SELECT doc_id,
+         |    ((n_tok BETWEEN 20 AND 1000)
+         |      AND sum_len >= n_tok * 3 AND sum_len <= n_tok * 10
+         |      AND top_f * 5 <= n_tok AND n_stop >= 2) AS keep_rules
+         |  FROM base JOIN stats USING (doc_id)),
+         |j AS (
+         |  SELECT f.keep_rules, (lm.bucket <> 'tail') AS keep_lm
+         |  FROM flg f JOIN lm ON f.doc_id = lm.doc_id),
+         |mm AS (
+         |  SELECT COUNT(*) AS n,
+         |    CAST(SUM(CASE WHEN keep_rules AND keep_lm THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n11,
+         |    CAST(SUM(CASE WHEN keep_rules AND NOT keep_lm THEN 1 ELSE 0
+         |      END) AS BIGINT) AS n10,
+         |    CAST(SUM(CASE WHEN NOT keep_rules AND keep_lm THEN 1 ELSE 0
+         |      END) AS BIGINT) AS n01,
+         |    CAST(SUM(CASE WHEN NOT keep_rules AND NOT keep_lm THEN 1
+         |      ELSE 0 END) AS BIGINT) AS n00
+         |  FROM j)
+         |SELECT n, n11, n10, n01, n00,
+         |  CAST((n11 + n00) * 1000000 // n AS BIGINT) AS agree_ppm,
+         |  CAST(CASE WHEN n * n =
+         |      (n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)
+         |    THEN NULL
+         |    ELSE (n * (n11 + n00)
+         |        - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)))
+         |      * 1000
+         |      // (n * n
+         |        - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)))
+         |    END AS BIGINT) AS kappa_milli
+         |FROM mm""".stripMargin
+    },
     "q281_gate_attribution" -> {
       val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
       s"""WITH $gramsCte,
