@@ -277,7 +277,53 @@ object GraphOps {
         expr("m * sum_dudv - sum_du * sum_dv"))
   }
 
+  private val CoreK = 2
+  private val CorePeelRounds = 10
+
+  /** q340: the [[CoreK]]-core of the REPEAT co-purchase graph (part
+    * pairs co-bought in ≥ 2 distinct orders — q198's pair frame with a
+    * support floor) by iterative peeling: drop nodes with degree <
+    * k, recompute, repeat. Iteration-bound like q159 (each round is
+    * one degree aggregate + two semi-joins on the shrinking edge
+    * list); the loop stops at the fixpoint or [[CorePeelRounds]],
+    * and the oracle unrolls EXACTLY [[CorePeelRounds]] rounds — the
+    * peel step is idempotent at the fixpoint, so Spark's early stop
+    * and the oracle's fixed unroll agree REGARDLESS of where
+    * convergence lands (unlike a convergence-assuming unroll, this
+    * equality is unconditional). Output: core members + their
+    * core-internal degree. */
+  def kcoreCensus(s: SparkSession, d: String): DataFrame = {
+    val lp = graft.Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    var edges = lp.as("x").join(lp.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("u"), col("y.pk").as("v"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select("u", "v").localCheckpoint()
+    var n = edges.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < CorePeelRounds) {
+      val keep = edges.select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= CoreK).select("n")
+        .localCheckpoint()
+      val next = edges
+        .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+        .localCheckpoint()
+      val m = next.count()
+      converged = m == n
+      edges = next; n = m; round += 1
+    }
+    edges.select(explode(array(col("u"), col("v"))).as("part_id"))
+      .groupBy("part_id").agg(count(lit(1)).as("core_degree"))
+      .orderBy("part_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q340_kcore_census" -> kcoreCensus,
     "q159_cc_largestar" -> ccLargeStar,
     "q174_graph_stats" -> graphStats,
     "q176_pagerank" -> pageRank,
@@ -313,7 +359,39 @@ object GraphOps {
        |SELECT doc_id, CAST(rank AS BIGINT) AS rank FROM r$PrIters""".stripMargin
   }
 
+  /** The peel recurrence unrolled to [[CorePeelRounds]] rounds —
+    * idempotent past the fixpoint, so the fixed unroll matches the
+    * operator's early-stopping loop unconditionally. */
+  private def kcoreOracleSql: String = {
+    // every e_k is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    // round references its predecessor 4× — an un-materialized unroll
+    // expands the scan tree 4^rounds-fold ("too many open files")
+    val rounds = (1 to CorePeelRounds).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT n, COUNT(*) AS d FROM (
+         |    SELECT u AS n FROM e${k - 1}
+         |    UNION ALL SELECT v FROM e${k - 1}) GROUP BY 1),
+         |e$k AS MATERIALIZED (
+         |  SELECT u, v FROM e${k - 1}
+         |  WHERE u IN (SELECT n FROM d$k WHERE d >= $CoreK)
+         |    AND v IN (SELECT n FROM d$k WHERE d >= $CoreK))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH lp AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT x.pk AS u, y.pk AS v
+       |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.pk < y.pk
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |$rounds
+       |SELECT part_id, COUNT(*) AS core_degree FROM (
+       |  SELECT u AS part_id FROM e$CorePeelRounds
+       |  UNION ALL SELECT v FROM e$CorePeelRounds)
+       |GROUP BY part_id ORDER BY part_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q340_kcore_census" -> kcoreOracleSql,
     "q176_pagerank" -> prOracleSql,
     "q287_component_sizes" -> s"""${Advanced.pairsCte},
       |${Advanced.ccCte},

@@ -238,7 +238,29 @@ object StoreOps {
       .withColumn("late_ppm", expr("(n_late * 1000000L) div n_events"))
   }
 
+  /** q341: shard content checksums — the dataset-versioning manifest:
+    * per doc_id-mod-64 shard, row count plus TWO order-independent
+    * content checks (XOR of the 60-bit md5 prefix, and the sum of its
+    * mod-p residues) over md5(text). Diffing two dataset versions then
+    * touches only shard rows, not documents (the q160 snapshot diff
+    * at manifest granularity — the WebDataset/content-addressable
+    * layout audit). Both checks are commutative ⇒ engine- and
+    * partitioning-invariant; md5 is identical in Spark and DuckDB,
+    * and the 15-hex-char prefix fits BIGINT exactly (2⁶⁰). One
+    * map-side-combinable aggregate; 64 rows at any corpus size. */
+  def shardChecksums(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(pmod(col("doc_id"), lit(64L)).as("shard"),
+        expr("CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(h)").as("xor_check"),
+        sum(expr("h % 1000000007L")).as("sum_check"))
+      .orderBy(col("shard"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q341_shard_checksums" -> shardChecksums,
     "q163_shard_assign" -> shardAssign,
     "q173_transition_matrix" -> transitionMatrix,
     "q178_ks_drift" -> ksDrift,
@@ -261,6 +283,13 @@ object StoreOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q341_shard_checksums" ->
+      """SELECT doc_id % 64 AS shard, COUNT(*) AS n_docs,
+        |  bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT))
+        |    AS xor_check,
+        |  CAST(SUM(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+        |    % 1000000007) AS BIGINT) AS sum_check
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
     "q163_shard_assign" ->
       s"""WITH ${hrwOracle(Shards, "h64")},
          |${hrwOracle(Shards + 1, "h65")}
