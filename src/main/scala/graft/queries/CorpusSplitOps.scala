@@ -28,8 +28,11 @@ import org.apache.spark.sql.functions._
   *    frame, output bounded by the eval side).
   *
   * Scale: q335 is one segment explode + hash aggregate + TakeOrdered;
-  * q336's pair frame is |sources|² × values(bounded); q337 is two
-  * semi-joins whose build sides are train-only distincts.
+  * q336's pair frame is |sources|² × values(bounded) — its one
+  * BroadcastNestedLoopJoin is the a<b inequality join over the
+  * |sources|-row TOTALS frames (20 rows here; plan-audited, the
+  * bounded-broadcast class — sources are a dimension, not a fact);
+  * q337 is two semi-joins whose build sides are train-only distincts.
   */
 object CorpusSplitOps {
 
