@@ -7,6 +7,9 @@ set -e
 cd "$(dirname "$0")/.."
 SF=${1:-/root/testdata/sf0.01}
 OUT=$(mktemp -d /tmp/graft_gate.XXXXXX)
+# log OUTSIDE $OUT: run_verify.sh rm -rf's $OUT first, which used to
+# unlink the already-open verify.log (stderr vanished into a deleted
+# inode — codegen ERRORs were invisible in every past gate log)
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} scripts/run_verify.sh "$SF" "$OUT" ${2:+"$2"} \
-  > "$OUT/verify.log" 2>&1 || { tail -20 "$OUT/verify.log"; exit 1; }
+  > "$OUT.log" 2>&1 || { tail -20 "$OUT.log"; exit 1; }
 python3 scripts/check.py "$SF" "$OUT"

