@@ -136,7 +136,39 @@ object ScaleProbe {
     }
   }
 
+  /** `cumsum` mode: the q271 two-phase prefix sum at order counts far
+    * past the testdata (the r7 verdict's named scale-killer, fixed in
+    * r8) — synthetic orders with deterministic prices at N and 10N
+    * rows. The old Window.orderBy form was single-partition at any N;
+    * the two-phase form should scale near-linearly with no partition
+    * ever holding more than one key-range bucket. */
+  def cumsumProbe(spark: SparkSession, ns: Seq[Long]): Unit = {
+    ns.foreach { n =>
+      val dst = s"/tmp/scale_cumsum_$n"
+      if (!new java.io.File(dst).exists()) {
+        spark.range(n).selectExpr(
+          "id + 1 AS o_orderkey",
+          "CAST((id * 7919 % 99999) + 100 AS DOUBLE) / 100 AS o_totalprice")
+          .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+      }
+      val t0 = System.nanoTime()
+      val rows = graft.queries.AllocOps.systematicSample(spark, dst).count()
+      println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  q271 systematic_sample " +
+        f"(orders=$n, sampled=$rows)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("cumsum")) {
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      cumsumProbe(spark, if (args.length > 1)
+        args.drop(1).toSeq.map(_.toLong) else Seq(1500000L, 15000000L))
+      spark.stop(); return
+    }
     if (args.headOption.contains("er")) {
       val spark = SparkSession.builder().master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
