@@ -290,8 +290,18 @@ object GraphOps {
     * peel step is idempotent at the fixpoint, so Spark's early stop
     * and the oracle's fixed unroll agree REGARDLESS of where
     * convergence lands (unlike a convergence-assuming unroll, this
-    * equality is unconditional). Output: core members + their
-    * core-internal degree. */
+    * equality is unconditional).
+    *
+    * CONTRACT: this is k-core-WITH-BUDGET, not unconditional k-core —
+    * a graph needing more than [[CorePeelRounds]] peel rounds yields
+    * the partially-peeled edge set. The budget is part of the output:
+    * every row carries `rounds_used` (peel iterations executed) and
+    * `converged` (1 iff the fixpoint was reached within budget, i.e.
+    * the result IS the true k-core). The oracle derives the same two
+    * values from its unroll — edge counts strictly decrease until the
+    * fixpoint, so the first round with an unchanged count IS the
+    * fixpoint round. Output: core members + their core-internal
+    * degree + the budget columns. */
   def kcoreCensus(s: SparkSession, d: String): DataFrame = {
     val lp = graft.Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -319,6 +329,8 @@ object GraphOps {
     }
     edges.select(explode(array(col("u"), col("v"))).as("part_id"))
       .groupBy("part_id").agg(count(lit(1)).as("core_degree"))
+      .withColumn("rounds_used", lit(round.toLong))
+      .withColumn("converged", lit(if (converged) 1L else 0L))
       .orderBy("part_id")
   }
 
@@ -383,11 +395,22 @@ object GraphOps {
        |  SELECT x.pk AS u, y.pk AS v
        |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.pk < y.pk
        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-       |$rounds
-       |SELECT part_id, COUNT(*) AS core_degree FROM (
-       |  SELECT u AS part_id FROM e$CorePeelRounds
-       |  UNION ALL SELECT v FROM e$CorePeelRounds)
-       |GROUP BY part_id ORDER BY part_id""".stripMargin
+       |$rounds,
+       |cnt AS MATERIALIZED (
+       |  ${(0 to CorePeelRounds).map(k =>
+             s"SELECT $k AS k, COUNT(*) AS c FROM e$k")
+             .mkString("\n       |  UNION ALL ")}),
+       |meta AS MATERIALIZED (
+       |  SELECT CAST(COALESCE(MIN(a.k), $CorePeelRounds) AS BIGINT)
+       |      AS rounds_used,
+       |    CAST(CASE WHEN COUNT(*) > 0 THEN 1 ELSE 0 END AS BIGINT)
+       |      AS converged
+       |  FROM cnt a JOIN cnt b ON b.k = a.k - 1 AND b.c = a.c)
+       |SELECT part_id, core_degree, rounds_used, converged FROM (
+       |  SELECT part_id, COUNT(*) AS core_degree FROM (
+       |    SELECT u AS part_id FROM e$CorePeelRounds
+       |    UNION ALL SELECT v FROM e$CorePeelRounds)
+       |  GROUP BY part_id) CROSS JOIN meta ORDER BY part_id""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(

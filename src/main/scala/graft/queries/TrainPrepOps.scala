@@ -77,7 +77,11 @@ object TrainPrepOps {
   def knContinuation(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d).filter(col("lang") === "en")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
-    val bi = toks.select(explode(expr(
+    // guard 1-token docs: Spark's sequence(1, 0) is the DESCENDING
+    // [1, 0] (indices 0 and 2 — ANSI error / phantom bigrams) while
+    // DuckDB's range(1, len) is empty — same device as the q140 LM
+    // chain's one-word guard
+    val bi = toks.filter(size(col("t")) >= 2).select(explode(expr(
         """transform(sequence(1, size(t) - 1),
           |  i -> struct(element_at(t, i) AS w1,
           |              element_at(t, i + 1) AS w2))""".stripMargin))
@@ -198,12 +202,16 @@ object TrainPrepOps {
         |CROSS JOIN disc
         |ORDER BY left_cont DESC, u.w LIMIT 20""".stripMargin,
     "q333_embed_dim_stats" ->
-      """WITH ex AS (
+      """WITH dims AS (
+        |  SELECT unnest(range(0,
+        |    (SELECT MAX(len(embedding)) FROM embeddings))) AS dim0),
+        |ex AS (
         |  SELECT CAST(dim0 AS BIGINT) AS dim,
         |    CAST(floor(CAST(embedding[dim0 + 1] AS DOUBLE) * 1000 + 0.5)
         |      AS BIGINT) AS q
         |  FROM embeddings
-        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS dim0))
+        |  CROSS JOIN dims
+        |  WHERE dim0 < len(embedding))
         |SELECT dim, COUNT(*) AS n,
         |  CAST(SUM(q) AS BIGINT) AS sum_milli,
         |  CAST(SUM(q * q) AS BIGINT) AS sumsq_milli,

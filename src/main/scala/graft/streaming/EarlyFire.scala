@@ -41,6 +41,18 @@ case class WindowCount(key: String, windowStart: Long, cnt: Long,
   *
   * Timers on this API ACCUMULATE (the A8/keepLatestTws lesson), so the
   * previous deadline is tracked and deleted before re-registering.
+  *
+  * State GC after an un-re-armed early fire: MyTrigger deletes its
+  * event-time timer after the processing-time fire, but Flink's
+  * WindowOperator still purges the window's state through its OWN
+  * cleanup timer at `maxTimestamp + allowedLateness` (WindowOperator
+  * registerCleanupTimer / clearAllState). Without that, a key that
+  * early-fires and then goes silent would hold its count forever. The
+  * port mirrors it: the early-fire branch re-registers a SILENT timer
+  * at windowEnd (flagged via `gcOnly`) that clears state without
+  * emitting; a new element re-arms the window and drops the flag, so
+  * the pinned no-re-fire semantics are unchanged while state for
+  * stalled keys is bounded by one window length past the stall.
   */
 object EarlyFire {
 
@@ -49,12 +61,18 @@ object EarlyFire {
 
     @transient private var cnt: org.apache.spark.sql.streaming.ValueState[Long] = _
     @transient private var deadline: org.apache.spark.sql.streaming.ValueState[Long] = _
+    // true when the registered deadline is the post-early-fire cleanup
+    // timer: it must CLEAR state silently, never emit (Flink's
+    // WindowOperator cleanup after the trigger dropped its ET timer)
+    @transient private var gcOnly: org.apache.spark.sql.streaming.ValueState[Boolean] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong,
         TTLConfig.NONE)
       deadline = getHandle.getValueState[Long]("deadline",
         Encoders.scalaLong, TTLConfig.NONE)
+      gcOnly = getHandle.getValueState[Boolean]("gcOnly",
+        Encoders.scalaBoolean, TTLConfig.NONE)
     }
 
     override def handleInputRows(key: (String, Long),
@@ -69,6 +87,7 @@ object EarlyFire {
       if (deadline.exists()) getHandle.deleteTimer(deadline.get())
       getHandle.registerTimer(dl)
       deadline.update(dl)
+      gcOnly.clear() // a new element re-arms the window as a live fire
       Iterator.empty
     }
 
@@ -78,18 +97,27 @@ object EarlyFire {
       val windowEnd = key._2 + windowMs
       val n = cnt.get()
       deadline.clear()
-      // closed if EITHER the expired timer was the window-end timer OR
-      // the watermark has meanwhile passed the window end (both Flink
-      // timers due in one advance ⇒ the event-time FIRE wins)
-      if (info.getExpiryTimeInMs >= windowEnd ||
+      if (gcOnly.exists() && gcOnly.get()) {
+        // post-early-fire cleanup with no re-arming element: purge
+        // silently (Flink clearAllState) — the no-re-fire pin holds
+        cnt.clear(); gcOnly.clear()
+        Iterator.empty
+      } else if (info.getExpiryTimeInMs >= windowEnd ||
           tv.getCurrentWatermarkInMs >= windowEnd) {
-        // watermark reached the window end: final fire + GC
-        cnt.clear()
+        // closed if EITHER the expired timer was the window-end timer
+        // OR the watermark has meanwhile passed the window end (both
+        // Flink timers due in one advance ⇒ the event-time FIRE wins):
+        // final fire + GC
+        cnt.clear(); gcOnly.clear()
         Iterator.single(WindowCount(key._1, key._2, n, closed = true))
       } else {
         // grace fire: emit the partial count, keep accumulating; the
         // window re-arms only on the next element (MyTrigger deletes
-        // the event-time timer after its processing-time fire)
+        // the event-time timer after its processing-time fire). Bound
+        // the kept state with a silent cleanup timer at the window end.
+        getHandle.registerTimer(windowEnd)
+        deadline.update(windowEnd)
+        gcOnly.update(true)
         Iterator.single(WindowCount(key._1, key._2, n, closed = false))
       }
     }

@@ -103,6 +103,50 @@ class GraphOpsSpec extends AnyFunSuite {
       assert(labels(g) == unionFind(g), s"graph with ${g.size} edges")
   }
 
+  // ---- q340 k-core budget contract ----------------------------------
+
+  /** Write a lineitem fixture whose REPEAT co-purchase graph (support
+    * ≥ 2) is exactly `edges`: each edge gets two single-pair orders. */
+  private def kcoreDir(tag: String, edges: Seq[(Long, Long)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    edges.zipWithIndex.flatMap { case ((u, v), i) =>
+      Seq((2L * i, u), (2L * i, v), (2L * i + 1, u), (2L * i + 1, v))
+    }.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("q340: a >10-round path reports the budget honestly (converged=0)") {
+    // path p0-p1-...-p29: 2-core peeling strips one node per end per
+    // round, needing 15 rounds to dissolve — at the 10-round budget the
+    // partially-peeled path p10..p19 survives and the output SAYS so
+    val dir = kcoreDir("kcore_path", (0L until 29L).map(i => (i, i + 1)))
+    val rows = GraphOps.kcoreCensus(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (10L to 19L).toSeq)
+    val deg = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deg(10L) == 1 && deg(19L) == 1)
+    (11L to 18L).foreach(p => assert(deg(p) == 2))
+    rows.foreach { r =>
+      assert(r.getLong(2) == 10, "rounds_used = full budget")
+      assert(r.getLong(3) == 0, "unconverged peel must NOT claim k-core")
+    }
+  }
+
+  test("q340: a converging graph reports the fixpoint round (converged=1)") {
+    // triangle {0,1,2} + pendant 3-0: round 1 peels the pendant,
+    // round 2 detects the fixpoint
+    val dir = kcoreDir("kcore_tri",
+      Seq((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L)))
+    val rows = GraphOps.kcoreCensus(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    rows.foreach { r =>
+      assert(r.getLong(1) == 2, "triangle core-internal degree")
+      assert(r.getLong(2) == 2, "fixpoint found on round 2")
+      assert(r.getLong(3) == 1)
+    }
+  }
+
   test("agrees with union-find on a seeded pseudo-random graph") {
     // deterministic multiplicative-congruential edge set over 200 nodes
     val edges = (1 to 150).map { i =>

@@ -82,6 +82,46 @@ class EarlyFireSpec extends AnyFunSuite {
     assert(got == Seq(WindowCount("c", 0, 1, closed = false)))
   }
 
+  test("stalled early-fired window is purged (bounded state, no emission)") {
+    // A key that early-fires and never re-arms must not hold state
+    // forever: the silent cleanup timer at windowEnd purges it (Flink
+    // WindowOperator clearAllState). Observable: once the watermark is
+    // past c's window end, the state store holds EXACTLY the rows of a
+    // ticks-only run — c contributes zero residual rows — and c emits
+    // nothing beyond the single early fire.
+    def finalStateRows(batches: Seq[Seq[KeyedEvent]]): (Long, Seq[WindowCount]) = {
+      implicit val sqlCtx = spark.sqlContext
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val name = s"early_fire_gc_${batches.hashCode.abs}"
+      try {
+        val mem = MemoryStream[KeyedEvent]
+        val q = EarlyFire.windowCounts(Dedup.withMsWatermark(mem.toDS()))
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append).start()
+        try {
+          batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+          val rows = q.recentProgress.filter(_.stateOperators.nonEmpty)
+            .maxBy(_.batchId).stateOperators.map(_.numRowsTotal).sum
+          (rows, spark.table(name).as[WindowCount].collect().toSeq
+            .filter(_.key != "tick"))
+        } finally q.stop()
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val ticks = Seq(Seq(ev("tick", 9000)), Seq(ev("tick", 15000)),
+      Seq(ev("tick", 30000)))
+    val (withC, got) = finalStateRows(Seq(ev("c", 1000)) +: ticks)
+    val (baseline, _) = finalStateRows(Seq.empty[KeyedEvent] +: ticks)
+    assert(got == Seq(WindowCount("c", 0, 1, closed = false)))
+    assert(withC == baseline,
+      s"residual state for stalled key c: $withC rows vs ticks-only $baseline")
+  }
+
   test("independent keys and windows fire independently") {
     // a[0,10s) armed at 6 s (grace), b[0,10s) at 10 s (end),
     // a[10s,20s) at 17 s (grace). The 13 s tick expires a's 6 s grace
