@@ -1,0 +1,281 @@
+package graft.apps
+
+import graft.streaming.{Dedup, LogSplit, PageEvent, VisitorState}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import java.nio.file.{Files, Paths}
+
+/** Integrated streaming-topology soak — the sandbox analog of the
+  * reference's multi-job deployment running AS ONE SYSTEM: the 16-job
+  * reference stack chains BaseLogApp (ref BaseLogApp.java:217-221) into
+  * DwdTrafficUniqueVisitorDetail and the DWS window apps over Kafka
+  * topics, while DwdTradeOrderDetail (ref DwdTradeOrderDetail.java:247)
+  * consumes topic_db in parallel. Here the same topology runs as FOUR
+  * CONCURRENT checkpointed Structured Streaming queries over two file
+  * buses (the sandbox's Kafka analog), under the production state
+  * profile (RocksDB provider + changelog checkpointing):
+  *
+  *   in_log ─┬→ traffic: LogSplit → UV dedup → 10 s channel windows
+  *           ├→ uv:      LogSplit.pageLog → daily-first UV detail
+  *           └→ repair:  LogSplit.pageLog → is_new repair (P8)
+  *   in_db  ──→ trade:   topic_db → 4-table stream-stream order join
+  *
+  * The run is KILLED once mid-stream — all four queries stop with a
+  * window, a pending stream-stream join match, and two keyed-state
+  * continuations still open; phase-2 input lands during the outage —
+  * and restarted from the same checkpoints, so the soak exercises
+  * exactly the recovery path a production deployment takes: keyed
+  * dedup state, is_new repair state, open windows, and in-flight join
+  * state must all survive into the second process.
+  *
+  * Correctness contract: after a final watermark flush, EVERY sink
+  * must equal its batch twin computed over the full bus contents by
+  * the same code (streaming and batch share each operator). Flush
+  * ticks ride a sentinel channel/mid and an unmatched order_info, so
+  * they are either filtered symmetrically or invisible in both
+  * engines.
+  */
+object Soak {
+
+  val T0 = 1651234560000L // 2022-04-29 12:16:00 UTC
+  val D2 = T0 + 86400000L // day 2
+  private val S0 = T0 / 1000 // topic_db ts convention: epoch seconds
+
+  def logLine(mid: String, ch: String, isNew: String, pageId: String,
+      last: String, ts: Long): String = {
+    val lastJson = if (last == null) "null" else "\"" + last + "\""
+    s"""{"common":{"ar":"110000","ch":"$ch","is_new":"$isNew","mid":"$mid","vc":"v1"},""" +
+      s""""page":{"during_time":1000,"page_id":"$pageId","last_page_id":$lastJson},"ts":$ts}"""
+  }
+
+  def dbLine(table: String, tsSec: Long, data: (String, String)*): String = {
+    val d = data.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    s"""{"database":"g","table":"$table","type":"insert","ts":$tsSec,""" +
+      s""""xid":1,"xoffset":1,"data":$d,"old":null}"""
+  }
+
+  /** Phase 1 — on the bus before the kill. Window [T0+10s, T0+20s) and
+    * the d2↔o2 join are deliberately left OPEN across the restart. */
+  def logPhase1: Seq[String] = Seq(
+    logLine("m1", "xiaomi", "1", "home", null, T0 + 1000),
+    logLine("m1", "xiaomi", "1", "cart", "home", T0 + 2000),
+    logLine("m2", "huawei", "0", "home", null, T0 + 3000),
+    logLine("m1", "xiaomi", "1", "detail", "cart", T0 + 15000))
+
+  /** Phase 2 — lands on the bus during the outage: only the restarted
+    * process sees it, so every row here exercises recovered state. */
+  def logPhase2: Seq[String] = Seq(
+    logLine("m2", "huawei", "0", "list", "home", T0 + 21000),
+    // day-2 m1 still claims is_new=1: only SURVIVING repair state
+    // flips it to 0; only surviving dedup state makes it a NEW uv day
+    logLine("m1", "xiaomi", "1", "home", null, D2 + 1000),
+    logLine("m1", "xiaomi", "1", "cart", "home", D2 + 2000),
+    logLine("m3", "appstore", "0", "home", null, D2 + 3000))
+
+  def dbPhase1: Seq[String] = Seq(
+    dbLine("order_detail", S0 + 1, "id" -> "d1", "order_id" -> "o1",
+      "sku_id" -> "s1", "sku_num" -> "2", "order_price" -> "10.00",
+      "split_total_amount" -> "18.00", "source_type" -> "2401"),
+    dbLine("order_detail_activity", S0 + 2, "order_detail_id" -> "d1",
+      "activity_id" -> "act9"),
+    dbLine("order_info", S0 + 3, "id" -> "o1", "user_id" -> "u1",
+      "province_id" -> "p1"),
+    // d2's order_info arrives only after the restart
+    dbLine("order_detail", S0 + 5, "id" -> "d2", "order_id" -> "o2",
+      "sku_id" -> "s2", "sku_num" -> "1", "order_price" -> "5.00",
+      "split_total_amount" -> "5.00", "source_type" -> "2402"))
+
+  def dbPhase2: Seq[String] = Seq(
+    dbLine("order_info", S0 + 8, "id" -> "o2", "user_id" -> "u2",
+      "province_id" -> "p2"),
+    dbLine("order_detail", S0 + 20, "id" -> "d3", "order_id" -> "o3",
+      "sku_id" -> "s3", "sku_num" -> "3", "order_price" -> "2.00",
+      "split_total_amount" -> "6.00", "source_type" -> "2401"))
+
+  def dbPhase2b: Seq[String] = Seq(
+    dbLine("order_info", S0 + 22, "id" -> "o3", "user_id" -> "u3",
+      "province_id" -> "p3"))
+
+  /** Watermark flush: a sentinel channel on the log bus (filtered from
+    * the compare on BOTH sides), an unmatched order_info on the db bus
+    * (emits in NEITHER engine — it is the probe side of an inner join). */
+  def logFlush(ts: Long): Seq[String] =
+    Seq(logLine("tick", "tick", "0", "home", null, ts))
+  def dbFlush(tsSec: Long): Seq[String] =
+    Seq(dbLine("order_info", tsSec, "id" -> s"oflush$tsSec",
+      "user_id" -> "uX", "province_id" -> "pX"))
+
+  def baseDic(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(("2401", "user_query"), ("2402", "promo"))
+      .toDF("dic_code", "dic_name")
+  }
+
+  private def pageEvents(pageLog: DataFrame) = {
+    import pageLog.sparkSession.implicits._
+    pageLog.select(
+      col("common.mid").as("mid"), col("page.page_id").as("pageId"),
+      col("page.last_page_id").as("lastPageId"),
+      col("common.is_new").as("isNew"), col("ts")).as[PageEvent]
+  }
+
+  /** Start the four concurrent queries against the two buses. */
+  private def startAll(spark: SparkSession, in: String, out: String,
+      ckpt: String): Seq[StreamingQuery] = {
+    import spark.implicits._
+    val t = Trigger.ProcessingTime(0)
+    val logStream = spark.readStream.format("text").load(s"$in/log")
+      .toDF("value")
+    val dbStream = spark.readStream.format("text").load(s"$in/db")
+      .toDF("value")
+    val pagesS = LogSplit.pageLog(LogSplit.parse(logStream))
+    val traffic = TrafficApp.run(logStream, s"$out/dws_traffic_channel",
+      s"$ckpt/traffic", trigger = t)
+    val uv = TrafficPipeline
+      .uniqueVisitors(pagesS, watermark = Some("2 seconds"))
+      .writeStream.format("parquet")
+      .option("path", s"$out/dwd_traffic_uv")
+      .option("checkpointLocation", s"$ckpt/uv")
+      .outputMode("append").trigger(t).start()
+    val repair = VisitorState.repairIsNew(pageEvents(pagesS))
+      .toDF().writeStream.format("parquet")
+      .option("path", s"$out/dwd_page_repaired")
+      .option("checkpointLocation", s"$ckpt/repair")
+      .outputMode("append").trigger(t).start()
+    val trade = TradePipeline.orderDetailStream(
+        graft.sources.Sources.topicDb(dbStream), baseDic(spark))
+      .writeStream.format("parquet")
+      .option("path", s"$out/dwd_trade_order_detail")
+      .option("checkpointLocation", s"$ckpt/trade")
+      .outputMode("append").trigger(t).start()
+    Seq(traffic, uv, repair, trade)
+  }
+
+  /** Multiset difference cardinality — 0 iff exact sink ≡ twin. */
+  private def diff(got: DataFrame, twin: DataFrame): Long =
+    got.exceptAll(twin).count() + twin.exceptAll(got).count()
+
+  case class SoakReport(layers: Seq[(String, Long)], mismatches: Seq[String])
+
+  /** Full soak: phase 1 → kill with phase 2 pending → restart →
+    * watermark flush → compare every sink to its batch twin. */
+  def runSoak(spark: SparkSession, root: String): SoakReport = {
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(s"$in/log"))
+    Files.createDirectories(Paths.get(s"$in/db"))
+    def write(bus: String, name: String, lines: Seq[String]): Unit = {
+      Files.write(Paths.get(s"$in/$bus/$name"),
+        lines.mkString("\n").getBytes("UTF-8")); ()
+    }
+
+    // production state profile for the streaming queries (AQE is
+    // auto-disabled inside stateful streaming queries; the state store
+    // is the profile knob that matters here)
+    val prodConfs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true")
+    val saved = prodConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    prodConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // ---- process 1: phase 1, then the kill with phase 2 pending ----
+      write("log", "f1.json", logPhase1)
+      write("db", "f1.json", dbPhase1)
+      val qs1 = startAll(spark, in, out, ckpt)
+      try qs1.foreach(_.processAllAvailable())
+      finally qs1.foreach(_.stop())
+      // phase 2 lands on the bus while the system is DOWN: the second
+      // process must pick it up and join/window/dedup it against the
+      // state recovered from the first process's checkpoints
+      write("log", "f2.json", logPhase2)
+      write("db", "f2.json", dbPhase2)
+
+      // ---- process 2: recover from checkpoints, drain, flush ----
+      val qs2 = startAll(spark, in, out, ckpt)
+      try {
+        qs2.foreach(_.processAllAvailable())
+        write("db", "f3.json", dbPhase2b)
+        qs2.foreach(_.processAllAvailable())
+        // two flush steps so the post-watermark finalization batch runs
+        write("log", "flush1.json", logFlush(D2 + 3600000L))
+        write("db", "flush1.json", dbFlush(S0 + 7200))
+        qs2.foreach(_.processAllAvailable())
+        write("log", "flush2.json", logFlush(D2 + 3700000L))
+        write("db", "flush2.json", dbFlush(S0 + 7300))
+        qs2.foreach(_.processAllAvailable())
+      } finally qs2.foreach(_.stop())
+
+      // ---- batch twins over the FULL bus contents, same code ----
+      val rawLog = spark.read.text(s"$in/log").toDF("value")
+      val rawDb = spark.read.text(s"$in/db").toDF("value")
+      val pagesB = LogSplit.pageLog(LogSplit.parse(rawLog))
+      val wcols = Seq("stt", "edt", "vc", "ch", "ar", "is_new",
+        "uv_ct", "sv_ct", "pv_ct", "dur_sum", "uj_ct").map(col)
+
+      val gotTraffic = spark.read.parquet(s"$out/dws_traffic_channel")
+        .select(wcols: _*).filter(col("ch") =!= "tick")
+      val twinTraffic = TrafficPipeline.channelWindow(rawLog, None)
+        .select(wcols: _*).filter(col("ch") =!= "tick")
+
+      val uvCols = Seq(col("common.mid").as("mid"),
+        col("common.ch").as("ch"), col("ts"))
+      val gotUv = spark.read.parquet(s"$out/dwd_traffic_uv")
+        .select(uvCols: _*).filter(col("mid") =!= "tick")
+      val twinUv = TrafficPipeline.uniqueVisitors(pagesB)
+        .select(uvCols: _*).filter(col("mid") =!= "tick")
+
+      val gotRepair = spark.read.parquet(s"$out/dwd_page_repaired")
+        .filter(col("mid") =!= "tick")
+      val twinRepair = VisitorState.repairIsNew(pageEvents(pagesB))
+        .toDF().filter(col("mid") =!= "tick")
+
+      val gotTrade = spark.read.parquet(s"$out/dwd_trade_order_detail")
+      val twinTrade = TradePipeline.orderDetailStream(
+        graft.sources.Sources.topicDb(rawDb), baseDic(spark))
+
+      val cmp = Seq(
+        ("dws_traffic_channel", gotTraffic, twinTraffic),
+        ("dwd_traffic_uv", gotUv, twinUv),
+        ("dwd_page_repaired", gotRepair, twinRepair),
+        ("dwd_trade_order_detail", gotTrade, twinTrade))
+      val mismatches = cmp.flatMap { case (name, got, twin) =>
+        val d = diff(got, twin)
+        if (d == 0) None
+        else Some(s"$name: $d rows differ from the batch twin")
+      }
+      val layers = cmp.map { case (name, got, _) => name -> got.count() }
+      SoakReport(layers, mismatches)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** `scripts/soak.sh` entry: run the soak in a fresh dir, print the
+    * per-sink counts, exit nonzero on any twin mismatch. */
+  def main(args: Array[String]): Unit = {
+    val root = if (args.nonEmpty) args(0)
+      else Files.createTempDirectory("graft_soak").toString
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master("local[8]")
+      .appName("graft-soak")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val report = runSoak(spark, root)
+    report.layers.foreach { case (l, c) => println(f"$l%-26s $c%5d rows") }
+    spark.stop()
+    if (report.mismatches.nonEmpty) {
+      report.mismatches.foreach(m => System.err.println(s"MISMATCH $m"))
+      sys.exit(1)
+    }
+    println(s"soak OK — 4 concurrent queries, 1 restart, " +
+      s"${report.layers.size} sinks ≡ batch twins under $root")
+  }
+}
