@@ -35,6 +35,33 @@ object Bench {
       case None       => _ => true
     }
     val names = SparkEntry.queries.toSeq.filter(kv => only(kv._1)).sortBy(_._1)
+    // Contention canary (r8 verdict #4): five fast, stable, diverse
+    // queries timed once BEFORE and once AFTER the series. A contended
+    // machine (concurrent sbt test, another bench) inflates the end
+    // pass relative to the start pass — a drift outside [1/1.3, 1.3]
+    // flags the whole series as non-comparable, which the r8 driver
+    // series would have self-reported. Full-suite runs only (the
+    // driver's case); subset iteration runs skip it.
+    val canaryNames = Seq("q02_filter_project", "q09_top_event_types",
+      "q26_text_quality", "q44_moving_agg", "q92_rolling_fingerprint")
+      .filter(SparkEntry.queries.contains)
+    val canaryEnabled =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty && canaryNames.nonEmpty
+    def canaryPass(): Double =
+      canaryNames.map { n =>
+        val fn = SparkEntry.queries(n)
+        val reps = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        reps(1) // median of 3
+      }.sum
+    // one UNTIMED pass first: the start measurement must not carry the
+    // canaries' cold JIT, or an idle machine reads as end-faster-than-
+    // start "drift" (measured 0.42 on a clean run without this)
+    if (canaryEnabled) canaryPass()
+    val canaryStart = if (canaryEnabled) canaryPass() else -1.0
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
@@ -64,11 +91,21 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = med.values.filter(_ >= 0).sum // failures excluded
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val canaryEnd = if (canaryEnabled) canaryPass() else -1.0
+    val drift =
+      if (canaryEnabled && canaryStart > 0) canaryEnd / canaryStart else -1.0
+    val contended = drift > 0 && (drift > 1.3 || drift < 1.0 / 1.3)
+    if (contended) System.err.println(
+      f"[bench] CANARY DRIFT $drift%.2f — series ran CONTENDED; do not " +
+        "compare it round-over-round (re-run on an idle machine)")
     // "total_sec" is repeated as the LAST key: the driver's log capture
     // keeps the tail of long lines, so the headline number must survive
     // front-truncation (BENCH_r04's "value" was cut off exactly that way)
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
-      s""""failed":$failedJson,"sf":"$sfDir","spread":${jmap(spread)},""" +
+      s""""failed":$failedJson,"sf":"$sfDir",""" +
+      f""""canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f,""" +
+      f""""canary_drift":$drift%.3f,"canary_contended":$contended,""" +
+      s""""spread":${jmap(spread)},""" +
       s""""queries":${jmap(med)},"total_sec":$total}""")
     spark.stop()
   }

@@ -18,7 +18,9 @@ import java.nio.file.{Files, Paths}
   *
   *   in_log ─┬→ traffic: LogSplit → UV dedup → 10 s channel windows
   *           ├→ uv:      LogSplit.pageLog → daily-first UV detail
-  *           └→ repair:  LogSplit.pageLog → is_new repair (P8)
+  *           ├→ repair:  LogSplit.pageLog → is_new repair (P8)
+  *           └→ early:   LogSplit.pageLog → EarlyFire custom-trigger
+  *                       per-mid window counts (U3, MyTrigger rule)
   *   in_db  ──→ trade:   topic_db → 4-table stream-stream order join
   *
   * The run is KILLED once mid-stream — all four queries stop with a
@@ -150,7 +152,18 @@ object Soak {
       .option("path", s"$out/dwd_trade_order_detail")
       .option("checkpointLocation", s"$ckpt/trade")
       .outputMode("append").trigger(t).start()
-    Seq(traffic, uv, repair, trade)
+    // U3 in-topology: per-mid counts under the MyTrigger firing rule.
+    // The fixture's watermark jumps always land PAST the window end, so
+    // every real window ends in a closed fire — making the closed rows
+    // exactly the batch tumbling counts (the early/stall paths are
+    // pinned by EarlyFireSpec; here the trigger runs through a real
+    // sink beside the other jobs, timers recovered across the restart).
+    val early = EarlyFireApp.run(
+      pagesS.select(col("common.mid").as("key"), col("ts"),
+        col("page.page_id").as("payload"))
+        .as[graft.streaming.KeyedEvent],
+      s"$out/dws_early_counts", s"$ckpt/early", trigger = t)
+    Seq(traffic, uv, repair, trade, early)
   }
 
   /** Multiset difference cardinality — 0 iff exact sink ≡ twin. */
@@ -236,11 +249,25 @@ object Soak {
       val twinTrade = TradePipeline.orderDetailStream(
         graft.sources.Sources.topicDb(rawDb), baseDic(spark))
 
+      // the CLOSED fires are plain tumbling counts (every real window
+      // in the fixture closes — see startAll); early fires are extra
+      // partial rows by contract, excluded from the twin compare
+      val gotEarly = spark.read.parquet(s"$out/dws_early_counts")
+        .filter(col("closed") && col("key") =!= "tick")
+        .select(col("key"), col("windowStart"), col("cnt"))
+      val twinEarly = pagesB
+        .select(col("common.mid").as("key"), col("ts"))
+        .filter(col("key") =!= "tick")
+        .groupBy(col("key"),
+          (col("ts") - pmod(col("ts"), lit(10000L))).as("windowStart"))
+        .agg(count(lit(1)).as("cnt"))
+
       val cmp = Seq(
         ("dws_traffic_channel", gotTraffic, twinTraffic),
         ("dwd_traffic_uv", gotUv, twinUv),
         ("dwd_page_repaired", gotRepair, twinRepair),
-        ("dwd_trade_order_detail", gotTrade, twinTrade))
+        ("dwd_trade_order_detail", gotTrade, twinTrade),
+        ("dws_early_counts", gotEarly, twinEarly))
       val mismatches = cmp.flatMap { case (name, got, twin) =>
         val d = diff(got, twin)
         if (d == 0) None
@@ -275,7 +302,7 @@ object Soak {
       report.mismatches.foreach(m => System.err.println(s"MISMATCH $m"))
       sys.exit(1)
     }
-    println(s"soak OK — 4 concurrent queries, 1 restart, " +
+    println(s"soak OK — 5 concurrent queries, 1 restart, " +
       s"${report.layers.size} sinks ≡ batch twins under $root")
   }
 }

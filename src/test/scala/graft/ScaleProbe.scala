@@ -68,6 +68,9 @@ object ScaleProbe {
       t0 = System.nanoTime()
       val c = graft.queries.SuffixOps.contaminationSpanAt(spark, src, cap).count()
       println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  contamination cap=$cap (docs=$c)")
+      t0 = System.nanoTime()
+      val sd = graft.queries.SuffixOps.spanDedupExactAt(spark, src, cap).count()
+      println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  spanDedupExact cap=$cap (docs=$sd)")
     }
   }
 

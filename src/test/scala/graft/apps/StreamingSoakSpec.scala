@@ -3,7 +3,7 @@ package graft.apps
 import graft.TestSpark
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The integrated multi-job topology soak (VERDICT r8 #1): four
+/** The integrated multi-job topology soak (VERDICT r8 #1): five
   * concurrent checkpointed streaming queries over two file buses,
   * killed once mid-run with state open on every query, restarted, and
   * every sink compared to its batch twin. Beyond Soak's own twin
@@ -14,7 +14,7 @@ class StreamingSoakSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("4-query topology survives a mid-run restart and equals the batch twins") {
+  test("5-query topology survives a mid-run restart and equals the batch twins") {
     val root = java.nio.file.Files.createTempDirectory("graft_soak").toString
     val report = Soak.runSoak(spark, root)
 
@@ -45,6 +45,15 @@ class StreamingSoakSpec extends AnyFunSuite {
       .filter($"mid" === "m1" && $"ts" >= Soak.D2).collect()
     assert(rep.nonEmpty && rep.forall(_.getAs[String]("isNew") == "0"),
       "cross-restart is_new repair state lost")
+
+    // the EarlyFire trigger's window [T0+10s, T0+20s) was armed before
+    // the kill (cnt + timer state) and fired closed only after restart
+    val ef = spark.read.parquet(s"$root/out/dws_early_counts")
+      .filter($"key" === "m1" && $"windowStart" === (Soak.T0 + 10000))
+      .collect()
+    assert(ef.length == 1 && ef.head.getAs[Long]("cnt") == 1 &&
+      ef.head.getAs[Boolean]("closed"),
+      "EarlyFire timer/count state lost across restart")
 
     // m1's UV detail: one row per day, day 2 deduped against state
     // written before the kill (and not re-emitted for the day-2 cart)
