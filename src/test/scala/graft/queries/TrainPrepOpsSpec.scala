@@ -28,6 +28,29 @@ class TrainPrepOpsSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getLong(3) > r.getLong(2) * 1))
   }
 
+  test("q332: a 1-token doc contributes its unigram but no bigram (guard)") {
+    // Spark's sequence(1, size-1) is DESCENDING [1, 0] when size = 1 —
+    // without the size >= 2 guard this doc ANSI-errors or fabricates
+    // phantom bigrams while the DuckDB oracle's range(1, 1) is empty
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kn1").toString
+    Seq(
+      (1L, "solo", "en"),
+      (2L, "alpha beta alpha", "en"),
+      (3L, "beta gamma", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TrainPrepOps.knContinuation(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // 'solo' appears once, participates in NO bigram on either side
+    assert(rows("solo") == ((1L, 0L, 0L)))
+    // sanity on the multi-token docs: bigrams {alpha>beta, beta>alpha,
+    // beta>gamma} -> alpha: left {beta>alpha}=1, right {alpha>beta}=1
+    assert(rows("alpha") == ((2L, 1L, 1L)))
+    assert(rows("beta") == ((2L, 1L, 2L)))
+  }
+
   test("q333: every dimension sees the whole corpus; variance law") {
     val rows = TrainPrepOps.embedDimStats(spark, sf).collect()
     assert(rows.length == 64)
