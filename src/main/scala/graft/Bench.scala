@@ -36,12 +36,17 @@ object Bench {
     }
     val names = SparkEntry.queries.toSeq.filter(kv => only(kv._1)).sortBy(_._1)
     // Contention canary (r8 verdict #4): five fast, stable, diverse
-    // queries timed once BEFORE and once AFTER the series. A contended
-    // machine (concurrent sbt test, another bench) inflates the end
-    // pass relative to the start pass — a drift outside [1/1.3, 1.3]
-    // flags the whole series as non-comparable, which the r8 driver
-    // series would have self-reported. Full-suite runs only (the
-    // driver's case); subset iteration runs skip it.
+    // queries timed once BEFORE and once AFTER the series. A machine
+    // that gets contended during the series (concurrent sbt test,
+    // another bench) INFLATES the end pass — drift > 1.3 flags the
+    // series as non-comparable, which the r8 driver series would have
+    // self-reported. Drift < 1 is the opposite, EXPECTED signal: JIT
+    // tiering deepens over 3 whole-suite rounds (measured 0.55 on an
+    // idle machine even after a warm pass), so only the slow direction
+    // flags. Limitation (by construction): contention present for the
+    // WHOLE series slows both passes equally and reads as drift ≈ 1 —
+    // the bracketing-series rule (NOTES r5) still applies for that.
+    // Full-suite runs only (the driver's case); subset runs skip it.
     val canaryNames = Seq("q02_filter_project", "q09_top_event_types",
       "q26_text_quality", "q44_moving_agg", "q92_rolling_fingerprint")
       .filter(SparkEntry.queries.contains)
@@ -94,7 +99,7 @@ object Bench {
     val canaryEnd = if (canaryEnabled) canaryPass() else -1.0
     val drift =
       if (canaryEnabled && canaryStart > 0) canaryEnd / canaryStart else -1.0
-    val contended = drift > 0 && (drift > 1.3 || drift < 1.0 / 1.3)
+    val contended = drift > 1.3
     if (contended) System.err.println(
       f"[bench] CANARY DRIFT $drift%.2f — series ran CONTENDED; do not " +
         "compare it round-over-round (re-run on an idle machine)")

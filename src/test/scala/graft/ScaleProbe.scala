@@ -74,6 +74,38 @@ object ScaleProbe {
     }
   }
 
+  /** `suffixsyn` mode: the suffix family past the real corpus. The
+    * sf0.1 corpus tops out at 5000 docs / 1.49M positions; this
+    * generates a deterministic synthetic corpus of N ~330-char docs
+    * (md5-token text, every 10th doc sharing a planted ~100-char
+    * block so the LCP-run machinery has real repeated spans to chew
+    * on, not just cost-model noise) and runs the two heavy family
+    * members uncapped. Extends the measured growth curve several-fold
+    * beyond the testdata without touching /root/testdata. */
+  def suffixSynProbe(spark: SparkSession, ns: Seq[Int]): Unit = {
+    ns.foreach { n =>
+      val dst = s"/tmp/scale_suffixsyn_$n"
+      if (!new java.io.File(dst).exists()) {
+        val block = (1 to 12)
+          .map(i => s"shared boilerplate span token$i").mkString(" ")
+        spark.range(n).selectExpr(
+          "id AS doc_id",
+          s"""concat(CASE WHEN id % 10 = 0 THEN '$block ' ELSE '' END,
+             | concat_ws(' ', transform(sequence(1, 36),
+             |   i -> substr(md5(concat(id, ':', i)), 1, 8)))) AS text"""
+            .stripMargin,
+          "'en' AS lang")
+          .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      }
+      var t0 = System.nanoTime()
+      val r = graft.queries.SuffixOps.suffixRanksAt(spark, dst, n).count()
+      println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  suffixRanks syn n=$n (positions=$r)")
+      t0 = System.nanoTime()
+      val sd = graft.queries.SuffixOps.spanDedupExactAt(spark, dst, n).count()
+      println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  spanDedupExact syn n=$n (docs=$sd)")
+    }
+  }
+
   /** `er` mode: q251/q269 growth with a REALISTICALLY scaled entity
     * corpus. A replicated-table ×N probe is wrong twice over for ER:
     * q251 runs on DISTINCT names (identical copies collapse to a
@@ -189,6 +221,16 @@ object ScaleProbe {
         .config("spark.ui.enabled", "false").getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       curveProbe(spark, Seq(1, 10), Seq(100, 300, 1000))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("suffixsyn")) {
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      suffixSynProbe(spark, if (args.length > 1)
+        args.drop(1).toSeq.map(_.toInt) else Seq(5000, 20000))
       spark.stop(); return
     }
     if (args.headOption.contains("suffix")) {
