@@ -1,8 +1,12 @@
 #!/bin/bash
-# Integrated streaming-topology soak: 4 concurrent checkpointed queries
-# (traffic windows, UV detail, is_new repair, trade join) over two file
-# buses, killed once mid-run, restarted, sinks compared to batch twins.
-# Usage: scripts/soak.sh [rootDir]   (exit 0 iff every sink ≡ its twin)
+# Integrated streaming-topology soak, TWO-PROCESS hard-kill form: 5
+# concurrent checkpointed queries (traffic windows, UV detail, is_new
+# repair, EarlyFire trigger windows, trade join) over two file buses.
+# Process 1 drains phase 1 and is KILLED via Runtime.halt (no query
+# stop, no shutdown hooks); process 2 recovers purely from the on-disk
+# checkpoints, drains phase 2, flushes, and compares every sink to its
+# batch twin. Usage: scripts/soak.sh [rootDir]   (exit 0 iff all ≡)
+# One-JVM in-process form: scripts/soak.sh --inproc [rootDir]
 set -e
 cd "$(dirname "$0")/.."
 ADD_OPENS=""
@@ -11,7 +15,16 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $ADD_OPENS -Xmx4g \
-  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.apps.Soak "$@"
+run() {
+  java $ADD_OPENS -Xmx4g \
+    -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.apps.Soak "$@"
+}
+if [ "${1:-}" = "--inproc" ]; then
+  shift
+  run "$@"
+else
+  ROOT=${1:-$(mktemp -d /tmp/graft_soak.XXXXXX)}
+  run phase1 "$ROOT"
+  run phase2 "$ROOT"
+fi

@@ -11,7 +11,7 @@ import java.nio.file.{Files, Paths}
   * reference stack chains BaseLogApp (ref BaseLogApp.java:217-221) into
   * DwdTrafficUniqueVisitorDetail and the DWS window apps over Kafka
   * topics, while DwdTradeOrderDetail (ref DwdTradeOrderDetail.java:247)
-  * consumes topic_db in parallel. Here the same topology runs as FOUR
+  * consumes topic_db in parallel. Here the same topology runs as FIVE
   * CONCURRENT checkpointed Structured Streaming queries over two file
   * buses (the sandbox's Kafka analog), under the production state
   * profile (RocksDB provider + changelog checkpointing):
@@ -23,13 +23,20 @@ import java.nio.file.{Files, Paths}
   *                       per-mid window counts (U3, MyTrigger rule)
   *   in_db  ──→ trade:   topic_db → 4-table stream-stream order join
   *
-  * The run is KILLED once mid-stream — all four queries stop with a
-  * window, a pending stream-stream join match, and two keyed-state
-  * continuations still open; phase-2 input lands during the outage —
-  * and restarted from the same checkpoints, so the soak exercises
-  * exactly the recovery path a production deployment takes: keyed
-  * dedup state, is_new repair state, open windows, and in-flight join
-  * state must all survive into the second process.
+  * The run is KILLED once mid-stream — all five queries die with a
+  * window, a pending stream-stream join match, a registered trigger
+  * timer, and two keyed-state continuations still open; phase-2 input
+  * lands during the outage — and restarted from the same checkpoints,
+  * so the soak exercises exactly the recovery path a production
+  * deployment takes: keyed dedup state, is_new repair state, open
+  * windows, timers, and in-flight join state must all survive into
+  * the second process. Two kill strengths: the in-process soak
+  * (runSoak — what the spec runs) stops queries gracefully and
+  * restarts them in the same JVM; `scripts/soak.sh` runs the
+  * TWO-PROCESS form, where the phase-1 JVM is terminated by
+  * Runtime.halt(0) with the queries still running — no stop(), no
+  * shutdown hooks — and phase 2 recovers in a fresh JVM purely from
+  * the on-disk checkpoints (the sandbox's `kill -9`).
   *
   * Correctness contract: after a final watermark flush, EVERY sink
   * must equal its batch twin computed over the full bus contents by
@@ -172,137 +179,186 @@ object Soak {
 
   case class SoakReport(layers: Seq[(String, Long)], mismatches: Seq[String])
 
-  /** Full soak: phase 1 → kill with phase 2 pending → restart →
-    * watermark flush → compare every sink to its batch twin. */
-  def runSoak(spark: SparkSession, root: String): SoakReport = {
-    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
-    Files.createDirectories(Paths.get(s"$in/log"))
-    Files.createDirectories(Paths.get(s"$in/db"))
-    def write(bus: String, name: String, lines: Seq[String]): Unit = {
-      Files.write(Paths.get(s"$in/$bus/$name"),
-        lines.mkString("\n").getBytes("UTF-8")); ()
-    }
+  private def write(root: String, bus: String, name: String,
+      lines: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(s"$root/in/$bus"))
+    Files.write(Paths.get(s"$root/in/$bus/$name"),
+      lines.mkString("\n").getBytes("UTF-8")); ()
+  }
 
-    // production state profile for the streaming queries (AQE is
-    // auto-disabled inside stateful streaming queries; the state store
-    // is the profile knob that matters here)
-    val prodConfs = Seq(
-      "spark.sql.streaming.stateStore.providerClass" ->
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
-        "true")
+  /** Process-1 work: phase-1 input on the bus, all five queries started
+    * and drained once. Queries are left RUNNING — the caller either
+    * stops them (in-process soak) or halts the JVM (hard-kill soak). */
+  def runPhase1(spark: SparkSession, root: String): Seq[StreamingQuery] = {
+    write(root, "log", "f1.json", logPhase1)
+    write(root, "db", "f1.json", dbPhase1)
+    val qs = startAll(spark, s"$root/in", s"$root/out", s"$root/ckpt")
+    qs.foreach(_.processAllAvailable())
+    qs
+  }
+
+  /** Process-2 work: phase-2 input (landed "during the outage"),
+    * recovery from the on-disk checkpoints, drain, watermark flush. */
+  def runPhase2(spark: SparkSession, root: String): Unit = {
+    write(root, "log", "f2.json", logPhase2)
+    write(root, "db", "f2.json", dbPhase2)
+    val qs = startAll(spark, s"$root/in", s"$root/out", s"$root/ckpt")
+    try {
+      qs.foreach(_.processAllAvailable())
+      write(root, "db", "f3.json", dbPhase2b)
+      qs.foreach(_.processAllAvailable())
+      // two flush steps so the post-watermark finalization batch runs
+      write(root, "log", "flush1.json", logFlush(D2 + 3600000L))
+      write(root, "db", "flush1.json", dbFlush(S0 + 7200))
+      qs.foreach(_.processAllAvailable())
+      write(root, "log", "flush2.json", logFlush(D2 + 3700000L))
+      write(root, "db", "flush2.json", dbFlush(S0 + 7300))
+      qs.foreach(_.processAllAvailable())
+    } finally qs.foreach(_.stop())
+  }
+
+  // production state profile for the streaming queries (AQE is
+  // auto-disabled inside stateful streaming queries; the state store
+  // is the profile knob that matters here)
+  val prodConfs: Seq[(String, String)] = Seq(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
+
+  /** In-process soak: phase 1 → graceful stop with phase 2 landing
+    * during the outage → restart → flush → twin compare. The
+    * two-process hard-kill variant (`main` phase1/phase2, driven by
+    * scripts/soak.sh) replaces the graceful stop with Runtime.halt. */
+  def runSoak(spark: SparkSession, root: String): SoakReport = {
     val saved = prodConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
     prodConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
-      // ---- process 1: phase 1, then the kill with phase 2 pending ----
-      write("log", "f1.json", logPhase1)
-      write("db", "f1.json", dbPhase1)
-      val qs1 = startAll(spark, in, out, ckpt)
-      try qs1.foreach(_.processAllAvailable())
-      finally qs1.foreach(_.stop())
-      // phase 2 lands on the bus while the system is DOWN: the second
-      // process must pick it up and join/window/dedup it against the
-      // state recovered from the first process's checkpoints
-      write("log", "f2.json", logPhase2)
-      write("db", "f2.json", dbPhase2)
-
-      // ---- process 2: recover from checkpoints, drain, flush ----
-      val qs2 = startAll(spark, in, out, ckpt)
-      try {
-        qs2.foreach(_.processAllAvailable())
-        write("db", "f3.json", dbPhase2b)
-        qs2.foreach(_.processAllAvailable())
-        // two flush steps so the post-watermark finalization batch runs
-        write("log", "flush1.json", logFlush(D2 + 3600000L))
-        write("db", "flush1.json", dbFlush(S0 + 7200))
-        qs2.foreach(_.processAllAvailable())
-        write("log", "flush2.json", logFlush(D2 + 3700000L))
-        write("db", "flush2.json", dbFlush(S0 + 7300))
-        qs2.foreach(_.processAllAvailable())
-      } finally qs2.foreach(_.stop())
-
-      // ---- batch twins over the FULL bus contents, same code ----
-      val rawLog = spark.read.text(s"$in/log").toDF("value")
-      val rawDb = spark.read.text(s"$in/db").toDF("value")
-      val pagesB = LogSplit.pageLog(LogSplit.parse(rawLog))
-      val wcols = Seq("stt", "edt", "vc", "ch", "ar", "is_new",
-        "uv_ct", "sv_ct", "pv_ct", "dur_sum", "uj_ct").map(col)
-
-      val gotTraffic = spark.read.parquet(s"$out/dws_traffic_channel")
-        .select(wcols: _*).filter(col("ch") =!= "tick")
-      val twinTraffic = TrafficPipeline.channelWindow(rawLog, None)
-        .select(wcols: _*).filter(col("ch") =!= "tick")
-
-      val uvCols = Seq(col("common.mid").as("mid"),
-        col("common.ch").as("ch"), col("ts"))
-      val gotUv = spark.read.parquet(s"$out/dwd_traffic_uv")
-        .select(uvCols: _*).filter(col("mid") =!= "tick")
-      val twinUv = TrafficPipeline.uniqueVisitors(pagesB)
-        .select(uvCols: _*).filter(col("mid") =!= "tick")
-
-      val gotRepair = spark.read.parquet(s"$out/dwd_page_repaired")
-        .filter(col("mid") =!= "tick")
-      val twinRepair = VisitorState.repairIsNew(pageEvents(pagesB))
-        .toDF().filter(col("mid") =!= "tick")
-
-      val gotTrade = spark.read.parquet(s"$out/dwd_trade_order_detail")
-      val twinTrade = TradePipeline.orderDetailStream(
-        graft.sources.Sources.topicDb(rawDb), baseDic(spark))
-
-      // the CLOSED fires are plain tumbling counts (every real window
-      // in the fixture closes — see startAll); early fires are extra
-      // partial rows by contract, excluded from the twin compare
-      val gotEarly = spark.read.parquet(s"$out/dws_early_counts")
-        .filter(col("closed") && col("key") =!= "tick")
-        .select(col("key"), col("windowStart"), col("cnt"))
-      val twinEarly = pagesB
-        .select(col("common.mid").as("key"), col("ts"))
-        .filter(col("key") =!= "tick")
-        .groupBy(col("key"),
-          (col("ts") - pmod(col("ts"), lit(10000L))).as("windowStart"))
-        .agg(count(lit(1)).as("cnt"))
-
-      val cmp = Seq(
-        ("dws_traffic_channel", gotTraffic, twinTraffic),
-        ("dwd_traffic_uv", gotUv, twinUv),
-        ("dwd_page_repaired", gotRepair, twinRepair),
-        ("dwd_trade_order_detail", gotTrade, twinTrade),
-        ("dws_early_counts", gotEarly, twinEarly))
-      val mismatches = cmp.flatMap { case (name, got, twin) =>
-        val d = diff(got, twin)
-        if (d == 0) None
-        else Some(s"$name: $d rows differ from the batch twin")
-      }
-      val layers = cmp.map { case (name, got, _) => name -> got.count() }
-      SoakReport(layers, mismatches)
+      runPhase1(spark, root).foreach(_.stop())
+      runPhase2(spark, root)
+      compare(spark, root)
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }
   }
 
+  /** Every sink vs its batch twin over the FULL bus contents. */
+  def compare(spark: SparkSession, root: String): SoakReport = {
+    val in = s"$root/in"
+    val out = s"$root/out"
+    val rawLog = spark.read.text(s"$in/log").toDF("value")
+    val rawDb = spark.read.text(s"$in/db").toDF("value")
+    val pagesB = LogSplit.pageLog(LogSplit.parse(rawLog))
+    val wcols = Seq("stt", "edt", "vc", "ch", "ar", "is_new",
+      "uv_ct", "sv_ct", "pv_ct", "dur_sum", "uj_ct").map(col)
+
+    val gotTraffic = spark.read.parquet(s"$out/dws_traffic_channel")
+      .select(wcols: _*).filter(col("ch") =!= "tick")
+    val twinTraffic = TrafficPipeline.channelWindow(rawLog, None)
+      .select(wcols: _*).filter(col("ch") =!= "tick")
+
+    val uvCols = Seq(col("common.mid").as("mid"),
+      col("common.ch").as("ch"), col("ts"))
+    val gotUv = spark.read.parquet(s"$out/dwd_traffic_uv")
+      .select(uvCols: _*).filter(col("mid") =!= "tick")
+    val twinUv = TrafficPipeline.uniqueVisitors(pagesB)
+      .select(uvCols: _*).filter(col("mid") =!= "tick")
+
+    val gotRepair = spark.read.parquet(s"$out/dwd_page_repaired")
+      .filter(col("mid") =!= "tick")
+    val twinRepair = VisitorState.repairIsNew(pageEvents(pagesB))
+      .toDF().filter(col("mid") =!= "tick")
+
+    val gotTrade = spark.read.parquet(s"$out/dwd_trade_order_detail")
+    val twinTrade = TradePipeline.orderDetailStream(
+      graft.sources.Sources.topicDb(rawDb), baseDic(spark))
+
+    // the CLOSED fires are plain tumbling counts (every real window
+    // in the fixture closes — see startAll); early fires are extra
+    // partial rows by contract, excluded from the twin compare
+    val gotEarly = spark.read.parquet(s"$out/dws_early_counts")
+      .filter(col("closed") && col("key") =!= "tick")
+      .select(col("key"), col("windowStart"), col("cnt"))
+    val twinEarly = pagesB
+      .select(col("common.mid").as("key"), col("ts"))
+      .filter(col("key") =!= "tick")
+      .groupBy(col("key"),
+        (col("ts") - pmod(col("ts"), lit(10000L))).as("windowStart"))
+      .agg(count(lit(1)).as("cnt"))
+
+    val cmp = Seq(
+      ("dws_traffic_channel", gotTraffic, twinTraffic),
+      ("dwd_traffic_uv", gotUv, twinUv),
+      ("dwd_page_repaired", gotRepair, twinRepair),
+      ("dwd_trade_order_detail", gotTrade, twinTrade),
+      ("dws_early_counts", gotEarly, twinEarly))
+    val mismatches = cmp.flatMap { case (name, got, twin) =>
+      val d = diff(got, twin)
+      if (d == 0) None
+      else Some(s"$name: $d rows differ from the batch twin")
+    }
+    val layers = cmp.map { case (name, got, _) => name -> got.count() }
+    SoakReport(layers, mismatches)
+  }
+
   /** `scripts/soak.sh` entry: run the soak in a fresh dir, print the
     * per-sink counts, exit nonzero on any twin mismatch. */
-  def main(args: Array[String]): Unit = {
-    val root = if (args.nonEmpty) args(0)
-      else Files.createTempDirectory("graft_soak").toString
-    val spark = SparkSession.builder()
+  private def session(): SparkSession = {
+    val b = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master("local[8]")
       .appName("graft-soak")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val report = runSoak(spark, root)
-    report.layers.foreach { case (l, c) => println(f"$l%-26s $c%5d rows") }
+    prodConfs.foreach { case (k, v) => b.config(k, v) }
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def report(spark: SparkSession, root: String): Unit = {
+    val r = compare(spark, root)
+    r.layers.foreach { case (l, c) => println(f"$l%-26s $c%5d rows") }
     spark.stop()
-    if (report.mismatches.nonEmpty) {
-      report.mismatches.foreach(m => System.err.println(s"MISMATCH $m"))
+    if (r.mismatches.nonEmpty) {
+      r.mismatches.foreach(m => System.err.println(s"MISMATCH $m"))
       sys.exit(1)
     }
-    println(s"soak OK — 5 concurrent queries, 1 restart, " +
-      s"${report.layers.size} sinks ≡ batch twins under $root")
+    println(s"soak OK — 5 concurrent queries, 1 hard kill + restart, " +
+      s"${r.layers.size} sinks ≡ batch twins under $root")
+  }
+
+  /** `scripts/soak.sh` entry.
+    *
+    *  - `phase1 <root>`: phase-1 input, all queries started and drained,
+    *    then the JVM is KILLED via Runtime.halt(0) — no query stop, no
+    *    SparkSession shutdown, no JVM hooks: the sandbox's `kill -9`.
+    *    Recovery in the next process runs purely off the on-disk
+    *    checkpoints (commit logs + RocksDB changelog), with zero
+    *    in-JVM state carried over — strictly stronger than the
+    *    in-process restart the spec runs.
+    *  - `phase2 <root>`: phase-2 input (landed during the outage),
+    *    recovery, flush, twin compare, report; exit 1 on mismatch.
+    *  - `<root?>` (no mode): the in-process soak in one JVM. */
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("phase1") =>
+      val spark = session()
+      runPhase1(spark, args(1))
+      println("phase1 drained — halting the JVM WITHOUT stopping queries")
+      System.out.flush()
+      Runtime.getRuntime.halt(0) // hard kill: skips hooks and stop()
+    case Some("phase2") =>
+      val spark = session()
+      runPhase2(spark, args(1))
+      report(spark, args(1))
+    case other =>
+      val root = other.getOrElse(
+        Files.createTempDirectory("graft_soak").toString)
+      val spark = session()
+      runPhase1(spark, root).foreach(_.stop())
+      runPhase2(spark, root)
+      report(spark, root)
   }
 }
