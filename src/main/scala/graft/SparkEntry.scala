@@ -80,7 +80,8 @@ object SparkEntry {
       graft.queries.TpchClassics2.queries ++
       graft.queries.TrainPrepOps.queries ++
       graft.queries.CorpusSplitOps.queries ++
-      graft.queries.EngagementOps.queries
+      graft.queries.EngagementOps.queries ++
+      graft.queries.TrustOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -150,5 +151,6 @@ object SparkEntry {
       graft.queries.TpchClassics2.oracle ++
       graft.queries.TrainPrepOps.oracle ++
       graft.queries.CorpusSplitOps.oracle ++
-      graft.queries.EngagementOps.oracle
+      graft.queries.EngagementOps.oracle ++
+      graft.queries.TrustOps.oracle
 }

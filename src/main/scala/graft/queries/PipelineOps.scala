@@ -436,31 +436,38 @@ object PipelineOps {
       |      FROM (SELECT doc_id, lang, string_split(text, ' ') AS t
       |            FROM documents))))""".stripMargin
 
+  /** The q339 per-doc Gopher-flag CTE chain (base/pw/stats/flg,
+    * ending in `flg(doc_id, keep_rules)`) for oracle composition —
+    * q344's Fleiss oracle reuses it verbatim. */
+  private[queries] val gopherFlagCtes: String = {
+    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""base AS (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' ')) AS n_tok,
+       |    len(replace(text, ' ', '')) AS sum_len
+       |  FROM documents),
+       |pw AS (
+       |  SELECT doc_id, word, COUNT(*) AS f FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |    FROM documents)
+       |  GROUP BY 1, 2),
+       |stats AS (
+       |  SELECT doc_id, MAX(f) AS top_f,
+       |    COUNT(DISTINCT CASE WHEN word IN ($stopList) THEN word END)
+       |      AS n_stop
+       |  FROM pw GROUP BY 1),
+       |flg AS (
+       |  SELECT doc_id,
+       |    ((n_tok BETWEEN 20 AND 1000)
+       |      AND sum_len >= n_tok * 3 AND sum_len <= n_tok * 10
+       |      AND top_f * 5 <= n_tok AND n_stop >= 2) AS keep_rules
+       |  FROM base JOIN stats USING (doc_id))""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q339_scorer_agreement" -> {
-      val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
       s"""${LmOps.lmDocCte},
-         |base AS (
-         |  SELECT doc_id,
-         |    len(string_split(text, ' ')) AS n_tok,
-         |    len(replace(text, ' ', '')) AS sum_len
-         |  FROM documents),
-         |pw AS (
-         |  SELECT doc_id, word, COUNT(*) AS f FROM (
-         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
-         |    FROM documents)
-         |  GROUP BY 1, 2),
-         |stats AS (
-         |  SELECT doc_id, MAX(f) AS top_f,
-         |    COUNT(DISTINCT CASE WHEN word IN ($stopList) THEN word END)
-         |      AS n_stop
-         |  FROM pw GROUP BY 1),
-         |flg AS (
-         |  SELECT doc_id,
-         |    ((n_tok BETWEEN 20 AND 1000)
-         |      AND sum_len >= n_tok * 3 AND sum_len <= n_tok * 10
-         |      AND top_f * 5 <= n_tok AND n_stop >= 2) AS keep_rules
-         |  FROM base JOIN stats USING (doc_id)),
+         |$gopherFlagCtes,
          |j AS (
          |  SELECT f.keep_rules, (lm.bucket <> 'tail') AS keep_lm
          |  FROM flg f JOIN lm ON f.doc_id = lm.doc_id),

@@ -195,7 +195,17 @@ object TextOps {
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
     ngramJaccard(s, d, Int.MaxValue)
 
-  def ngramJaccard(s: SparkSession, d: String, dfCap: Int): DataFrame = {
+  def ngramJaccard(s: SparkSession, d: String, dfCap: Int): DataFrame =
+    shinglePairFrame(s, d, dfCap)
+      .select(col("doc_a"), col("doc_b"), col("inter_size"),
+        (col("n_a") + col("n_b") - col("inter_size")).as("union_size"))
+
+  /** The q31 candidate-pair frame with BOTH per-doc shingle counts kept
+    * — (doc_a, doc_b, inter_size, n_a, n_b) — so asymmetric consumers
+    * (q346 containment) share the verified chain instead of rebuilding
+    * it. q31's union_size is a projection of this frame. */
+  private[queries] def shinglePairFrame(s: SparkSession, d: String,
+      dfCap: Int): DataFrame = {
     // shingle identity is the native GramHashes modular polynomial of
     // the 3-token window (an exact text substring) — no explode of word
     // strings, no per-shingle concat, 8-byte longs through the distinct,
@@ -224,7 +234,7 @@ object TextOps {
       .join(counts.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("n_shingles", "n_b"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("inter_size"),
-        (col("n_a") + col("n_b") - col("inter_size")).as("union_size"))
+        col("n_a"), col("n_b"))
       .filter(col("inter_size") >= 2)
   }
 
