@@ -81,7 +81,8 @@ object SparkEntry {
       graft.queries.TrainPrepOps.queries ++
       graft.queries.CorpusSplitOps.queries ++
       graft.queries.EngagementOps.queries ++
-      graft.queries.TrustOps.queries
+      graft.queries.TrustOps.queries ++
+      graft.queries.EvalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -152,5 +153,6 @@ object SparkEntry {
       graft.queries.TrainPrepOps.oracle ++
       graft.queries.CorpusSplitOps.oracle ++
       graft.queries.EngagementOps.oracle ++
-      graft.queries.TrustOps.oracle
+      graft.queries.TrustOps.oracle ++
+      graft.queries.EvalOps.oracle
 }

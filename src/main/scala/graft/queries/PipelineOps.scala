@@ -76,7 +76,7 @@ object PipelineOps {
           col("train_docs")).as("contamination_frac"))
   }
 
-  private val Stopwords =
+  private[queries] val Stopwords =
     Seq("the", "of", "and", "to", "in", "is", "a", "that", "it", "on")
 
   /** q117: rule-based quality filter after the Gopher rules (Rae et
