@@ -82,7 +82,8 @@ object SparkEntry {
       graft.queries.CorpusSplitOps.queries ++
       graft.queries.EngagementOps.queries ++
       graft.queries.TrustOps.queries ++
-      graft.queries.EvalOps.queries
+      graft.queries.EvalOps.queries ++
+      graft.queries.ScaleOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -154,5 +155,6 @@ object SparkEntry {
       graft.queries.CorpusSplitOps.oracle ++
       graft.queries.EngagementOps.oracle ++
       graft.queries.TrustOps.oracle ++
-      graft.queries.EvalOps.oracle
+      graft.queries.EvalOps.oracle ++
+      graft.queries.ScaleOps.oracle
 }
