@@ -83,7 +83,8 @@ object SparkEntry {
       graft.queries.EngagementOps.queries ++
       graft.queries.TrustOps.queries ++
       graft.queries.EvalOps.queries ++
-      graft.queries.ScaleOps.queries
+      graft.queries.ScaleOps.queries ++
+      graft.queries.GraphScaleOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -156,5 +157,6 @@ object SparkEntry {
       graft.queries.EngagementOps.oracle ++
       graft.queries.TrustOps.oracle ++
       graft.queries.EvalOps.oracle ++
-      graft.queries.ScaleOps.oracle
+      graft.queries.ScaleOps.oracle ++
+      graft.queries.GraphScaleOps.oracle
 }
