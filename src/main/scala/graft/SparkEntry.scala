@@ -84,7 +84,8 @@ object SparkEntry {
       graft.queries.TrustOps.queries ++
       graft.queries.EvalOps.queries ++
       graft.queries.ScaleOps.queries ++
-      graft.queries.GraphScaleOps.queries
+      graft.queries.GraphScaleOps.queries ++
+      graft.queries.AutoCorrOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -158,5 +159,6 @@ object SparkEntry {
       graft.queries.TrustOps.oracle ++
       graft.queries.EvalOps.oracle ++
       graft.queries.ScaleOps.oracle ++
-      graft.queries.GraphScaleOps.oracle
+      graft.queries.GraphScaleOps.oracle ++
+      graft.queries.AutoCorrOps.oracle
 }
