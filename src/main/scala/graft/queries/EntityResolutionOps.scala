@@ -101,11 +101,129 @@ object EntityResolutionOps {
       .orderBy(col("entity_rep"))
   }
 
+  /** q363: Fellegi–Sunter agreement weights over the blocked candidate
+    * space — for each auxiliary field (nation, segment, |balance| gap
+    * < $100), how often it agrees among MATCHED pairs (the q251
+    * edit-distance verdict as the M-class proxy) versus UNMATCHED
+    * blocked candidates (the U class): m_ppm, u_ppm, and the
+    * likelihood ratio weight_milli = m_ppm·1000 div u_ppm. The number
+    * a linkage reviewer wants before trusting a field in a scoring
+    * rule; log-free per the q288 rule (the ratio IS the evidence
+    * weight, monotone in the FS log-weight). Degenerate classes emit
+    * NULL (guarded), never a division error. Per-name attributes are
+    * arg_min by custkey (deterministic — custkey is unique); the
+    * candidate space is the q251 prefix-16 block join, so the plan is
+    * block-bounded exactly like q251 (no BNLJ, ≤100 names per block). */
+  def fsWeights(s: SparkSession, d: String): DataFrame =
+    fsWeightsOf(s, Tables.customer(s, d))
+
+  /** q363 core over any customer-shaped frame (c_name, c_custkey,
+    * c_nationkey, c_mktsegment, c_acctbal). */
+  private[queries] def fsWeightsOf(s: SparkSession, cust: DataFrame)
+      : DataFrame = {
+    graft.functions.EditDistOps.register(s)
+    val attrs = cust
+      .groupBy(col("c_name"))
+      .agg(expr("min_by(c_nationkey, c_custkey)").as("nat"),
+        expr("min_by(c_mktsegment, c_custkey)").as("seg"),
+        expr("min_by(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100" +
+          " AS BIGINT), c_custkey)").as("bal"))
+      .select(col("c_name"), substring(col("c_name"), 1, 16).as("blk"),
+        col("nat"), col("seg"), col("bal"))
+    val cand = attrs.as("a").join(attrs.as("b"),
+        col("a.blk") === col("b.blk") && col("a.c_name") < col("b.c_name"))
+      .select(
+        expr(s"edit_dist_bounded(a.c_name, b.c_name, $EditK) <= $EditK")
+          .as("is_match"),
+        (col("a.nat") === col("b.nat")).as("f_nation"),
+        (col("a.seg") === col("b.seg")).as("f_segment"),
+        (abs(col("a.bal") - col("b.bal")) < 10000L).as("f_balance"))
+    val agg = cand.agg(
+      sum(when(col("is_match"), 1L).otherwise(0L)).as("n_m"),
+      sum(when(!col("is_match"), 1L).otherwise(0L)).as("n_u"),
+      sum(when(col("is_match") && col("f_nation"), 1L).otherwise(0L))
+        .as("ma1"),
+      sum(when(!col("is_match") && col("f_nation"), 1L).otherwise(0L))
+        .as("ua1"),
+      sum(when(col("is_match") && col("f_segment"), 1L).otherwise(0L))
+        .as("ma2"),
+      sum(when(!col("is_match") && col("f_segment"), 1L).otherwise(0L))
+        .as("ua2"),
+      sum(when(col("is_match") && col("f_balance"), 1L).otherwise(0L))
+        .as("ma3"),
+      sum(when(!col("is_match") && col("f_balance"), 1L).otherwise(0L))
+        .as("ua3"))
+    agg.select(
+        expr("stack(3, 'balance', ma3, ua3, 'nation', ma1, ua1, " +
+          "'segment', ma2, ua2)").as(Seq("feature", "m_agree", "u_agree")),
+        col("n_m"), col("n_u"))
+      .select(col("feature"), col("n_m"), col("n_u"), col("m_agree"),
+        col("u_agree"),
+        expr("CAST(CASE WHEN n_m > 0 THEN m_agree * 1000000 div n_m END" +
+          " AS BIGINT)").as("m_ppm"),
+        expr("CAST(CASE WHEN n_u > 0 THEN u_agree * 1000000 div n_u END" +
+          " AS BIGINT)").as("u_ppm"),
+        expr("CAST(CASE WHEN n_m > 0 AND n_u > 0 AND u_agree > 0 THEN" +
+          " (m_agree * 1000000 div n_m) * 1000" +
+          " div (u_agree * 1000000 div n_u) END AS BIGINT)")
+          .as("weight_milli"))
+      .orderBy(col("feature"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q251_er_pipeline" -> erPipeline,
-    "q269_golden_record" -> goldenRecord)
+    "q269_golden_record" -> goldenRecord,
+    "q363_fs_weights" -> fsWeights)
+
+  private val fsWeightsOracleSql: String =
+    s"""WITH attrs AS (
+       |  SELECT c_name, substr(c_name, 1, 16) AS blk,
+       |    arg_min(c_nationkey, c_custkey) AS nat,
+       |    arg_min(c_mktsegment, c_custkey) AS seg,
+       |    arg_min(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100
+       |      AS BIGINT), c_custkey) AS bal
+       |  FROM customer GROUP BY c_name),
+       |cand AS (
+       |  SELECT levenshtein(a.c_name, b.c_name) <= $EditK AS is_match,
+       |    a.nat = b.nat AS f_nation, a.seg = b.seg AS f_segment,
+       |    ABS(a.bal - b.bal) < 10000 AS f_balance
+       |  FROM attrs a JOIN attrs b
+       |    ON a.blk = b.blk AND a.c_name < b.c_name),
+       |agg AS (SELECT
+       |  CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_m,
+       |  CAST(SUM(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_u,
+       |  CAST(SUM(CASE WHEN is_match AND f_nation THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS ma1,
+       |  CAST(SUM(CASE WHEN NOT is_match AND f_nation THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS ua1,
+       |  CAST(SUM(CASE WHEN is_match AND f_segment THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS ma2,
+       |  CAST(SUM(CASE WHEN NOT is_match AND f_segment THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS ua2,
+       |  CAST(SUM(CASE WHEN is_match AND f_balance THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS ma3,
+       |  CAST(SUM(CASE WHEN NOT is_match AND f_balance THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS ua3
+       |  FROM cand),
+       |u AS (
+       |  SELECT 'nation' AS feature, n_m, n_u, ma1 AS m_agree,
+       |    ua1 AS u_agree FROM agg
+       |  UNION ALL SELECT 'segment', n_m, n_u, ma2, ua2 FROM agg
+       |  UNION ALL SELECT 'balance', n_m, n_u, ma3, ua3 FROM agg)
+       |SELECT feature, n_m, n_u, m_agree, u_agree,
+       |  CAST(CASE WHEN n_m > 0 THEN m_agree * 1000000 // n_m END
+       |    AS BIGINT) AS m_ppm,
+       |  CAST(CASE WHEN n_u > 0 THEN u_agree * 1000000 // n_u END
+       |    AS BIGINT) AS u_ppm,
+       |  CAST(CASE WHEN n_m > 0 AND n_u > 0 AND u_agree > 0 THEN
+       |    (m_agree * 1000000 // n_m) * 1000
+       |    // (u_agree * 1000000 // n_u) END AS BIGINT) AS weight_milli
+       |FROM u ORDER BY feature""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q363_fs_weights" -> fsWeightsOracleSql,
     "q251_er_pipeline" ->
       s"""WITH RECURSIVE names AS (
          |  SELECT DISTINCT c_name FROM customer),

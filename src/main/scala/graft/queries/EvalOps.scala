@@ -194,18 +194,15 @@ object EvalOps {
     ariOf(assign)
   }
 
-  /** q351 core over any (score_ppm, keep) frame. Decile thresholds
-    * come from the bounded score histogram (the q140 tertile device
-    * widened to 9 cut points); bucket = Σ 1[score ≥ tᵢ] — exact and
-    * tie-stable in both engines. Emits the 10 reliability rows plus a
-    * bucket = −1 TOTAL row whose gap_ppm IS the expected calibration
-    * error (Σ n_b·|acc_b − conf_b| div N over the bucket rows). */
-  private[queries] def eceOf(scored: DataFrame): DataFrame = {
-    val s = scored.sparkSession
+  /** The decile-bucketing device shared by q351/q362: per input row,
+    * (bucket 0..9, score_ppm, keep). Thresholds come from the bounded
+    * score histogram (the q140 tertile device widened to 9 cut
+    * points); bucket = Σ 1[score ≥ tᵢ] — exact and tie-stable in both
+    * engines. The unpartitioned window runs on the histogram, never
+    * the corpus (q140 precedent). */
+  private[queries] def decileBucketed(scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = scored.groupBy(col("score_ppm")).agg(count(lit(1)).as("c"))
-    // bounded frame: distinct score values; the unpartitioned window
-    // runs on the histogram, never the corpus (q140 precedent)
     val cum = hist.withColumn("cum",
       sum(col("c")).over(Window.orderBy(col("score_ppm"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -217,8 +214,80 @@ object EvalOps {
       .agg(thCols.head, thCols.tail: _*)
     val bucketExpr = (1 to 9).map(i =>
       s"(CASE WHEN score_ppm >= t$i THEN 1 ELSE 0 END)").mkString(" + ")
-    val buckets = scored.crossJoin(broadcast(th))
+    scored.crossJoin(broadcast(th))
       .withColumn("bucket", expr(s"CAST($bucketExpr AS BIGINT)"))
+      .select(col("bucket"), col("score_ppm"), col("keep"))
+  }
+
+  /** q362 core: Murphy decomposition of the Brier score over the same
+    * decile buckets as q351 — per bucket n, mean confidence, accuracy,
+    * the bucket Brier (ppm² units), and the UNDIVIDED reliability /
+    * resolution terms n·(conf−acc)² and n·(acc−ȳ)² (the q288 no-root
+    * rule: emit cross-multiplied numerators, divide only where the
+    * quotient itself is the contract). The bucket = −1 TOTAL row
+    * carries the corpus Brier (exact from raw squared sums, not from
+    * re-weighted truncated bucket briers), ΣREL, ΣRES and the
+    * uncertainty term ȳ(10⁶−ȳ) — REL−RES+UNC ≈ Brier with truncation
+    * drift only (both engines share every truncation). */
+  private[queries] def brierOf(scored: DataFrame): DataFrame = {
+    val bk = decileBucketed(scored).localCheckpoint() // buckets + ȳ
+    val yb = bk
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("ksum"),
+        count(lit(1)).as("nn"))
+      .select(expr("ksum * 1000000 div nn").as("ybar_ppm"))
+    val err = col("score_ppm") -
+      when(col("keep"), 1000000L).otherwise(0L)
+    val per = bk.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("score_ppm")).as("sum_conf"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(err * err).as("sq_sum"))
+      .crossJoin(broadcast(yb))
+      .select(col("bucket"), col("n"),
+        expr("sum_conf div n").as("conf_ppm"),
+        expr("n_keep * 1000000 div n").as("acc_ppm"),
+        col("sq_sum"), col("ybar_ppm"))
+      .withColumn("brier_ppm2", expr("sq_sum div n"))
+      .withColumn("rel_xn",
+        expr("n * (conf_ppm - acc_ppm) * (conf_ppm - acc_ppm)"))
+      .withColumn("res_xn",
+        expr("n * (acc_ppm - ybar_ppm) * (acc_ppm - ybar_ppm)"))
+      .withColumn("unc_ppm2", expr("ybar_ppm * (1000000 - ybar_ppm)"))
+      .localCheckpoint() // ≤10 rows; feeds the output AND the total
+    val total = per
+      .agg(sum(col("n")).as("tn"), sum(col("conf_ppm") * col("n")).as("sc"),
+        sum(col("acc_ppm") * col("n")).as("sa"),
+        sum(col("sq_sum")).as("sq"), sum(col("rel_xn")).as("rel"),
+        sum(col("res_xn")).as("res"), max(col("unc_ppm2")).as("unc"))
+      .select(lit(-1L).as("bucket"), col("tn").as("n"),
+        expr("sc div tn").as("conf_ppm"), expr("sa div tn").as("acc_ppm"),
+        expr("sq div tn").as("brier_ppm2"), col("rel").as("rel_xn"),
+        col("res").as("res_xn"), col("unc").as("unc_ppm2"))
+    per.select(col("bucket"), col("n"), col("conf_ppm"), col("acc_ppm"),
+        col("brier_ppm2"), col("rel_xn"), col("res_xn"), col("unc_ppm2"))
+      .unionAll(total)
+      .orderBy(col("bucket"))
+  }
+
+  /** q362: Brier decomposition of the q140 LM score against the q117
+    * Gopher verdict — the scoring-rule companion of q351's ECE. */
+  def brierDecomposition(s: SparkSession, d: String): DataFrame = {
+    val rules = PipelineOps.gopherFlags(s, d).select(col("doc_id"),
+      (col("ok_count") && col("ok_word_len") && col("ok_repetition") &&
+        col("ok_stopwords")).as("keep"))
+    val lm = LmOps.lmPerplexityBuckets(s, d)
+      .select(col("doc_id"), col("score_ppm"))
+    brierOf(lm.join(rules, "doc_id").select(col("score_ppm"), col("keep")))
+  }
+
+  /** q351 core over any (score_ppm, keep) frame. Decile thresholds
+    * come from the bounded score histogram (the q140 tertile device
+    * widened to 9 cut points); bucket = Σ 1[score ≥ tᵢ] — exact and
+    * tie-stable in both engines. Emits the 10 reliability rows plus a
+    * bucket = −1 TOTAL row whose gap_ppm IS the expected calibration
+    * error (Σ n_b·|acc_b − conf_b| div N over the bucket rows). */
+  private[queries] def eceOf(scored: DataFrame): DataFrame = {
+    val buckets = decileBucketed(scored)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), sum(col("score_ppm")).as("sum_conf"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
@@ -255,7 +324,8 @@ object EvalOps {
     "q348_kcenter_coreset" -> kcenterCoreset,
     "q349_rake_keywords" -> rakeKeywords,
     "q350_ari_clustering" -> ariClustering,
-    "q351_ece_calibration" -> eceCalibration)
+    "q351_ece_calibration" -> eceCalibration,
+    "q362_brier_decomposition" -> brierDecomposition)
 
   // ---- DuckDB oracle twins ----
 
@@ -394,6 +464,70 @@ object EvalOps {
          |    CAST(SUM(acc_ppm * n) // SUM(n) AS BIGINT),
          |    CAST(SUM(gap_ppm * n) // SUM(n) AS BIGINT)
          |  FROM br2)
+         |ORDER BY bucket""".stripMargin
+    },
+    "q362_brier_decomposition" -> {
+      // same decile chain as q351, FRESH CTE names again (qh/qcm/qth —
+      // lmDocCte owns h/cm/th, q351 owns eh/ecm/dth)
+      val bucketSql = (1 to 9).map(i =>
+        s"(CASE WHEN score_ppm >= t$i THEN 1 ELSE 0 END)").mkString(" + ")
+      val thSql = (1 to 9).map(i =>
+        s"MIN(CASE WHEN cum >= ($i * n) // 10 THEN score_ppm END) AS t$i")
+        .mkString(",\n         |    ")
+      s"""${LmOps.lmDocCte},
+         |${PipelineOps.gopherFlagCtes},
+         |scored AS (
+         |  SELECT lm.score_ppm, f.keep_rules AS keep
+         |  FROM lm JOIN flg f ON lm.doc_id = f.doc_id),
+         |qh AS (SELECT score_ppm, COUNT(*) AS c FROM scored GROUP BY 1),
+         |qcm AS (
+         |  SELECT score_ppm,
+         |    SUM(c) OVER (ORDER BY score_ppm ROWS UNBOUNDED PRECEDING)
+         |      AS cum
+         |  FROM qh),
+         |qn AS (SELECT COUNT(*) AS n FROM scored),
+         |qth AS (
+         |  SELECT $thSql
+         |  FROM qcm, qn),
+         |qbk AS (
+         |  SELECT CAST($bucketSql AS BIGINT) AS bucket, score_ppm, keep
+         |  FROM scored, qth),
+         |qyb AS (
+         |  SELECT CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000
+         |    // COUNT(*) AS BIGINT) AS ybar_ppm
+         |  FROM qbk),
+         |qpb AS (
+         |  SELECT bucket, COUNT(*) AS n,
+         |    CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS conf_ppm,
+         |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000
+         |      // COUNT(*) AS BIGINT) AS acc_ppm,
+         |    CAST(SUM(
+         |      (score_ppm - CASE WHEN keep THEN 1000000 ELSE 0 END)
+         |      * (score_ppm - CASE WHEN keep THEN 1000000 ELSE 0 END))
+         |      AS BIGINT) AS sq_sum
+         |  FROM qbk GROUP BY 1),
+         |qpb2 AS (
+         |  SELECT bucket, n, conf_ppm, acc_ppm,
+         |    CAST(sq_sum // n AS BIGINT) AS brier_ppm2,
+         |    CAST(n * (conf_ppm - acc_ppm) * (conf_ppm - acc_ppm)
+         |      AS BIGINT) AS rel_xn,
+         |    CAST(n * (acc_ppm - ybar_ppm) * (acc_ppm - ybar_ppm)
+         |      AS BIGINT) AS res_xn,
+         |    CAST(ybar_ppm * (1000000 - ybar_ppm) AS BIGINT) AS unc_ppm2,
+         |    sq_sum
+         |  FROM qpb CROSS JOIN qyb)
+         |SELECT * FROM (
+         |  SELECT bucket, n, conf_ppm, acc_ppm, brier_ppm2, rel_xn,
+         |    res_xn, unc_ppm2
+         |  FROM qpb2
+         |  UNION ALL
+         |  SELECT -1, CAST(SUM(n) AS BIGINT),
+         |    CAST(SUM(conf_ppm * n) // SUM(n) AS BIGINT),
+         |    CAST(SUM(acc_ppm * n) // SUM(n) AS BIGINT),
+         |    CAST(SUM(sq_sum) // SUM(n) AS BIGINT),
+         |    CAST(SUM(rel_xn) AS BIGINT), CAST(SUM(res_xn) AS BIGINT),
+         |    CAST(MAX(unc_ppm2) AS BIGINT)
+         |  FROM qpb2)
          |ORDER BY bucket""".stripMargin
     },
     "q350_ari_clustering" ->

@@ -112,4 +112,27 @@ class EntityResolutionOpsSpec extends AnyFunSuite {
     // a0011 bridge joins them:
     assert(lev(s"${blk}a0000", s"${blk}a1111") > 2)
   }
+
+  test("q363 fixture: FS weights on a 3-name block, NULL guards") {
+    import spark.implicits._
+    val blk = "BLOCKAAAAAAAAAA_" // 16 chars — one block
+    // A~B match (dist 1); C non-match to both (dist > 2).
+    // nation: A=B=1, C=2 → m agrees 1/1, u agrees 0/2 → weight NULL.
+    // segment: A=s1, B=s2, C=s1 → m 0/1 (m_ppm 0), u 1/2 → weight 0.
+    // balance: A=100, B=150 (gap $50 < $100 agrees), C=500 → u 0/2.
+    val cust = Seq(
+      (s"${blk}x1", 1L, 1L, "s1", 100.0),
+      (s"${blk}x2", 2L, 1L, "s2", 150.0),
+      (s"${blk}zzzzz", 3L, 2L, "s1", 500.0))
+      .toDF("c_name", "c_custkey", "c_nationkey", "c_mktsegment",
+        "c_acctbal")
+    val got = EntityResolutionOps.fsWeightsOf(spark, cust).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(7)) None else Some(r.getLong(7))))
+    assert(got.toSeq === Seq(
+      ("balance", 1L, 2L, 1L, 0L, None),
+      ("nation", 1L, 2L, 1L, 0L, None),
+      ("segment", 1L, 2L, 0L, 1L, Some(0L))))
+  }
 }

@@ -71,4 +71,31 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(("red apple pie", 3L, 1L, 8000L),
       ("red apple", 2L, 1L, 5000L)))
   }
+
+  test("q362 fixture: perfect predictor — Brier 0, REL 0, RES = UNC·N") {
+    // scores {0,0,1e6,1e6} matching keep exactly: ȳ = 500000,
+    // UNC = 25e10; two buckets each n=2 with res_xn = 2·(5e5)² = 5e11;
+    // total: brier 0, rel 0, res 1e12 → REL/N − RES/N + UNC = Brier ✓
+    val scored = Seq((0L, false), (0L, false),
+      (1000000L, true), (1000000L, true)).toDF("score_ppm", "keep")
+    val rows = EvalOps.brierOf(scored).collect()
+    val total = rows.find(_.getLong(0) == -1L).get
+    assert((total.getLong(1), total.getLong(4), total.getLong(5),
+      total.getLong(6), total.getLong(7)) ===
+      ((4L, 0L, 0L, 1000000000000L, 250000000000L)))
+    val perBucket = rows.filter(_.getLong(0) >= 0)
+    assert(perBucket.length === 2)
+    assert(perBucket.forall(r => r.getLong(4) == 0L && r.getLong(5) == 0L
+      && r.getLong(6) == 500000000000L))
+  }
+
+  test("q362 fixture: anti-predictor — Brier 1e12, REL dominates") {
+    val scored = Seq((0L, true), (0L, true),
+      (1000000L, false), (1000000L, false)).toDF("score_ppm", "keep")
+    val total = EvalOps.brierOf(scored).collect()
+      .find(_.getLong(0) == -1L).get
+    // every row errs by 1e6 → brier 1e12; per bucket rel = 2·(1e6)²
+    assert(total.getLong(4) === 1000000000000L)
+    assert(total.getLong(5) === 4000000000000L, "ΣREL = 2·2e12")
+  }
 }
