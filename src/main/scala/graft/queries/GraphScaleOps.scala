@@ -62,7 +62,7 @@ object GraphScaleOps {
     * list: per-node degree, triangle count via the degree-ordered
     * orientation, integer clustering coefficient. Output contract
     * identical to q174. */
-  private[queries] def triangleCensusOf(pairs: DataFrame): DataFrame = {
+  private[graft] def triangleCensusOf(pairs: DataFrame): DataFrame = {
     val p = pairs.localCheckpoint() // deg + orientation reuse it
     val deg = p
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))

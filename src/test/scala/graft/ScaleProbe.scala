@@ -193,7 +193,58 @@ object ScaleProbe {
     }
   }
 
+  /** `triangle` mode: naive (q174) vs degree-ordered (q357) triangle
+    * census on a deliberately hub-skewed graph — a mid-id hub wired to
+    * every node (so the naive a<b<c wedge join fans out
+    * lower·higher ≈ N²∕4 rows AT the hub) plus a double ring planting
+    * ~3N real triangles. The ordered orientation points every spoke
+    * edge INTO the hub (max degree ⇒ max rank), so the hub opens ZERO
+    * wedges — the exact skew case q174's scaladoc deferred to q357. */
+  def triangleProbe(spark: SparkSession, ns: Seq[Int]): Unit = {
+    import org.apache.spark.sql.functions._
+    ns.foreach { n =>
+      val hub = n / 2
+      val star = spark.range(n).filter(col("id") =!= hub)
+        .select(least(col("id"), lit(hub.toLong)).as("doc_a"),
+          greatest(col("id"), lit(hub.toLong)).as("doc_b"))
+      val ring1 = spark.range(n - 1)
+        .filter(col("id") =!= hub && col("id") + 1 =!= hub)
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      val ring2 = spark.range(n - 2)
+        .filter(col("id") =!= hub && col("id") + 2 =!= hub)
+        .select(col("id").as("doc_a"), (col("id") + 2).as("doc_b"))
+      val pairs = star.unionAll(ring1).unionAll(ring2)
+        .distinct().localCheckpoint()
+      var t0 = System.nanoTime()
+      // the q174 naive formulation, inlined on the same pair frame
+      val naive = pairs.as("e1")
+        .join(pairs.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+        .join(pairs.as("e3"), col("e3.doc_a") === col("e1.doc_a") &&
+          col("e3.doc_b") === col("e2.doc_b"))
+        .count()
+      println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  naive census " +
+        f"(n=$n, hub degree=${n - 1}, triangles=$naive)")
+      t0 = System.nanoTime()
+      val ordered = graft.queries.GraphScaleOps.triangleCensusOf(pairs)
+        .agg(sum(col("triangles"))).first().getLong(0)
+      println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  ordered census " +
+        f"(n=$n, sum per-node=$ordered = 3x${ordered / 3})")
+      require(ordered == 3 * naive,
+        s"census mismatch: naive=$naive ordered-sum=$ordered")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("triangle")) {
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      triangleProbe(spark, if (args.length > 1)
+        args.drop(1).toSeq.map(_.toInt) else Seq(6000, 20000))
+      spark.stop(); return
+    }
     if (args.headOption.contains("cumsum")) {
       val spark = SparkSession.builder().master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
