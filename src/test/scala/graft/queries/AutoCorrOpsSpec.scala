@@ -56,4 +56,36 @@ class AutoCorrOpsSpec extends AnyFunSuite {
     assert(got(2L)._1 === got.values.map(_._1).max,
       "argmax lag recovers the true shift")
   }
+
+  test("q360 property: ACF ≡ driver reference; acf(0)=1000; |acf|≤1000") {
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val nDays = 5 + rnd.nextInt(8)
+      val counts = (1 to nDays).map(i =>
+        f"2021-03-$i%02d" -> (1 + rnd.nextInt(5)))
+      // skip the measure-zero all-equal case (den = 0)
+      if (counts.map(_._2).distinct.size > 1) {
+        val got = AutoCorrOps
+          .acfOf(AutoCorrOps.centeredDaily(dayFrame(counts), col("ts")), 3)
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+            r.getLong(4)))).toMap
+        // driver-side reference: same integer algebra on day index
+        val xs = counts.map(_._2.toLong)
+        val n = xs.length.toLong
+        val s = xs.sum
+        val ys = xs.map(x => n * x - s)
+        val den = ys.map(y => y * y).sum
+        for (k <- 0 to 3) {
+          val num = (0 until (xs.length - k))
+            .map(t => ys(t) * ys(t + k)).sum
+          val milli = BigInt(num) * 1000 / den // both non-neg den
+          assert(got(k.toLong) === ((num, den, milli.toLong)),
+            s"seed=$seed k=$k")
+          assert(math.abs(got(k.toLong)._3) <= 1000L, "Cauchy-Schwarz")
+        }
+        assert(got(0L)._3 === 1000L)
+      }
+    }
+  }
 }

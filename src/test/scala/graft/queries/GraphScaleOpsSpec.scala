@@ -80,4 +80,64 @@ class GraphScaleOpsSpec extends AnyFunSuite {
       Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
     assert(rows.forall(r => r.getLong(2) == 4L && r.getLong(3) == 1L))
   }
+
+  test("q357 property: ordered ≡ brute-force census, 12 seeded graphs") {
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(seed)
+      val n = 10 + seed
+      val es = for {
+        a <- 0 until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.25
+      } yield (a.toLong, b.toLong)
+      if (es.nonEmpty) {
+        val got = GraphScaleOps.triangleCensusOf(es.toDF("doc_a", "doc_b"))
+          .collect()
+          .map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+        val nbrs = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        assert(got.keySet === nbrs.keySet, s"seed=$seed node set")
+        for ((v, ns) <- nbrs) {
+          val tri = ns.toSeq.combinations(2)
+            .count { case Seq(x, y) => nbrs(x)(y) }
+          val deg = ns.size.toLong
+          val cc = if (deg >= 2) 2L * tri * 1000000L / (deg * (deg - 1))
+            else 0L
+          assert(got(v) === ((deg, tri.toLong, cc)), s"seed=$seed node=$v")
+        }
+      }
+    }
+  }
+
+  test("q359 property: SSSP ≡ the driver-side recurrence, 5 graphs") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(100 + seed)
+      val n = 12
+      val und = for {
+        a <- 0 until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.3
+      } yield (a.toLong, b.toLong, (rnd.nextInt(20) + 1).toLong)
+      if (und.nonEmpty) {
+        val dirs = und ++ und.map(e => (e._2, e._1, e._3))
+        val src = und.flatMap(e => Seq(e._1, e._2)).min
+        val rows = GraphScaleOps.ssspOf(dirs.toDF("u", "v", "w"), src)
+          .collect()
+        // the identical recurrence, driver-side, same budget
+        val adj = dirs.groupBy(_._1).view
+          .mapValues(_.map(t => (t._2, t._3))).toMap
+        var d = Map(src -> 0L); var stable = false; var r = 0
+        while (!stable && r < GraphScaleOps.SsspRounds) {
+          val relaxed = d.toSeq ++ d.toSeq.flatMap { case (u, du) =>
+            adj.getOrElse(u, Nil).map { case (v, w) => v -> (du + w) } }
+          val next = relaxed.groupBy(_._1).view
+            .mapValues(_.map(_._2).min).toMap
+          stable = next == d; d = next; r += 1
+        }
+        assert(rows.map(x => x.getLong(0) -> x.getLong(1)).toMap === d,
+          s"seed=$seed distances")
+        assert(rows.forall(x => x.getLong(2) == r.toLong &&
+          x.getLong(3) == (if (stable) 1L else 0L)), s"seed=$seed budget")
+      }
+    }
+  }
 }

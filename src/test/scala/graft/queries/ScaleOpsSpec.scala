@@ -49,6 +49,27 @@ class ScaleOpsSpec extends AnyFunSuite {
       === ((2L, 22L, 11L, 1L)))
   }
 
+  test("q352 property: audit ≡ driver reference on 10 seeded multisets") {
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(seed)
+      val xs = Seq.fill(20 + rnd.nextInt(60))(
+        ('a' + rnd.nextInt(2 + seed)).toChar.toString)
+      val r = ScaleOps.keyAuditOf(xs.toDF("k0"), "k0", "p").collect().head
+      val counts = xs.groupBy(identity).view.mapValues(_.size.toLong)
+      val n = xs.size.toLong
+      val keys = counts.size.toLong
+      val mx = counts.values.max
+      val ss = counts.values.map(c => c * c).sum
+      val heavy = counts.values.count(c => c * keys > 2 * n).toLong
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)) ===
+        ((n, keys, mx, mx * 1000000L / n, mx * keys * 1000L / n,
+          n * n / ss, heavy)), s"seed=$seed")
+      assert(r.getLong(6) >= 1L && r.getLong(6) <= keys,
+        "1 ≤ eff_keys ≤ n_keys")
+    }
+  }
+
   test("q356 fixture: ceil-division fan-out at target 32") {
     val f = (Seq.fill(96)(7L) ++ Seq.fill(33)(8L) ++ Seq(9L))
       .toDF("k0")
