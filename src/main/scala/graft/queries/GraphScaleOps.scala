@@ -153,7 +153,7 @@ object GraphScaleOps {
     * list (u, v, w) — callers pass both orientations for undirected
     * graphs. Early-stops on the (count, sum) fixpoint witness within
     * [[SsspRounds]]; rows carry rounds_used/converged (q340 contract). */
-  private[queries] def ssspOf(edges: DataFrame, src: Long): DataFrame = {
+  private[graft] def ssspOf(edges: DataFrame, src: Long): DataFrame = {
     val e = edges.localCheckpoint()
     var dist = e.sparkSession.range(1)
       .select(lit(src).as("part_id"), lit(0L).as("dist"))
@@ -182,7 +182,10 @@ object GraphScaleOps {
   }
 
   /** q359: SSSP over the co-purchase graph (q340's edge derivation),
-    * weight = 1000 div support, source = minimum part id. */
+    * weight = 1000 div support, source = the maximum-degree node
+    * (ties to the smallest id) — deterministic, and lands in the
+    * giant component so the frontier actually expands (the min-id
+    * source sat in a 2-node component at sf0.1). */
   def ssspWeighted(s: SparkSession, d: String): DataFrame = {
     val lp = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -197,7 +200,9 @@ object GraphScaleOps {
         struct(col("v").as("u"), col("u").as("v"), col("w")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.w").as("w"))
       .localCheckpoint()
-    val src = edges.agg(min(col("u"))).first().getLong(0)
+    val src = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("u")).limit(1)
+      .first().getLong(0)
     ssspOf(edges, src)
   }
 
@@ -228,7 +233,9 @@ object GraphScaleOps {
        |  GROUP BY x.pk, y.pk HAVING COUNT(*) >= 2),
        |edges AS MATERIALIZED (
        |  SELECT u, v, w FROM ew UNION ALL SELECT v, u, w FROM ew),
-       |src AS (SELECT MIN(u) AS sid FROM edges),
+       |src AS (
+       |  SELECT u AS sid FROM edges GROUP BY u
+       |  ORDER BY COUNT(*) DESC, u LIMIT 1),
        |d0 AS MATERIALIZED (SELECT sid AS part_id, 0 AS dist FROM src),
        |$rounds,
        |cnt AS MATERIALIZED (

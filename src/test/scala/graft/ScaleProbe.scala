@@ -234,7 +234,44 @@ object ScaleProbe {
     }
   }
 
+  /** `sssp` mode: q359's Bellman-Ford loop on synthetic W×W grid
+    * graphs (deterministic weights 1..9) far past the co-purchase
+    * graph's size — the budget fixes the round count at 10, so the
+    * probe isolates the per-round frontier-join cost as edges grow. */
+  def ssspProbe(spark: SparkSession, ns: Seq[Int]): Unit = {
+    import org.apache.spark.sql.functions._
+    ns.foreach { n =>
+      val w = math.sqrt(n.toDouble).toInt
+      val right = spark.range(w.toLong * w)
+        .filter(col("id") % w =!= (w - 1))
+        .select(col("id").as("u"), (col("id") + 1).as("v"),
+          (col("id") % 9 + 1).as("wt"))
+      val down = spark.range(w.toLong * (w - 1))
+        .select(col("id").as("u"), (col("id") + w).as("v"),
+          (col("id") % 7 + 1).as("wt"))
+      val und = right.unionAll(down)
+      val edges = und.select(col("u"), col("v"), col("wt").as("w"))
+        .unionAll(und.select(col("v").as("u"), col("u").as("v"),
+          col("wt").as("w")))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val rows = graft.queries.GraphScaleOps.ssspOf(edges, 0L).count()
+      println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  sssp 10 rounds " +
+        f"(grid ${w}x$w, edges=${2L * (2 * w * (w - 1))}, reached=$rows)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("sssp")) {
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      ssspProbe(spark, if (args.length > 1)
+        args.drop(1).toSeq.map(_.toInt) else Seq(250000, 1000000, 4000000))
+      spark.stop(); return
+    }
     if (args.headOption.contains("triangle")) {
       val spark = SparkSession.builder().master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
