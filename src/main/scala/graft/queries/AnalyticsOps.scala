@@ -341,7 +341,65 @@ object AnalyticsOps {
       .orderBy(col("limit_s"))
   }
 
+  /** q364: CUPED variance-reduced A/B readout (Deng et al., WSDM'13)
+    * over q188's deterministic LCG arms — per arm, the raw and the
+    * covariate-adjusted post-period activity mean, where the
+    * covariate X is each user's PRE-period event count (first 15
+    * days) and Y the post-period count. θ = Cov(X,Y)/Var(X) is
+    * pooled; everything is carried as the n-scaled integer moments
+    * cov_xn = n·Σxy − Σx·Σy and var_xn = n·Σxx − (Σx)² (the q288
+    * no-root rule), and the adjusted mean
+    * ȳ_a − θ·(x̄_a − x̄) is emitted in exact milli via ONE common
+    * denominator n_a·var_xn·n — a DECIMAL(38,0) product chain and
+    * one integral division (the q188 χ² device; DuckDB side in
+    * HUGEINT, whose `//` truncates toward zero like Spark's div —
+    * re-pinned this round on negatives). var_xn = 0 (constant
+    * covariate) guards to NULL.
+    *
+    * Scale: one scan → per-user aggregate (shuffles once on
+    * user_id); the global-moments frame is 1 row, broadcast into the
+    * 2-row per-arm readout. */
+  def cupedAb(s: SparkSession, d: String): DataFrame = {
+    val arm =
+      expr("((user_id % 2147483647) * 1103515245 + 12345) % 2147483647 % 2")
+    val ev = Tables.events(s, d).select(col("user_id"),
+      to_date(date_trunc("DAY", col("ts"))).as("day"))
+    val mid = ev.agg(min(col("day")).as("d0"))
+      .select(expr("date_add(d0, 15)").as("mid"))
+    val per = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("day") < col("mid"), 1L).otherwise(0L)).as("x"),
+        sum(when(col("day") >= col("mid"), 1L).otherwise(0L)).as("y"))
+      .select(arm.as("arm"), col("x"), col("y"))
+    cupedOf(per)
+  }
+
+  /** q364 core over any (arm, x, y) per-user frame. */
+  private[queries] def cupedOf(perIn: DataFrame): DataFrame = {
+    val per = perIn.localCheckpoint() // global moments + per-arm pass
+    val g = per.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n"), col("sx"),
+        expr("n * sxy - sx * sy").as("cov_xn"),
+        expr("n * sxx - sx * sx").as("var_xn"))
+    per.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_a"), sum(col("x")).as("sx_a"),
+        sum(col("y")).as("sy_a"))
+      .crossJoin(broadcast(g))
+      .select(col("arm"), col("n_a"), col("sx_a"), col("sy_a"),
+        col("n"), col("cov_xn"), col("var_xn"),
+        expr("sy_a * 1000 div n_a").as("raw_mean_milli"),
+        expr("CASE WHEN var_xn > 0 THEN CAST(" +
+          "(1000 * (CAST(sy_a AS DECIMAL(38,0)) * var_xn * n" +
+          " - CAST(cov_xn AS DECIMAL(38,0)) * (sx_a * n - sx * n_a)))" +
+          " div (CAST(n_a AS DECIMAL(38,0)) * var_xn * n) AS BIGINT)" +
+          " END").as("adj_mean_milli"))
+      .orderBy(col("arm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q364_cuped_ab" -> cupedAb,
     "q229_funnel_sweep" -> funnelSweep,
     "q185_event_paths" -> eventPaths,
     "q193_snm_dedup" -> snmDedup,
@@ -402,6 +460,42 @@ object AnalyticsOps {
        |SELECT word, exact_n, MIN(n_items) AS cms_est
        |FROM probes JOIN cl USING (r, c)
        |GROUP BY word, exact_n""".stripMargin,
+    "q364_cuped_ab" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |mid AS (SELECT MIN(day) + 15 AS mid FROM ev),
+        |per0 AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN day < mid THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS x,
+        |    CAST(SUM(CASE WHEN day >= mid THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS y
+        |  FROM ev CROSS JOIN mid GROUP BY user_id),
+        |per AS (
+        |  SELECT ((user_id % 2147483647) * 1103515245 + 12345)
+        |    % 2147483647 % 2 AS arm, x, y FROM per0),
+        |g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT)
+        |      AS cov_xn,
+        |    CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT)
+        |      AS var_xn
+        |  FROM per),
+        |a AS (
+        |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_a,
+        |    CAST(SUM(x) AS BIGINT) AS sx_a,
+        |    CAST(SUM(y) AS BIGINT) AS sy_a
+        |  FROM per GROUP BY arm)
+        |SELECT arm, n_a, sx_a, sy_a, n, cov_xn, var_xn,
+        |  sy_a * 1000 // n_a AS raw_mean_milli,
+        |  CASE WHEN var_xn > 0 THEN CAST(
+        |    (1000 * (CAST(sy_a AS HUGEINT) * var_xn * n
+        |      - CAST(cov_xn AS HUGEINT) * (sx_a * n - sx * n_a)))
+        |    // (CAST(n_a AS HUGEINT) * var_xn * n) AS BIGINT)
+        |  END AS adj_mean_milli
+        |FROM a CROSS JOIN g ORDER BY arm""".stripMargin,
     "q188_ab_test" ->
       """WITH u AS (
         |  SELECT user_id,

@@ -207,4 +207,24 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
     assert(conv(60L) <= conv(600L) && conv(600L) <= conv(3600L))
   }
+
+  test("q364 fixture: CUPED adjustment hand-solved (θ = 3.2)") {
+    import spark.implicits._
+    // (arm, x, y): n=4, Σx=10, cov_xn=64, var_xn=20, θ=3.2, x̄=2.5;
+    // arm0 ȳ=12 x̄=2 → 12+3.2·0.5 = 13.6; arm1 ȳ=16 x̄=3 → 16−1.6=14.4
+    val per = Seq((0L, 1L, 10L), (0L, 3L, 14L), (1L, 2L, 12L),
+      (1L, 4L, 20L)).toDF("arm", "x", "y")
+    val got = AnalyticsOps.cupedOf(per).collect()
+      .map(r => (r.getLong(0), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8)))
+    assert(got.toSeq === Seq((0L, 64L, 20L, 12000L, 13600L),
+      (1L, 64L, 20L, 16000L, 14400L)))
+  }
+
+  test("q364 fixture: constant covariate → adjusted mean NULL") {
+    import spark.implicits._
+    val per = Seq((0L, 2L, 10L), (1L, 2L, 14L)).toDF("arm", "x", "y")
+    val rows = AnalyticsOps.cupedOf(per).collect()
+    assert(rows.forall(_.isNullAt(8)), "var_xn = 0 guards to NULL")
+  }
 }
