@@ -14,13 +14,20 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_PROFILE=production layers the GraftSession production
+    // conf block (4096 shuffle partitions + AQE coalesce/skew + RocksDB)
+    // over the local master — the partition-count-invariance run, for
+    // TIME, not just correctness (VERDICT r9 #5).
+    val prod = sys.env.get("SPARK_GRAFT_PROFILE").contains("production")
+    val builder0 = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark =
+      (if (prod) GraftSession.withProductionConfs(builder0) else builder0)
+        .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen, shuffle machinery, parquet footers) so
     // per-query numbers reflect steady state, not first-query JIT.
@@ -103,15 +110,35 @@ object Bench {
     if (contended) System.err.println(
       f"[bench] CANARY DRIFT $drift%.2f — series ran CONTENDED; do not " +
         "compare it round-over-round (re-run on an idle machine)")
-    // "total_sec" is repeated as the LAST key: the driver's log capture
-    // keeps the tail of long lines, so the headline number must survive
-    // front-truncation (BENCH_r04's "value" was cut off exactly that way)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
+    // The headline scalars appear TWICE: once at the front (for anyone
+    // reading the line head-first) and again as the LAST keys AFTER the
+    // big "queries" map — the driver's log capture keeps only the tail
+    // of long lines (BENCH_r04 lost "value" that way; BENCH_r01–r09 lost
+    // the canary verdict that way, VERDICT r9 #1), so everything a judge
+    // needs to trust the series must survive front-truncation:
+    // failed_n, canary_drift, canary_contended, total_sec.
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
+      s""""profile":"${if (prod) "production" else "default"}",""" +
       s""""failed":$failedJson,"sf":"$sfDir",""" +
       f""""canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f,""" +
       f""""canary_drift":$drift%.3f,"canary_contended":$contended,""" +
       s""""spread":${jmap(spread)},""" +
-      s""""queries":${jmap(med)},"total_sec":$total}""")
+      s""""queries":${jmap(med)},""" +
+      s""""failed_n":${failed.size},""" +
+      f""""canary_drift":$drift%.3f,"canary_contended":$contended,""" +
+      s""""total_sec":$total}"""
+    println(line)
+    // Full-JSON artifact, independent of any log truncation: the
+    // complete line lands in a committable file so per-query history and
+    // the canary verdict reach the judge even when the driver keeps only
+    // the stdout tail. SPARK_GRAFT_BENCH_OUT overrides the path.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

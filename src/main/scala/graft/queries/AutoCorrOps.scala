@@ -36,6 +36,13 @@ import org.apache.spark.sql.functions._
   * totals frame — the lag join never touches raw events. No windows,
   * no driver loops.
   *
+  * Int64 headroom (ADVICE r9): the OUTERMOST products already ride
+  * DECIMAL(38,0) (rho2_ppm), but the inner n-scaled centering keeps
+  * y = n·x − S and Σy·y in int64: with n = |days| and x a per-day
+  * count, Σy² ≈ n³·x̄², exact for n³x̄² < 2⁶³ — e.g. 10 years of days
+  * (n ≈ 3650) with up to ~4·10⁵ events/day. Past that, widen the y
+  * products to DECIMAL(38,0) like the numerator already is.
+  *
   * Ref: the reference's per-window traffic series
   * (DwsTrafficVcChArIsNewPageViewWindow.java:40-120) stop at windowed
   * sums; lag-domain structure is part of the extension surface.

@@ -42,6 +42,13 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType, IntegerTyp
   * TakeOrdered. q350's contingency is |clusters|·|labels| rows at any
   * corpus size; the assignment join broadcasts K seed vectors.
   *
+  * Int64 headroom (ADVICE r9): q350's widest product is
+  * i_pairs·C(n,2) ≈ n⁴/4, so ARI exactness holds for n ≲ 6·10⁴ rows
+  * per evaluation scope before int64 wraps (Spark longs wrap silently
+  * under non-ANSI). Clustering evaluation is a SAMPLE-scale activity
+  * by design — evaluate on a bounded labeled sample, or route the
+  * pair products through DECIMAL(38,0) as q361/q364 do.
+  *
   * Ref: evaluation/selection extensions beyond the reference surface
   * (training-pipeline mandate), composing the q333 quantization, q340
   * unroll-oracle and q345 counting-algebra devices.
@@ -71,9 +78,20 @@ object EvalOps {
     * centers — the corpus coverage radius after round−1 centers. */
   private[queries] def kcenterOf(qv0: DataFrame, k: Int): DataFrame = {
     val s = qv0.sparkSession
+    val traceSchema = StructType(Seq(
+      StructField("round", LongType, false),
+      StructField("vec_id", LongType, false),
+      StructField("coverage_d2", LongType, false),
+      StructField("label", IntegerType, false)))
     val qv = qv0.localCheckpoint() // scanned k times below
-    val seed = qv.orderBy(col("vec_id")).limit(1)
-      .select(col("vec_id"), col("label"), col("q")).collect()(0)
+    // headOption, not (0): an empty embeddings table has no seed — the
+    // greedy trace is the empty frame, not an ArrayIndexOutOfBounds
+    // from the internal single-row read.
+    val seedOpt = qv.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("label"), col("q")).collect().headOption
+    if (seedOpt.isEmpty)
+      return s.createDataFrame(s.sparkContext.emptyRDD[Row], traceSchema)
+    val seed = seedOpt.get
     // driver-side single-row argmax per round — the justified
     // driver-side class (k-means centroids precedent): K rows total
     var picks = List((1L, seed.getLong(0), 0L, seed.getInt(1)))
@@ -89,14 +107,10 @@ object EvalOps {
         state = state.withColumn("mind",
           least(col("mind"), d2To(center))).localCheckpoint()
     }
-    val schema = StructType(Seq(StructField("round", LongType, false),
-      StructField("vec_id", LongType, false),
-      StructField("coverage_d2", LongType, false),
-      StructField("label", IntegerType, false)))
     s.createDataFrame(
       s.sparkContext.parallelize(
         picks.reverse.map(p => Row(p._1, p._2, p._3, p._4)), 1),
-      schema).orderBy(col("round"))
+      traceSchema).orderBy(col("round"))
   }
 
   /** q348: K-center greedy coreset of the embedding corpus. */

@@ -200,10 +200,18 @@ object GraphScaleOps {
         struct(col("v").as("u"), col("u").as("v"), col("w")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.w").as("w"))
       .localCheckpoint()
-    val src = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    // headOption, not first(): a degenerate corpus (no co-purchase pair
+    // with support >= 2) leaves the edge set empty — return the empty
+    // result with the operator's schema instead of throwing
+    // NoSuchElementException from an internal single-row read.
+    edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("u")).limit(1)
-      .first().getLong(0)
-    ssspOf(edges, src)
+      .collect().headOption match {
+      case Some(r) => ssspOf(edges, r.getLong(0))
+      case None => s.range(0).select(col("id").as("part_id"),
+        col("id").as("dist"), col("id").as("rounds_used"),
+        col("id").as("converged"))
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -44,12 +44,23 @@ import org.apache.spark.sql.functions._
   * engines).
   *
   * Scale (100 TB): q352/q355 are single-scan hash aggregates over the
-  * per-key count frame (the heavy-key census re-derives that frame a
-  * second time rather than checkpointing a potentially billions-row
-  * key frame — one extra fact scan, zero driver state); q353 is one
-  * scan with a 3× Expand; q354 is one scan per dimension; q356's only
-  * ordering is TakeOrdered(10) per source. No global sorts, no
-  * windows, no driver loops anywhere in the pack.
+  * per-key count frame. The heavy-key census re-DERIVES that frame
+  * logically (a `def`, no checkpoint of a potentially billions-row
+  * key frame) and Catalyst's ReuseExchange rule deduplicates the
+  * identical subplans physically: the executed q352 plan carries ONE
+  * `Scan parquet` per audited (table, key) with the census and totals
+  * passes riding ReusedExchange nodes (verified via graft.Explain,
+  * round 10 — this resolves the r9 doc conflict in favor of
+  * COVERAGE.md's reading; zero extra fact scans, zero driver state).
+  * q353 is one scan with a 3× Expand; q354 is one scan per dimension;
+  * q356's only ordering is TakeOrdered(10) per source. No global
+  * sorts, no windows, no driver loops anywhere in the pack.
+  *
+  * Int64 headroom (ADVICE r9): q352's widest products are n_rows² and
+  * c·n_keys, exact for n_rows < 3·10⁹ per audited table; beyond that
+  * (a 100 TB fact easily exceeds it) route eff_keys/skew_factor
+  * through DECIMAL(38,0) as q361/q364 do. The ppm/milli ratios
+  * themselves are bounded (≤ 10⁶) — only the raw products widen.
   *
   * Ref: beyond the reference's surface (its jobs hard-code
   * parallelism and broadcast choices per app, e.g. the setParallelism

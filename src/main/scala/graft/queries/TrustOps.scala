@@ -41,6 +41,13 @@ import org.apache.spark.sql.functions._
   * `//` (the q244 negative-bucket precedent); κ is NULL-guarded when
   * undefined (the q70 rule).
   *
+  * Int64 headroom (ADVICE r9): q344's widest product is 9·n² (with a
+  * ×10⁶ ppm factor on S ≤ 9n² terms), so exactness holds for
+  * n ≲ 3·10⁷ docs per κ scope before int64 wraps (Spark longs wrap
+  * silently under non-ANSI; DuckDB would widen). At 100 TB, compute κ
+  * per shard/stratum within that bound, or route the n² products
+  * through DECIMAL(38,0) as q361/q364 do for their outermost products.
+  *
   * Scale (100 TB): q342/q343/q347 are grouped counts on QI columns
   * whose output is domain-bounded (|nations|·|buckets|·|segments|)
   * at any row count — map-side combinable, broadcast joins only

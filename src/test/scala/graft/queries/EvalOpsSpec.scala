@@ -98,4 +98,15 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(total.getLong(4) === 1000000000000L)
     assert(total.getLong(5) === 4000000000000L, "ΣREL = 2·2e12")
   }
+
+  test("q348 guard: empty embeddings yields an empty trace, not a throw") {
+    // ADVICE r9: the seed read must not ArrayIndexOutOfBounds on a
+    // degenerate corpus — the greedy trace of nothing is nothing.
+    val empty = Seq.empty[(Long, Int, Seq[Long])]
+      .toDF("vec_id", "label", "q")
+    val got = EvalOps.kcenterOf(empty, 3)
+    assert(got.count() === 0L)
+    assert(got.columns.toSeq ===
+      Seq("round", "vec_id", "coverage_d2", "label"))
+  }
 }

@@ -140,4 +140,20 @@ class GraphScaleOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q359 guard: corpus with no support>=2 pair yields empty, not a throw") {
+    // ADVICE r9: the max-degree source read must not NoSuchElement on a
+    // degenerate corpus. Every order here shares no part pair twice, so
+    // the co-purchase edge set is empty and q359 returns zero rows with
+    // the operator's schema.
+    val dir = java.nio.file.Files.createTempDirectory("graft_sssp_deg")
+      .toString
+    Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = GraphScaleOps.ssspWeighted(spark, dir)
+    assert(got.count() === 0L)
+    assert(got.columns.toSeq ===
+      Seq("part_id", "dist", "rounds_used", "converged"))
+  }
 }
