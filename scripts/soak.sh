@@ -1,7 +1,9 @@
 #!/bin/bash
-# Integrated streaming-topology soak, TWO-PROCESS hard-kill form: 5
+# Integrated streaming-topology soak, TWO-PROCESS hard-kill form: 6
 # concurrent checkpointed queries (traffic windows, UV detail, is_new
-# repair, EarlyFire trigger windows, trade join) over two file buses.
+# repair, EarlyFire trigger windows, trade join, config-routed DIM
+# upsert — with a routing-config CHANGE landing during the outage)
+# over two file buses.
 # Process 1 drains phase 1 and is KILLED via Runtime.halt (no query
 # stop, no shutdown hooks); process 2 recovers purely from the on-disk
 # checkpoints, drains phase 2, flushes, and compares every sink to its

@@ -11,7 +11,7 @@ import java.nio.file.{Files, Paths}
   * reference stack chains BaseLogApp (ref BaseLogApp.java:217-221) into
   * DwdTrafficUniqueVisitorDetail and the DWS window apps over Kafka
   * topics, while DwdTradeOrderDetail (ref DwdTradeOrderDetail.java:247)
-  * consumes topic_db in parallel. Here the same topology runs as FIVE
+  * consumes topic_db in parallel. Here the same topology runs as SIX
   * CONCURRENT checkpointed Structured Streaming queries over two file
   * buses (the sandbox's Kafka analog), under the production state
   * profile (RocksDB provider + changelog checkpointing):
@@ -21,9 +21,13 @@ import java.nio.file.{Files, Paths}
   *           ├→ repair:  LogSplit.pageLog → is_new repair (P8)
   *           └→ early:   LogSplit.pageLog → EarlyFire custom-trigger
   *                       per-mid window counts (U3, MyTrigger rule)
-  *   in_db  ──→ trade:   topic_db → 4-table stream-stream order join
+  *   in_db  ─┬→ trade:   topic_db → 4-table stream-stream order join
+  *           └→ dim:     topic_db → config-routed DIM upsert (DimApp),
+  *                       config re-read per batch; a config CHANGE
+  *                       (a new routing rule) lands DURING the outage
+  *                       and must govern exactly the post-restart rows
   *
-  * The run is KILLED once mid-stream — all five queries die with a
+  * The run is KILLED once mid-stream — all six queries die with a
   * window, a pending stream-stream join match, a registered trigger
   * timer, and two keyed-state continuations still open; phase-2 input
   * lands during the outage — and restarted from the same checkpoints,
@@ -91,6 +95,11 @@ object Soak {
       "activity_id" -> "act9"),
     dbLine("order_info", S0 + 3, "id" -> "o1", "user_id" -> "u1",
       "province_id" -> "p1"),
+    // dim rows under config v1: the trademark is routed; the category
+    // is DROPPED (no rule yet) and — by config-at-ingest semantics —
+    // never recovered: the checkpoint will not replay f1 under v2
+    dbLine("base_trademark", S0 + 4, "id" -> "t1", "tm_name" -> "Apple"),
+    dbLine("base_category1", S0 + 4, "id" -> "c1", "name" -> "phones"),
     // d2's order_info arrives only after the restart
     dbLine("order_detail", S0 + 5, "id" -> "d2", "order_id" -> "o2",
       "sku_id" -> "s2", "sku_num" -> "1", "order_price" -> "5.00",
@@ -101,7 +110,14 @@ object Soak {
       "province_id" -> "p2"),
     dbLine("order_detail", S0 + 20, "id" -> "d3", "order_id" -> "o3",
       "sku_id" -> "s3", "sku_num" -> "3", "order_price" -> "2.00",
-      "split_total_amount" -> "6.00", "source_type" -> "2401"))
+      "split_total_amount" -> "6.00", "source_type" -> "2401"),
+    // post-restart dim traffic under config v2: the t1 UPDATE must win
+    // the keep-latest merge against the pre-kill snapshot; the category
+    // row must be routed by the NEW rule the restarted batches re-read
+    dbLine("base_trademark", S0 + 21, "id" -> "t1",
+      "tm_name" -> "Apple Inc"),
+    dbLine("base_trademark", S0 + 21, "id" -> "t2", "tm_name" -> "Samsung"),
+    dbLine("base_category1", S0 + 21, "id" -> "c2", "name" -> "laptops"))
 
   def dbPhase2b: Seq[String] = Seq(
     dbLine("order_info", S0 + 22, "id" -> "o3", "user_id" -> "u3",
@@ -122,6 +138,32 @@ object Soak {
       .toDF("dic_code", "dic_name")
   }
 
+  /** DIM routing config (ref table_process, CDC-broadcast at
+    * DimApp.java:66-96): v1 routes only base_trademark; v2 — landing
+    * DURING the outage — adds the base_category1 rule. The reference
+    * mutates config at runtime via a broadcast stream; the Spark analog
+    * re-reads the config per micro-batch (DimApp scaladoc), so the soak
+    * must prove pre-kill batches ran under v1 and post-restart batches
+    * pick up v2 with no replay of v1-era rows under the new rules. */
+  def cfgLine(src: String, sink: String, cols: String, pk: String): String =
+    s"""{"source_table":"$src","sink_table":"$sink",""" +
+      s""""sink_columns":"$cols","sink_pk":"$pk"}"""
+  def cfgV1: Seq[String] = Seq(
+    cfgLine("base_trademark", "dim_base_trademark", "id,tm_name", "id"))
+  def cfgV2: Seq[String] = cfgV1 :+
+    cfgLine("base_category1", "dim_base_category1", "id,name", "id")
+
+  private def writeCfg(root: String, name: String,
+      lines: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(s"$root/cfg"))
+    Files.write(Paths.get(s"$root/cfg/$name"),
+      lines.mkString("\n").getBytes("UTF-8")); ()
+  }
+
+  private def readCfg(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema("source_table STRING, sink_table STRING, " +
+      "sink_columns STRING, sink_pk STRING").json(path)
+
   private def pageEvents(pageLog: DataFrame) = {
     import pageLog.sparkSession.implicits._
     pageLog.select(
@@ -130,10 +172,11 @@ object Soak {
       col("common.is_new").as("isNew"), col("ts")).as[PageEvent]
   }
 
-  /** Start the four concurrent queries against the two buses. */
-  private def startAll(spark: SparkSession, in: String, out: String,
-      ckpt: String): Seq[StreamingQuery] = {
+  /** Start the six concurrent queries against the two buses. */
+  private def startAll(spark: SparkSession, root: String)
+      : Seq[StreamingQuery] = {
     import spark.implicits._
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
     val t = Trigger.ProcessingTime(0)
     val logStream = spark.readStream.format("text").load(s"$in/log")
       .toDF("value")
@@ -170,7 +213,13 @@ object Soak {
         col("page.page_id").as("payload"))
         .as[graft.streaming.KeyedEvent],
       s"$out/dws_early_counts", s"$ckpt/early", trigger = t)
-    Seq(traffic, uv, repair, trade, early)
+    // S4/J7/K4 in-topology: the config-routed DIM job, re-reading
+    // cfg/current.json every micro-batch — the runtime-config-mutation
+    // behavior of the reference under kill/restart (VERDICT r9 #2)
+    val dim = DimApp.run(dbStream,
+      () => readCfg(spark, s"$root/cfg/current.json"),
+      s"$out/dim", s"$ckpt/dim")
+    Seq(traffic, uv, repair, trade, early, dim)
   }
 
   /** Multiset difference cardinality — 0 iff exact sink ≡ twin. */
@@ -186,13 +235,17 @@ object Soak {
       lines.mkString("\n").getBytes("UTF-8")); ()
   }
 
-  /** Process-1 work: phase-1 input on the bus, all five queries started
+  /** Process-1 work: phase-1 input on the bus, all six queries started
     * and drained once. Queries are left RUNNING — the caller either
     * stops them (in-process soak) or halts the JVM (hard-kill soak). */
   def runPhase1(spark: SparkSession, root: String): Seq[StreamingQuery] = {
     write(root, "log", "f1.json", logPhase1)
     write(root, "db", "f1.json", dbPhase1)
-    val qs = startAll(spark, s"$root/in", s"$root/out", s"$root/ckpt")
+    // canonical config copies for the twin replay + the live pointer
+    writeCfg(root, "v1.json", cfgV1)
+    writeCfg(root, "v2.json", cfgV2)
+    writeCfg(root, "current.json", cfgV1)
+    val qs = startAll(spark, root)
     qs.foreach(_.processAllAvailable())
     qs
   }
@@ -202,7 +255,10 @@ object Soak {
   def runPhase2(spark: SparkSession, root: String): Unit = {
     write(root, "log", "f2.json", logPhase2)
     write(root, "db", "f2.json", dbPhase2)
-    val qs = startAll(spark, s"$root/in", s"$root/out", s"$root/ckpt")
+    // the config CHANGE lands during the outage: every post-restart
+    // micro-batch must route under v2, no pre-kill batch ever saw it
+    writeCfg(root, "current.json", cfgV2)
+    val qs = startAll(spark, root)
     try {
       qs.foreach(_.processAllAvailable())
       write(root, "db", "f3.json", dbPhase2b)
@@ -287,12 +343,36 @@ object Soak {
         (col("ts") - pmod(col("ts"), lit(10000L))).as("windowStart"))
       .agg(count(lit(1)).as("cnt"))
 
+    // DIM twin: the db bus replayed through the SAME route/dimFrames/
+    // writeDim code, phase-split by config era — f1.json ran under v1
+    // (pre-kill), every later file under v2 (the outage config change).
+    // The keep-latest-per-pk merge is batch-associative, so one batch
+    // per era equals the streaming run's many smaller batches.
+    val twinDim = Files.createTempDirectory("graft_soak_twin_dim").toString
+    val dbFiles = new java.io.File(s"$in/db").listFiles
+      .map(_.getPath).sorted.toSeq
+    val (eraV1, eraV2) = dbFiles.partition(_.endsWith("f1.json"))
+    Seq((eraV1, s"$root/cfg/v1.json"), (eraV2, s"$root/cfg/v2.json"))
+      .foreach { case (files, cfgPath) =>
+        val cfg = readCfg(spark, cfgPath)
+        val routed = graft.dim.DimRouter.route(
+          graft.sources.Sources.topicDb(
+            spark.read.text(files: _*).toDF("value")), cfg)
+        graft.sinks.Sinks.writeDim(
+          graft.dim.DimRouter.dimFrames(routed,
+            graft.dim.DimRouter.parseConfig(cfg)), twinDim)
+      }
+    val dimCmp = Seq("dim_base_trademark", "dim_base_category1").map { t =>
+      (s"dim/$t", spark.read.parquet(s"$out/dim/$t"),
+        spark.read.parquet(s"$twinDim/$t"))
+    }
+
     val cmp = Seq(
       ("dws_traffic_channel", gotTraffic, twinTraffic),
       ("dwd_traffic_uv", gotUv, twinUv),
       ("dwd_page_repaired", gotRepair, twinRepair),
       ("dwd_trade_order_detail", gotTrade, twinTrade),
-      ("dws_early_counts", gotEarly, twinEarly))
+      ("dws_early_counts", gotEarly, twinEarly)) ++ dimCmp
     val mismatches = cmp.flatMap { case (name, got, twin) =>
       val d = diff(got, twin)
       if (d == 0) None
@@ -326,7 +406,8 @@ object Soak {
       r.mismatches.foreach(m => System.err.println(s"MISMATCH $m"))
       sys.exit(1)
     }
-    println(s"soak OK — 5 concurrent queries, 1 hard kill + restart, " +
+    println(s"soak OK — 6 concurrent queries, 1 hard kill + restart, " +
+      s"1 config change during the outage, " +
       s"${r.layers.size} sinks ≡ batch twins under $root")
   }
 

@@ -1,6 +1,7 @@
 package graft.apps
 
 import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The integrated multi-job topology soak (VERDICT r8 #1): five
@@ -61,5 +62,70 @@ class StreamingSoakSpec extends AnyFunSuite {
       .filter($"common.mid" === "m1").select("ts").as[Long].collect().sorted
     assert(uv.toSeq == Seq(Soak.T0 + 1000, Soak.D2 + 1000),
       s"daily-first dedup state lost across restart: ${uv.toSeq}")
+
+    // DIM config routing across the kill (VERDICT r9 #2): the t1 update
+    // arrived post-restart and must win the keep-latest merge against
+    // the pre-kill snapshot row
+    val tm = spark.read.parquet(s"$root/out/dim/dim_base_trademark")
+      .select("id", "tm_name").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(tm == Map("t1" -> "Apple Inc", "t2" -> "Samsung"),
+      s"dim merge across restart wrong: $tm")
+    // the category rule exists only in config v2 (landed during the
+    // outage): c1 (pre-kill, v1 era) must be absent — config-at-ingest,
+    // no checkpoint replay under new rules — and c2 (post-restart) present
+    val cat = spark.read.parquet(s"$root/out/dim/dim_base_category1")
+      .select("id", "name").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cat == Map("c2" -> "laptops"),
+      s"outage config change not honored by post-restart batches: $cat")
+  }
+
+  test("trade join state is reclaimed once the watermark passes the join window") {
+    // VERDICT r9 #3: the soak proves sink equivalence; this pins the
+    // state-store GC the 3-day idle-retention analog relies on
+    // (DwdTradeOrderDetail.java:26 — tableEnv idle-state retention;
+    // here the watermark + bounded join conditions reclaim it). The
+    // numRowsTotal device is the EarlyFireSpec GC case's template.
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[String]
+      val q = TradePipeline.orderDetailStream(
+          graft.sources.Sources.topicDb(mem.toDF().toDF("value")),
+          Soak.baseDic(spark))
+        .writeStream.format("memory").queryName("trade_state_gc")
+        .outputMode("append").start()
+      def stateRows: Long = q.recentProgress
+        .filter(_.stateOperators.nonEmpty)
+        .maxBy(_.batchId).stateOperators.map(_.numRowsTotal).sum
+      try {
+        mem.addData(Soak.dbPhase1: _*); q.processAllAvailable()
+        mem.addData(Soak.dbPhase2: _*); q.processAllAvailable()
+        val before = stateRows
+        // 3 details + 3 infos + 1 activity buffered across the three
+        // symmetric-hash joins (plus inner-join composites)
+        assert(before >= 8, s"expected buffered join state, got $before")
+        // two flush probes (unmatched order_info hours later): the first
+        // advances the watermark past every join window + retention, the
+        // second runs the batch in which eviction executes
+        mem.addData(Soak.dbFlush(Soak.T0 / 1000 + 7200): _*)
+        q.processAllAvailable()
+        mem.addData(Soak.dbFlush(Soak.T0 / 1000 + 7300): _*)
+        q.processAllAvailable()
+        val after = stateRows
+        assert(after < before,
+          s"join state not reclaimed by the watermark: $before -> $after")
+        // only the flush probes themselves may remain buffered
+        assert(after <= 6,
+          s"residual join state beyond the flush probes: $after rows")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 }
