@@ -74,6 +74,24 @@ object ScaleProbe {
     }
   }
 
+  /** `rebuild` mode (VERDICT r9 #4): q145's spanDedupRebuild — the
+    * suite's slowest query — probed at the FULL sf0.1 corpus like its
+    * siblings got in r9 (suffixRanks/longestRepeat/contamination/
+    * spanDedupExact at cap 5000). The cap bounds only the ORACLE's
+    * suffix-string materialization; Spark-side the cap is the corpus
+    * knob, so growing it to the full doc count measures the real
+    * growth exponent of the rebuild chain (runs → covered chars →
+    * array_except rebuild). */
+  def rebuildProbe(spark: SparkSession, caps: Seq[Int]): Unit = {
+    val src = "/root/testdata/sf0.1"
+    caps.foreach { cap =>
+      val t0 = System.nanoTime()
+      val n = graft.queries.SuffixOps.spanDedupRebuildAt(spark, src, cap)
+        .count()
+      println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  spanDedupRebuild cap=$cap (docs=$n)")
+    }
+  }
+
   /** `suffixsyn` mode: the suffix family past the real corpus. The
     * sf0.1 corpus tops out at 5000 docs / 1.49M positions; this
     * generates a deterministic synthetic corpus of N ~330-char docs
@@ -309,6 +327,16 @@ object ScaleProbe {
         .config("spark.ui.enabled", "false").getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       curveProbe(spark, Seq(1, 10), Seq(100, 300, 1000))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("rebuild")) {
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      rebuildProbe(spark, if (args.length > 1)
+        args.drop(1).toSeq.map(_.toInt) else Seq(250, 1000, 5000))
       spark.stop(); return
     }
     if (args.headOption.contains("suffixsyn")) {
