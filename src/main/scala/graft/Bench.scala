@@ -132,12 +132,19 @@ object Bench {
     // Full-JSON artifact, independent of any log truncation: the
     // complete line lands in a committable file so per-query history and
     // the canary verdict reach the judge even when the driver keeps only
-    // the stdout tail. SPARK_GRAFT_BENCH_OUT overrides the path.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
-      line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    // the stdout tail. SPARK_GRAFT_BENCH_OUT overrides the path; with
+    // the default path, SUBSET runs (SPARK_GRAFT_BENCH_ONLY) skip the
+    // write so a local iteration can never clobber a full-series
+    // artifact sitting in the repo root.
+    val outOverride = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    val fullSuite = sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty
+    if (outOverride.isDefined || fullSuite) {
+      val outFile = outOverride.getOrElse("BENCH_local.json")
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+        line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+      }
     }
     spark.stop()
   }
