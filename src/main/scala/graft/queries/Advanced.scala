@@ -52,6 +52,14 @@ object Advanced {
         struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
       .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
       .distinct()
+      // candidate-edge frames are bucket-bounded by construction (df
+      // caps upstream); caching them at the raw shuffle width makes the
+      // count + every cached read schedule shuffle.partitions tasks
+      // (4096 under the production profile — measured r10). Coalescing
+      // to the core count first never increases width, so cluster
+      // behavior is unchanged; above the cutoff the large-star rounds
+      // re-shuffle at full width anyway.
+      .coalesce(pairs.sparkSession.sparkContext.defaultParallelism)
       .cache()
     val edgeCount = edges.count()
     if (edgeCount <= DriverEdgeCutoff) {

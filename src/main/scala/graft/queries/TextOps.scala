@@ -220,8 +220,15 @@ object TextOps {
       .distinct()
     // materialize once: `kept` (window leads + distinct + df filter)
     // feeds the per-doc counts AND both legs of the candidate self-join
-    // — four evaluations of the shingle subtree without this
-    val kept = dropHotTokens(shingles, "shingle", dfCap).localCheckpoint()
+    // — four evaluations of the shingle subtree without this. The frame
+    // is BOUNDED (doc<100 scope + df cap), so coalesce to the session's
+    // core count before checkpointing: a localCheckpoint freezes the
+    // current shuffle width into the RDD, and under the 4096-partition
+    // production profile that schedules thousands of near-empty tasks
+    // per downstream stage (measured r10, ProfileBisect) — coalesce
+    // never INCREASES width, so cluster plans are unchanged
+    val kept = dropHotTokens(shingles, "shingle", dfCap)
+      .coalesce(s.sparkContext.defaultParallelism).localCheckpoint()
     val counts = kept.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val pairs = kept.as("a")
       .join(kept.as("b"),
