@@ -57,9 +57,16 @@ object RetrievalOps {
   private def bm25Scores(s: SparkSession, d: String): DataFrame = {
     val tfCols = QueryTerms.map(t =>
       sum(when(col("word") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    // materialize the doc-level aggregate once (coalesced — the r10
+    // bounded-frame rule): it feeds BOTH the corpus-stats broadcast and
+    // the scoring probe, and leaving it as a reused exchange puts the
+    // probe stage inside an AQE diamond that never gets a coalesced
+    // read — measured 4096 tasks per run under the production profile
+    // (PLANS.md §round-10, the one standing >3× cell before this)
     val perDoc = TextOps.words(s, d)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("dl"), tfCols: _*)
+      .coalesce(s.sparkContext.defaultParallelism).localCheckpoint()
     val dfCols = QueryTerms.map(t =>
       sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
     val statCols = count(lit(1)).as("n") +: sum(col("dl")).as("tt") +: dfCols

@@ -23,6 +23,41 @@ object ProfileBisect {
     }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    if (q == "--bnlj-vs-bhj") {
+      // Does AQE coalesce a shuffle-read stage whose other leaf is a
+      // broadcast? Compare a BNLJ probe (crossJoin of a 1-row frame)
+      // against a dummy-key BHJ probe over the SAME 4096-partition
+      // aggregate. Observed task counts answer whether the q155-class
+      // production inflation is the join TYPE or the stage shape.
+      import org.apache.spark.sql.functions._
+      val big = s.range(2000000L).select((col("id") % 100000L).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("c"))
+      val one = s.range(1).select(lit(7L).as("thr"))
+      val acc2 = new java.util.concurrent.atomic.AtomicLong
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            { acc2.incrementAndGet(); () }
+        })
+      def run(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+        acc2.set(0)
+        val t0 = System.nanoTime()
+        df.count()
+        Thread.sleep(300)
+        println(f"$label: ${(System.nanoTime() - t0) / 1e9}%6.2f s  " +
+          s"tasks=${acc2.get}")
+      }
+      run("bnlj crossJoin(broadcast(1row))")(
+        big.crossJoin(broadcast(one)).filter(col("c") > col("thr")))
+      run("bhj  dummy-key equi-join      ")(
+        big.withColumn("_one", lit(1))
+          .join(broadcast(one.withColumn("_one", lit(1))), "_one")
+          .filter(col("c") > col("thr")))
+      run("plain reducer (control)      ")(
+        big.filter(col("c") > lit(7L)))
+      s.stop(); return
+    }
     Seq("spark.sql.adaptive.enabled",
       "spark.sql.adaptive.coalescePartitions.enabled",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes",
