@@ -116,10 +116,17 @@ object Bench {
     // of long lines (BENCH_r04 lost "value" that way; BENCH_r01–r09 lost
     // the canary verdict that way, VERDICT r9 #1), so everything a judge
     // needs to trust the series must survive front-truncation:
-    // failed_n, canary_drift, canary_contended, total_sec.
+    // failed_n, canary_drift, canary_contended, total_sec, profile and
+    // subset (ADVICE r10: a front-truncated line must still attribute
+    // the series to default vs production, full vs partial). The
+    // duplicated canary keys (front + tail, identical values) are a
+    // standing design choice — every JSON parser keeps the last.
+    val subsetJson = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(v => "\"" + v.replace("\"", "") + "\"").getOrElse("false")
+    val profileName = if (prod) "production" else "default"
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
-      s""""profile":"${if (prod) "production" else "default"}",""" +
+      s""""profile":"$profileName","subset":$subsetJson,""" +
       s""""failed":$failedJson,"sf":"$sfDir",""" +
       f""""canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f,""" +
       f""""canary_drift":$drift%.3f,"canary_contended":$contended,""" +
@@ -127,6 +134,7 @@ object Bench {
       s""""queries":${jmap(med)},""" +
       s""""failed_n":${failed.size},""" +
       f""""canary_drift":$drift%.3f,"canary_contended":$contended,""" +
+      s""""profile":"$profileName","subset":$subsetJson,""" +
       s""""total_sec":$total}"""
     println(line)
     // Full-JSON artifact, independent of any log truncation: the

@@ -56,9 +56,10 @@ object Advanced {
       // caps upstream); caching them at the raw shuffle width makes the
       // count + every cached read schedule shuffle.partitions tasks
       // (4096 under the production profile — measured r10). Coalescing
-      // to the core count first never increases width, so cluster
-      // behavior is unchanged; above the cutoff the large-star rounds
-      // re-shuffle at full width anyway.
+      // to the core count first never increases width; it does narrow
+      // the producing distinct stage to core count too, which the
+      // bucket-bounded precondition makes safe — above the cutoff the
+      // large-star rounds re-shuffle at full width anyway.
       .coalesce(pairs.sparkSession.sparkContext.defaultParallelism)
       .cache()
     val edgeCount = edges.count()

@@ -62,7 +62,13 @@ object RetrievalOps {
     // the scoring probe, and leaving it as a reused exchange puts the
     // probe stage inside an AQE diamond that never gets a coalesced
     // read — measured 4096 tasks per run under the production profile
-    // (PLANS.md §round-10, the one standing >3× cell before this)
+    // (PLANS.md §round-10, the one standing >3× cell before this).
+    // localCheckpoint() is EAGER: constructing this frame runs the
+    // words+groupBy job immediately, so plan-only consumers (explain/
+    // schema tools) pay it too — fine for bench/gate, and it also
+    // removes a double evaluation of the words subtree. The coalesce
+    // narrows the producing aggregate stage as well (bounded frame:
+    // one row per matching doc)
     val perDoc = TextOps.words(s, d)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("dl"), tfCols: _*)

@@ -225,8 +225,11 @@ object TextOps {
     // core count before checkpointing: a localCheckpoint freezes the
     // current shuffle width into the RDD, and under the 4096-partition
     // production profile that schedules thousands of near-empty tasks
-    // per downstream stage (measured r10, ProfileBisect) — coalesce
-    // never INCREASES width, so cluster plans are unchanged
+    // per downstream stage (measured r10, ProfileBisect). Note the
+    // coalesce also narrows the PRODUCING stage (the distinct/df-filter
+    // reduce runs at core-count width, not shuffle width) — acceptable
+    // precisely because the frame is bounded; that precondition is
+    // load-bearing for cluster performance, not just for the cache
     val kept = dropHotTokens(shingles, "shingle", dfCap)
       .coalesce(s.sparkContext.defaultParallelism).localCheckpoint()
     val counts = kept.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
