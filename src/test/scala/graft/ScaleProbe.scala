@@ -171,6 +171,10 @@ object ScaleProbe {
   def curveProbe(spark: SparkSession, mults: Seq[Int], caps: Seq[Int])
       : Unit = {
     val src = "/root/testdata/sf0.1"
+    // untimed warm pass: the ×1 point is the session's first query and
+    // would otherwise carry cold JIT, masking (or faking) the expected
+    // flat exponent
+    graft.queries.CurveOps.dedupCurve(spark, src).count()
     mults.foreach { mult =>
       val dst = if (mult == 1) src else s"/tmp/scale_x$mult"
       require(new java.io.File(dst).exists(),
