@@ -153,7 +153,7 @@ object ClusterGate {
     * whose outputs are partition-order-independent by construction. */
   private def fingerprint(df: DataFrame): (Long, String) = {
     def render(v: Any): String = v match {
-      case null                => " "
+      case null                => "\u0000"
       case b: Array[Byte]      => java.util.Base64.getEncoder.encodeToString(b)
       case s: Seq[_]           => s.map(render).mkString("[", ",", "]")
       case m: scala.collection.Map[_, _] =>
