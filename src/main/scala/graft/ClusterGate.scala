@@ -166,10 +166,14 @@ object ClusterGate {
     val cols = df.columns.sorted
     val rows = df.select(cols.map(col): _*).collect()
     val lines = rows.map { r =>
-      (0 until r.length).map(i => render(r.get(i))).mkString("")
+      (0 until r.length).map(i => render(r.get(i))).mkString("\u0001")
     }.sorted
     val md = java.security.MessageDigest.getInstance("MD5")
-    lines.foreach(l => md.update(l.getBytes("UTF-8")))
+    // newline terminator per row so sorted lines can't alias across a
+    // row boundary (("ab","c") vs ("a","bc") as consecutive rows)
+    lines.foreach { l =>
+      md.update(l.getBytes("UTF-8")); md.update('\n'.toByte)
+    }
     (rows.length.toLong, md.digest().map("%02x".format(_)).mkString)
   }
 
