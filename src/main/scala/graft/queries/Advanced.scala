@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.queries.Mat.StableOps
 
 /** Advanced composite operators: connected-components dedup clustering
   * (the decision step after candidate generation) and a sequential
@@ -82,11 +83,13 @@ object Advanced {
           (col("doc_id") === col("cluster_rep")).as("is_kept"))
     }
     val nodes = edges.select(col("doc_a").as("doc_id")).distinct()
-    // localCheckpoint each round: iterative DataFrame loops otherwise
+    // checkpoint (Mat.stable: localCheckpoint, or a reliable
+    // checkpoint under spark.graft.reliableCheckpoint — executor-loss
+    // survivable) each round: iterative DataFrame loops otherwise
     // grow the logical plan exponentially (each iteration embeds the
     // previous plan twice) — lineage truncation is what makes the loop
     // O(iterations), and on a cluster it also bounds recovery cost.
-    var labels = nodes.withColumn("label", col("doc_id")).localCheckpoint()
+    var labels = nodes.withColumn("label", col("doc_id")).stable()
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {
@@ -103,7 +106,7 @@ object Advanced {
             .as("label"),
           (coalesce(col("n.nbr_label"), col("l.label")) < col("l.label"))
             .as("changed"))
-        .localCheckpoint()
+        .stable()
       converged = updated.filter(col("changed")).isEmpty
       labels = updated.drop("changed")
       iter += 1
@@ -148,14 +151,16 @@ object Advanced {
     * the verify join shrinks 6.5 M → ~7 k pairs. */
   def minhashDedupClusters(s: SparkSession, d: String,
       jaccThresholdPct: Int = 90): DataFrame = {
-    // localCheckpoints: sigs/withRep/tokens each feed 2-3 consumers —
+    // Mat.stable materializations (localCheckpoint by default; the
+    // reliable-checkpoint escape hatch under executor churn): sigs/
+    // withRep/tokens each feed 2-3 consumers —
     // without materialization the signature and token subtrees
     // re-evaluate once per consumer
-    val sigs = TextOps.minhashSignatures(s, d).localCheckpoint()
+    val sigs = TextOps.minhashSignatures(s, d).stable()
     val sigCols = Seq("mh1", "mh2", "mh3", "mh4")
     val fams = sigs.groupBy(sigCols.map(col): _*)
       .agg(min(col("doc_id")).as("rep"))
-    val withRep = sigs.join(fams, sigCols).localCheckpoint()
+    val withRep = sigs.join(fams, sigCols).stable()
     val famEdges = withRep.filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
     val reps = withRep.filter(col("doc_id") === col("rep"))
@@ -176,7 +181,7 @@ object Advanced {
     // the intersection join instead of word strings
     val tokens = TextOps.words(s, d)
       .select(col("doc_id"), TextOps.wordHash.as("word"))
-      .distinct().localCheckpoint()
+      .distinct().stable()
     val counts = tokens.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
     val inter = cands
       .join(tokens.select(col("doc_id").as("doc_a"), col("word")), Seq("doc_a"))

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.queries.Mat.StableOps
 
 /** Full-text retrieval over the corpus — the BM25 ranking function
   * (Robertson & Zaragoza 2009, "The Probabilistic Relevance Framework:
@@ -63,7 +64,8 @@ object RetrievalOps {
     // probe stage inside an AQE diamond that never gets a coalesced
     // read — measured 4096 tasks per run under the production profile
     // (PLANS.md §round-10, the one standing >3× cell before this).
-    // localCheckpoint() is EAGER: constructing this frame runs the
+    // Mat.stable (localCheckpoint, or a reliable checkpoint under
+    // spark.graft.reliableCheckpoint) is EAGER: constructing this frame runs the
     // words+groupBy job immediately, so plan-only consumers (explain/
     // schema tools) pay it too — fine for bench/gate, and it also
     // removes a double evaluation of the words subtree. The coalesce
@@ -72,7 +74,7 @@ object RetrievalOps {
     val perDoc = TextOps.words(s, d)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("dl"), tfCols: _*)
-      .coalesce(s.sparkContext.defaultParallelism).localCheckpoint()
+      .coalesce(s.sparkContext.defaultParallelism).stable()
     val dfCols = QueryTerms.map(t =>
       sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
     val statCols = count(lit(1)).as("n") +: sum(col("dl")).as("tt") +: dfCols
