@@ -9,7 +9,12 @@
 # executor pid@host proof, soak layer counts). Exit non-zero on any
 # mismatch, failure, or if the run did not actually cross a JVM boundary.
 #
-# Usage: scripts/clustergate.sh [queries|soak|all]   (default: all)
+# Usage: scripts/clustergate.sh [queries|soak|all|chaos]   (default: all)
+# `chaos` (VERDICT r11 task 1) SIGKILLs real executor JVMs mid-query:
+# lineage-complete queries must recompute and match, the localCheckpoint
+# path must fail LOUDLY (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND), and the
+# reliable-checkpoint escape hatch (spark.graft.reliableCheckpoint) must
+# survive total executor turnover and match. Artifact: CHAOS.json.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 

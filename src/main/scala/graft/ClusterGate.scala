@@ -43,7 +43,11 @@ import java.nio.file.{Files, Paths}
   * in-process streaming soak (Soak.runSoak: 6 concurrent checkpointed
   * queries, RocksDB state, restart, twin compare) under the cluster
   * master, i.e. state machines recovering on spawned-executor JVMs;
-  * `all` — both.
+  * `all` — both; `chaos` — executor-LOSS behavior (SIGKILL real
+  * executor JVMs mid-query): recompute-and-match for lineage-complete
+  * queries, loud CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND for the
+  * localCheckpoint path, and survive-and-match for the
+  * reliable-checkpoint escape hatch (artifact: CHAOS.json).
   *
   * Requires SPARK_HOME (the spawned executor command is built from it)
   * and this package's compiled classes on a filesystem path (passed to
@@ -98,6 +102,24 @@ object ClusterGate {
     "q155_hybrid_rrf",        // RRF fusion (the r10 AQE-diamond fix)
     "q226_edit_dist_banded")  // banded edit distance at scale
 
+  /** The 8 queries with no DuckDB oracle BY DESIGN (sketches whose
+    * merge order is partition-dependent, learned models) — standing
+    * NOTES/verdict adjudication since r6. They are excluded from the
+    * fingerprint gate for the same reason they are rows-only in the
+    * driver gate: their outputs are legitimately partition-order-
+    * DEPENDENT, so a cross-master hash compare would be meaningless. */
+  val RowsOnlyByDesign: Set[String] = Set(
+    "q121_approx_distinct", "q122_approx_quantiles", "q124_heavy_hitters",
+    "q130_grouped_heavy_hitters", "q132_cooccur_heavy_hitters",
+    "q138_bpe_encode", "q143_quality_classifier", "q144_curated_learned")
+
+  /** `wide` mode (VERDICT r11 task 2): EVERY exact-gate query crosses
+    * the JVM boundary, not a 37-query sample — the whole driver-gate
+    * denominator minus the 8 rows-only-by-design rows. Self-maintaining:
+    * new queries join the wide gate automatically. */
+  def wideGateQueries: Seq[String] =
+    SparkEntry.queries.keys.toSeq.sorted.filterNot(RowsOnlyByDesign)
+
   /** SPARK_GRAFT_PROFILE=production layers the 100 TB conf block over
     * BOTH passes (4096 shuffle partitions + AQE coalesce/skew +
     * RocksDB), composing the partition-count-invariance axis with the
@@ -136,8 +158,10 @@ object ClusterGate {
       // the spawned executor JVMs know nothing of sbt's classpath:
       // hand them this package's compiled classes explicitly (same
       // machine → a directory path works; a real cluster ships a jar)
-      val classes = getClass.getProtectionDomain.getCodeSource
-        .getLocation.getPath
+      // toURI, not getPath: getPath is URL-encoded (spaces → %20),
+      // which would break extraClassPath on such paths (ADVICE r11)
+      val classes = Paths.get(getClass.getProtectionDomain.getCodeSource
+        .getLocation.toURI).toString
       b.config("spark.executor.extraClassPath", classes)
         .config("spark.executor.memory", ExecutorMem)
     } else b
@@ -152,7 +176,20 @@ object ClusterGate {
     * (sort columns, hash values) — valid for the exact-set queries,
     * whose outputs are partition-order-independent by construction. */
   private def fingerprint(df: DataFrame): (Long, String) = {
+    // ADVICE r11: string VALUES must not be able to alias a render
+    // boundary — a string containing the field sep (0x01), ',' (the
+    // seq/map/struct sep), a bracket, '=' or NUL (the null marker)
+    // would otherwise let two genuinely different results render
+    // identically. Escape every structural character (and backslash
+    // itself) to \uXXXX, so raw separators can only ever come from
+    // the renderer.
+    def esc(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case c if c < ' ' || ",[]{}()=".contains(c) => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     def render(v: Any): String = v match {
+      case s: String           => esc(s)
       case null                => "\u0000"
       case b: Array[Byte]      => java.util.Base64.getEncoder.encodeToString(b)
       case s: Seq[_]           => s.map(render).mkString("[", ",", "]")
@@ -187,6 +224,216 @@ object ClusterGate {
     }.distinct().collect().toSeq.sorted
   }
 
+  // ───────────────────────── chaos mode ─────────────────────────
+  // VERDICT r11 task 1: execute executor-loss recovery instead of
+  // documenting it. Three behaviors, each against a real spawned
+  // executor JVM killed with SIGKILL (the pids are the ones the
+  // executors themselves reported):
+  //
+  //  (a) RECOVERY — queries with NO truncated lineage (q04/q84/q23):
+  //      one executor is killed mid-collect (triggered by the Nth
+  //      task-start of the final job). Spark must recompute the lost
+  //      tasks/shuffle output on the survivor + the respawned executor
+  //      and the result must fingerprint-match an undisturbed local[4]
+  //      run. Loud recovery, zero divergence.
+  //  (b) LOUD FAILURE — a localCheckpoint query (q146): the bounded
+  //      frame is materialized EAGERLY at construction (executor
+  //      storage), then BOTH executors are killed before consumption.
+  //      localCheckpoint truncates lineage, so the job must FAIL with
+  //      CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — never silently recompute
+  //      wrong, never hang. This is the r11 production-gate failure
+  //      reproduced deliberately.
+  //  (c) ESCAPE HATCH — same kill, spark.graft.reliableCheckpoint=true
+  //      (Mat.stable → reliable checkpoint() into a checkpoint dir):
+  //      q110/q146/q155 must SURVIVE the loss of every executor that
+  //      materialized them and still match the local[4] reference.
+
+  /** Queries whose final collect has no truncated lineage anywhere on
+    * its path — eligible for the recompute-and-match recovery test. */
+  val RecoveryQueries: Seq[String] =
+    Seq("q04_join_inner", "q84_dwd_order_detail", "q23_word_count")
+  /** The Mat.stable (bounded-frame) queries for (b)/(c). */
+  val CheckpointQueries: Seq[String] =
+    Seq("q110_minhash_dedup", "q146_bm25_topk", "q155_hybrid_rrf")
+  private val KillOnTaskN = 2
+
+  private def pidOf(name: String): String = name.takeWhile(_ != '@')
+
+  private def sigkill(name: String): Boolean =
+    pidOf(name).forall(_.isDigit) && pidOf(name).nonEmpty &&
+      Runtime.getRuntime.exec(Array("kill", "-9", pidOf(name))).waitFor() == 0
+
+  private def alive(name: String): Boolean =
+    Runtime.getRuntime.exec(Array("kill", "-0", pidOf(name))).waitFor() == 0
+
+  /** Current live executor JVM names, excluding the driver; polls until
+    * at least `want` are up (respawn after a kill takes a moment). */
+  private def liveExecutors(spark: SparkSession, want: Int): Seq[String] = {
+    val driver = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getName
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    var names = Seq.empty[String]
+    while (names.size < want && System.nanoTime() < deadline) {
+      names = executorJvms(spark).filterNot(_ == driver)
+      if (names.size < want) Thread.sleep(1000)
+    }
+    require(names.size >= want,
+      s"only ${names.size} executors came up (wanted $want)")
+    names
+  }
+
+  /** Fingerprint `df`, killing executor `victim` when the Nth task of
+    * the collect starts. Returns (result, executorRemovedSeen). */
+  private def fingerprintKillingOne(spark: SparkSession, df: DataFrame,
+      victim: String): (Either[String, (Long, String)], Boolean) = {
+    val started = new java.util.concurrent.atomic.AtomicInteger(0)
+    val removed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskStart(
+          t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
+        if (started.incrementAndGet() == KillOnTaskN &&
+            fired.compareAndSet(false, true))
+          new Thread(() => {
+            sigkill(victim)
+            System.err.println(s"[chaos] SIGKILLed $victim mid-collect")
+          }).start()
+      override def onExecutorRemoved(
+          e: org.apache.spark.scheduler.SparkListenerExecutorRemoved): Unit =
+        removed.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val r = try Right(fingerprint(df)) catch { case e: Throwable =>
+      Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+    }
+    // the removal event is async: give the master a moment to report it
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (removed.get() == 0 && System.nanoTime() < deadline)
+      Thread.sleep(500)
+    spark.sparkContext.removeSparkListener(listener)
+    (r, fired.get() && !alive(victim) && removed.get() > 0)
+  }
+
+  /** SIGKILL every live executor and wait until the processes are gone —
+    * total executor turnover, the r11 production-gate failure shape. */
+  private def killAllExecutors(spark: SparkSession): Seq[String] = {
+    val victims = liveExecutors(spark, 2)
+    victims.foreach(sigkill)
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (victims.exists(alive) && System.nanoTime() < deadline)
+      Thread.sleep(200)
+    require(!victims.exists(alive), s"executors survived SIGKILL: $victims")
+    victims
+  }
+
+  private def runChaos(sfDir: String, out: StringBuilder): Int = {
+    var exitCode = 0
+    val all = RecoveryQueries ++ CheckpointQueries
+    // undisturbed reference fingerprints
+    val ref = runPass("local[4]", all, sfDir).results
+      .map { case (k, (r, _)) => k -> r }
+
+    // (a) + (b): default materialization (localCheckpoint)
+    val sparkA = buildSession(ClusterMaster)
+    val recoveryJson = new scala.collection.mutable.ArrayBuffer[String]
+    var loudJson = ""
+    try {
+      RecoveryQueries.foreach { name =>
+        val victim = liveExecutors(sparkA, 2).head
+        val df = SparkEntry.queries(name)(sparkA, sfDir)
+        val t0 = System.nanoTime()
+        val (got, lossSeen) = fingerprintKillingOne(sparkA, df, victim)
+        val ok = lossSeen && (((got, ref(name))) match {
+          case (Right(a), Right(b)) => a == b
+          case _ => false
+        })
+        if (!ok) exitCode = 1
+        System.err.println(f"[chaos] recovery $name " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s ok=$ok " +
+          s"loss_seen=$lossSeen " +
+          got.fold("ERROR " + _, { case (n, h) => s"rows=$n $h" }))
+        recoveryJson += s"""${jstr(name)}:{"killed":${jstr(victim)},""" +
+          s""""executor_loss_seen":$lossSeen,""" +
+          got.fold(m => s""""error":${jstr(m)},""",
+            { case (n, _) => s""""rows":$n,""" }) +
+          s""""match":$ok}"""
+      }
+
+      // (b) loud failure: materialize q146's bounded frame, kill every
+      // executor holding its blocks, consume → must fail mentioning the
+      // checkpoint block, not hang or silently succeed
+      val df146 = SparkEntry.queries("q146_bm25_topk")(sparkA, sfDir)
+      val killedB = killAllExecutors(sparkA)
+      val loud = try { fingerprint(df146); None } catch {
+        case e: Throwable =>
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+      }
+      val failedLoudly = loud.isDefined
+      val mentionsCheckpoint = loud.exists(m =>
+        m.toUpperCase.contains("CHECKPOINT"))
+      if (!failedLoudly || !mentionsCheckpoint) exitCode = 1
+      System.err.println(s"[chaos] loud-failure q146: failed=$failedLoudly " +
+        s"checkpoint_error=$mentionsCheckpoint " +
+        loud.map(_.take(160)).getOrElse("(query unexpectedly succeeded)"))
+      loudJson = s"""{"query":"q146_bm25_topk",""" +
+        s""""killed":[${killedB.map(jstr).mkString(",")}],""" +
+        s""""failed_loudly":$failedLoudly,""" +
+        s""""checkpoint_error":$mentionsCheckpoint,""" +
+        s""""error":${jstr(loud.map(_.take(300)).getOrElse(""))}}"""
+    } finally {
+      sparkA.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+
+    // (c) escape hatch: reliable checkpoints survive total turnover
+    val sparkB = buildSession(ClusterMaster)
+    val escapeJson = new scala.collection.mutable.ArrayBuffer[String]
+    val ckptDir = Files.createTempDirectory("graft_chaos_ckpt").toString
+    try {
+      sparkB.conf.set(graft.queries.Mat.ConfKey, "true")
+      sparkB.sparkContext.setCheckpointDir(ckptDir)
+      CheckpointQueries.foreach { name =>
+        liveExecutors(sparkB, 2)
+        val t0 = System.nanoTime()
+        val r = try {
+          val df = SparkEntry.queries(name)(sparkB, sfDir) // eager ckpt
+          val killed = killAllExecutors(sparkB)
+          (Right(fingerprint(df)): Either[String, (Long, String)], killed)
+        } catch { case e: Throwable =>
+          (Left(Option(e.getMessage).getOrElse(e.getClass.getName)
+            .take(300)): Either[String, (Long, String)], Seq.empty[String])
+        }
+        val (got, killed) = r
+        val ok = killed.nonEmpty && (((got, ref(name))) match {
+          case (Right(a), Right(b)) => a == b
+          case _ => false
+        })
+        if (!ok) exitCode = 1
+        System.err.println(f"[chaos] escape-hatch $name " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s ok=$ok " +
+          got.fold("ERROR " + _, { case (n, h) => s"rows=$n $h" }))
+        escapeJson += s"""${jstr(name)}:{""" +
+          s""""killed":[${killed.map(jstr).mkString(",")}],""" +
+          got.fold(m => s""""error":${jstr(m)},""",
+            { case (n, _) => s""""rows":$n,""" }) +
+          s""""match":$ok}"""
+      }
+    } finally {
+      sparkB.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+
+    out ++= s""""chaos":{"master":${jstr(ClusterMaster)},""" +
+      s""""profile":"${if (prodProfile) "production" else "default"}",""" +
+      s""""recovery":{${recoveryJson.mkString(",")}},""" +
+      s""""loud_failure":$loudJson,""" +
+      s""""escape_hatch":{"checkpoint_dir":${jstr(ckptDir)},""" +
+      s"${escapeJson.mkString(",")}}}"
+    exitCode
+  }
+
   private def jstr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
@@ -195,7 +442,7 @@ object ClusterGate {
     } + "\""
 
   case class PassResult(jvms: Seq[String],
-      results: Map[String, Either[String, (Long, String)]])
+      results: Map[String, (Either[String, (Long, String)], Double)])
 
   private def runPass(master: String, names: Seq[String], sfDir: String)
       : PassResult = {
@@ -212,10 +459,10 @@ object ClusterGate {
             e.getMessage)
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
         }
-        System.err.println(f"[clustergate] $master $name " +
-          f"${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[clustergate] $master $name $sec%.1f s " +
           r.fold(m => s"ERROR $m", { case (n, h) => s"rows=$n $h" }))
-        name -> r
+        name -> (r, sec)
       }.toMap
       PassResult(jvms, results)
     } finally {
@@ -227,51 +474,68 @@ object ClusterGate {
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("queries")
+    // ADVICE r11: an unrecognized mode must fail loudly, not write a
+    // malformed success artifact having tested nothing
+    require(Set("queries", "soak", "all", "wide", "chaos")(mode),
+      s"unknown mode: $mode (expected queries|soak|all|wide|chaos)")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     require(sys.env.contains("SPARK_HOME"),
       "SPARK_HOME must be set: local-cluster builds the executor launch " +
         "command from it (e.g. SPARK_HOME=/opt/spark)")
     val unknown = GateQueries.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown gate queries: $unknown")
+    val staleRowsOnly = RowsOnlyByDesign.filterNot(SparkEntry.queries.contains)
+    require(staleRowsOnly.isEmpty, s"stale rows-only names: $staleRowsOnly")
 
     var exitCode = 0
     val out = new StringBuilder
 
-    if (mode == "queries" || mode == "all") {
-      val ref = runPass("local[4]", GateQueries, sfDir)
-      val clu = runPass(ClusterMaster, GateQueries, sfDir)
+    if (mode == "queries" || mode == "all" || mode == "wide") {
+      val gateSet = if (mode == "wide") wideGateQueries else GateQueries
+      val ref = runPass("local[4]", gateSet, sfDir)
+      val clu = runPass(ClusterMaster, gateSet, sfDir)
       val multiJvm = clu.jvms.size >= 2
       if (!multiJvm) exitCode = 2
-      val perQuery = GateQueries.map { name =>
-        (ref.results(name), clu.results(name)) match {
+      val perQuery = gateSet.map { name =>
+        val sec = f"${clu.results(name)._2}%.2f"
+        (ref.results(name)._1, clu.results(name)._1) match {
           case (Right((nr, hr)), Right((nc, hc))) =>
             val ok = nr == nc && hr == hc
             if (!ok) exitCode = 1
-            s"""${jstr(name)}:{"rows":$nc,"match":$ok}"""
+            s"""${jstr(name)}:{"rows":$nc,"match":$ok,"sec":$sec}"""
           case (r, c) =>
             exitCode = 1
             val msg = Seq(r.left.toOption.map("local: " + _),
               c.left.toOption.map("cluster: " + _)).flatten.mkString("; ")
-            s"""${jstr(name)}:{"error":${jstr(msg)}}"""
+            s"""${jstr(name)}:{"error":${jstr(msg)},"sec":$sec}"""
         }
       }
-      val matched = GateQueries.count { n =>
-        (ref.results(n), clu.results(n)) match {
+      val matched = gateSet.count { n =>
+        (ref.results(n)._1, clu.results(n)._1) match {
           case (Right(a), Right(b)) => a == b
           case _ => false
         }
       }
       out ++= s""""gate":{"master":${jstr(ClusterMaster)},""" +
         s""""profile":"${if (prodProfile) "production" else "default"}",""" +
-        s""""n":${GateQueries.size},"matched":$matched,""" +
+        s""""mode":${jstr(mode)},""" +
+        s""""n":${gateSet.size},"matched":$matched,""" +
         s""""multi_jvm":$multiJvm,""" +
         s""""driver_jvm":${jstr(java.lang.management.ManagementFactory
           .getRuntimeMXBean.getName)},""" +
         s""""executor_jvms":[${clu.jvms.map(jstr).mkString(",")}],""" +
         s""""queries":{${perQuery.mkString(",")}}}"""
       System.err.println(
-        s"[clustergate] gate: $matched/${GateQueries.size} matched, " +
+        s"[clustergate] gate: $matched/${gateSet.size} matched, " +
           s"multi_jvm=$multiJvm")
+    }
+
+    if (mode == "chaos") {
+      val chaosUnknown = (RecoveryQueries ++ CheckpointQueries)
+        .filterNot(SparkEntry.queries.contains)
+      require(chaosUnknown.isEmpty, s"unknown chaos queries: $chaosUnknown")
+      val code = runChaos(sfDir, out)
+      if (code != 0) exitCode = code
     }
 
     if (mode == "soak" || mode == "all") {
@@ -311,8 +575,13 @@ object ClusterGate {
 
     val line = s"""{${out.toString},"exit":$exitCode}"""
     println(line)
+    val defaultOut = mode match {
+      case "chaos" => "CHAOS.json"
+      case "wide"  => "CLUSTERGATE_wide.json"
+      case _       => "CLUSTERGATE.json"
+    }
     try Files.writeString(Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_CLUSTERGATE_OUT", "CLUSTERGATE.json")),
+      sys.env.getOrElse("SPARK_GRAFT_CLUSTERGATE_OUT", defaultOut)),
       line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[clustergate] artifact write failed: ${e.getMessage}")
