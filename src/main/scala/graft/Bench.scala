@@ -121,8 +121,15 @@ object Bench {
     // the series to default vs production, full vs partial). The
     // duplicated canary keys (front + tail, identical values) are a
     // standing design choice — every JSON parser keeps the last.
+    // full JSON string escape (ADVICE r11): a backslash or control
+    // character in the env var must not produce an invalid artifact
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val subsetJson = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(v => "\"" + v.replace("\"", "") + "\"").getOrElse("false")
+      .map(jstr).getOrElse("false")
     val profileName = if (prod) "production" else "default"
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
