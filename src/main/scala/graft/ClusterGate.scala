@@ -563,6 +563,7 @@ object ClusterGate {
           s""""layers":{${report.layers.map { case (k, v) =>
             s"${jstr(k)}:$v" }.mkString(",")}},""" +
           s""""mismatches":[${report.mismatches.map(jstr).mkString(",")}],""" +
+          s""""throughput":[${report.phases.map(_.json).mkString(",")}],""" +
           s""""ok":$ok}"""
         System.err.println(s"[clustergate] soak: ok=$ok layers=" +
           report.layers.map { case (k, v) => s"$k=$v" }.mkString(","))

@@ -226,7 +226,33 @@ object Soak {
   private def diff(got: DataFrame, twin: DataFrame): Long =
     got.exceptAll(twin).count() + twin.exceptAll(got).count()
 
-  case class SoakReport(layers: Seq[(String, Long)], mismatches: Seq[String])
+  case class SoakReport(layers: Seq[(String, Long)], mismatches: Seq[String],
+      phases: Seq[PhaseStats] = Nil)
+
+  /** Per-phase streaming throughput (VERDICT r11 task 5): input rows per
+    * query (from each query's StreamingQueryProgress) over the phase's
+    * wall time, so streaming-rate regressions become visible
+    * round-over-round the way batch ones are. The fixture is tiny —
+    * the value of the metric is its TREND, not its magnitude. */
+  case class PhaseStats(phase: String, wallSec: Double,
+      inputRows: Seq[(String, Long)]) {
+    def json: String = {
+      val qs = inputRows.map { case (n, r) =>
+        f""""$n":{"input_rows":$r,"rows_per_sec":${r / math.max(wallSec, 1e-9)}%.1f}"""
+      }.mkString(",")
+      f"""{"phase":"$phase%s","wall_sec":$wallSec%.2f,"queries":{$qs%s}}"""
+    }
+  }
+
+  /** startAll's query order, for stats labeling. */
+  val QueryNames: Seq[String] =
+    Seq("traffic", "uv", "repair", "trade", "early", "dim")
+
+  private def phaseStats(phase: String, qs: Seq[StreamingQuery],
+      wallSec: Double): PhaseStats =
+    PhaseStats(phase, wallSec, QueryNames.zip(qs).map { case (n, q) =>
+      n -> q.recentProgress.map(_.numInputRows).sum
+    })
 
   private def write(root: String, bus: String, name: String,
       lines: Seq[String]): Unit = {
@@ -238,26 +264,29 @@ object Soak {
   /** Process-1 work: phase-1 input on the bus, all six queries started
     * and drained once. Queries are left RUNNING — the caller either
     * stops them (in-process soak) or halts the JVM (hard-kill soak). */
-  def runPhase1(spark: SparkSession, root: String): Seq[StreamingQuery] = {
+  def runPhase1(spark: SparkSession, root: String)
+      : (Seq[StreamingQuery], PhaseStats) = {
     write(root, "log", "f1.json", logPhase1)
     write(root, "db", "f1.json", dbPhase1)
     // canonical config copies for the twin replay + the live pointer
     writeCfg(root, "v1.json", cfgV1)
     writeCfg(root, "v2.json", cfgV2)
     writeCfg(root, "current.json", cfgV1)
+    val t0 = System.nanoTime()
     val qs = startAll(spark, root)
     qs.foreach(_.processAllAvailable())
-    qs
+    (qs, phaseStats("phase1", qs, (System.nanoTime() - t0) / 1e9))
   }
 
   /** Process-2 work: phase-2 input (landed "during the outage"),
     * recovery from the on-disk checkpoints, drain, watermark flush. */
-  def runPhase2(spark: SparkSession, root: String): Unit = {
+  def runPhase2(spark: SparkSession, root: String): PhaseStats = {
     write(root, "log", "f2.json", logPhase2)
     write(root, "db", "f2.json", dbPhase2)
     // the config CHANGE lands during the outage: every post-restart
     // micro-batch must route under v2, no pre-kill batch ever saw it
     writeCfg(root, "current.json", cfgV2)
+    val t0 = System.nanoTime()
     val qs = startAll(spark, root)
     try {
       qs.foreach(_.processAllAvailable())
@@ -270,13 +299,15 @@ object Soak {
       write(root, "log", "flush2.json", logFlush(D2 + 3700000L))
       write(root, "db", "flush2.json", dbFlush(S0 + 7300))
       qs.foreach(_.processAllAvailable())
+      phaseStats("phase2", qs, (System.nanoTime() - t0) / 1e9)
     } finally qs.foreach(_.stop())
   }
 
-  // production state profile for the streaming queries (AQE is
-  // auto-disabled inside stateful streaming queries; the state store
-  // is the profile knob that matters here)
-  val prodConfs: Seq[(String, String)] = Seq(
+  // RocksDB state-store block, applied in BOTH profiles (the r11
+  // rename: the real production layering lives in session(); AQE is
+  // auto-disabled inside stateful streaming queries, so the state
+  // store is the knob that matters here)
+  val stateStoreConfs: Seq[(String, String)] = Seq(
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
@@ -287,12 +318,13 @@ object Soak {
     * two-process hard-kill variant (`main` phase1/phase2, driven by
     * scripts/soak.sh) replaces the graceful stop with Runtime.halt. */
   def runSoak(spark: SparkSession, root: String): SoakReport = {
-    val saved = prodConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    prodConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val saved = stateStoreConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    stateStoreConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
-      runPhase1(spark, root).foreach(_.stop())
-      runPhase2(spark, root)
-      compare(spark, root)
+      val (qs1, p1) = runPhase1(spark, root)
+      qs1.foreach(_.stop())
+      val p2 = runPhase2(spark, root)
+      compare(spark, root).copy(phases = Seq(p1, p2))
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
@@ -417,15 +449,17 @@ object Soak {
     b.config("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_SOAK_PARTITIONS",
         if (prod) "4096" else "8"))
-    prodConfs.foreach { case (k, v) => b.config(k, v) }
+    stateStoreConfs.foreach { case (k, v) => b.config(k, v) }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
 
-  private def report(spark: SparkSession, root: String): Unit = {
+  private def report(spark: SparkSession, root: String,
+      phases: Seq[PhaseStats]): Unit = {
     val r = compare(spark, root)
     r.layers.foreach { case (l, c) => println(f"$l%-26s $c%5d rows") }
+    phases.foreach(p => println(s"soak_throughput ${p.json}"))
     spark.stop()
     if (r.mismatches.nonEmpty) {
       r.mismatches.foreach(m => System.err.println(s"MISMATCH $m"))
@@ -451,20 +485,22 @@ object Soak {
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("phase1") =>
       val spark = session()
-      runPhase1(spark, args(1))
+      val (_, p1) = runPhase1(spark, args(1))
+      println(s"soak_throughput ${p1.json}")
       println("phase1 drained — halting the JVM WITHOUT stopping queries")
       System.out.flush()
       Runtime.getRuntime.halt(0) // hard kill: skips hooks and stop()
     case Some("phase2") =>
       val spark = session()
-      runPhase2(spark, args(1))
-      report(spark, args(1))
+      val p2 = runPhase2(spark, args(1))
+      report(spark, args(1), Seq(p2))
     case other =>
       val root = other.getOrElse(
         Files.createTempDirectory("graft_soak").toString)
       val spark = session()
-      runPhase1(spark, root).foreach(_.stop())
-      runPhase2(spark, root)
-      report(spark, root)
+      val (qs1, p1) = runPhase1(spark, root)
+      qs1.foreach(_.stop())
+      val p2 = runPhase2(spark, root)
+      report(spark, root, Seq(p1, p2))
   }
 }
