@@ -193,6 +193,88 @@ object ScaleProbe {
     }
   }
 
+  /** `yield` mode (VERDICT r11 task 4): q211_cluster_yield — the q110
+    * MinHash→CC chain plus a token census — probed on synthetic corpora
+    * with PLANTED near-dup families (the ×N replicated-table probe is
+    * wrong for the dedup chain: it duplicates doc_id primary keys).
+    * Every 10th..10th+2 doc trio shares 38 of ~39 tokens (pairwise
+    * Jaccard ≈ 0.95, above the 90% verify threshold), the rest are
+    * all-unique, so the cluster census the query aggregates is ~N/10
+    * real 3-doc clusters at any N — the family machinery scales with
+    * the corpus, not with a fixture artifact. */
+  def yieldProbe(spark: SparkSession, ns: Seq[Int]): Unit = {
+    var warmed = false
+    ns.foreach { n =>
+      val dst = s"/tmp/scale_yield_$n"
+      if (!new java.io.File(dst).exists()) {
+        spark.range(n).selectExpr(
+          "id AS doc_id",
+          // family head = id - id%10; members 0,1,2 of each decade
+          // share the 38 family tokens and add one unique token
+          """concat(
+            | CASE WHEN id % 10 < 3 THEN
+            |   concat_ws(' ', transform(sequence(1, 38),
+            |     i -> substr(md5(concat('fam-', id - id % 10, '-', i)), 1, 8)))
+            | ELSE
+            |   concat_ws(' ', transform(sequence(1, 38),
+            |     i -> substr(md5(concat('uniq-', id, '-', i)), 1, 8)))
+            | END,
+            | ' ', substr(md5(concat('tail-', id)), 1, 8))""".stripMargin
+            + " AS text",
+          "'en' AS lang")
+          .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      }
+      // untimed warm pass at the first size: the chain's first run
+      // carries cold JIT (measured 8.96 s vs 3.7 s warm), which would
+      // fake a flat or negative exponent
+      if (!warmed) { graft.queries.Advanced.clusterYield(spark, dst).count()
+        warmed = true }
+      val t0 = System.nanoTime()
+      val rows = graft.queries.Advanced.clusterYield(spark, dst).count()
+      println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  q211 cluster_yield " +
+        f"(docs=$n, size-census rows=$rows)")
+    }
+  }
+
+  /** `lsheval` mode (VERDICT r11 task 4): q184_lsh_eval — sketch
+    * precision/recall against exact ground truth. The truth side is
+    * all-pairs over the 25% eval slice BY CONSTRUCTION (brute force is
+    * what makes it truth), so the expected growth is QUADRATIC in the
+    * slice; the probe measures that honestly. The 100 TB device is to
+    * cap the eval slice at an absolute size (truth cost is then
+    * constant), not to make the truth join clever. Corpus: fixed
+    * 60-word vocabulary (so the ≤63-bit mask device is exact), ~20
+    * words per doc, every 10th trio sharing a word set. */
+  def lshEvalProbe(spark: SparkSession, ns: Seq[Int]): Unit = {
+    var warmed = false
+    ns.foreach { n =>
+      val dst = s"/tmp/scale_lsheval_$n"
+      if (!new java.io.File(dst).exists()) {
+        spark.range(n).selectExpr(
+          "id AS doc_id",
+          // words drawn deterministically from vocab w00..w59; family
+          // trios (id%10<3) share the head's draw and append one extra
+          """concat_ws(' ',
+            | transform(sequence(1, 20),
+            |   i -> concat('w', conv(substr(md5(concat(
+            |     CASE WHEN id % 10 < 3 THEN id - id % 10 ELSE id END,
+            |     ':', i)), 1, 4), 16, 10) % 60)),
+            | CASE WHEN id % 10 = 1 THEN 'extraone'
+            |      WHEN id % 10 = 2 THEN 'extratwo' ELSE '' END)"""
+            .stripMargin + " AS text",
+          "'en' AS lang")
+          .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      }
+      if (!warmed) { graft.queries.TextOps.lshEval(spark, dst).collect()
+        warmed = true }
+      val t0 = System.nanoTime()
+      val r = graft.queries.TextOps.lshEval(spark, dst).collect().head
+      println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  q184 lsh_eval " +
+        f"(docs=$n, truth=${r.getLong(0)}, pred=${r.getLong(1)}, " +
+        f"hit=${r.getLong(2)})")
+    }
+  }
+
   /** `cumsum` mode: the q271 two-phase prefix sum at order counts far
     * past the testdata (the r7 verdict's named scale-killer, fixed in
     * r8) — synthetic orders with deterministic prices at N and 10N
@@ -284,6 +366,26 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("yield")) {
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      yieldProbe(spark, if (args.length > 1)
+        args.drop(1).toSeq.map(_.toInt) else Seq(5000, 15000, 45000))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("lsheval")) {
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      lshEvalProbe(spark, if (args.length > 1)
+        args.drop(1).toSeq.map(_.toInt) else Seq(5000, 15000, 45000))
+      spark.stop(); return
+    }
     if (args.headOption.contains("sssp")) {
       val spark = SparkSession.builder().master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
