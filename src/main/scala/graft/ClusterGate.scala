@@ -425,12 +425,53 @@ object ClusterGate {
       SparkSession.clearDefaultSession()
     }
 
+    // (d) STREAMING: executor loss mid-stream. The full soak protocol
+    // (6 concurrent checkpointed queries, hard restart, config change)
+    // runs under the cluster master, and one executor is SIGKILLed
+    // between phase-2 micro-batches — with day-2 windows, stream-stream
+    // join state and EarlyFire timers open. The RocksDB state stores
+    // that lived on the dead executor must reload from checkpoint +
+    // changelog on the survivor/respawn, and every sink must STILL
+    // equal its batch twin. This is the executor-churn case a real
+    // cluster hits weekly; the soak's own kill (Runtime.halt) only
+    // covered whole-driver death.
+    val sparkC = buildSession(ClusterMaster)
+    if (prodProfile) sparkC.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_SOAK_PARTITIONS", "128"))
+    var streamJson = ""
+    try {
+      val root = Files.createTempDirectory("graft_chaos_soak").toString
+      var killedS = Seq.empty[String]
+      val report = graft.apps.Soak.runSoak(sparkC, root, () => {
+        val v = liveExecutors(sparkC, 2).head
+        sigkill(v)
+        killedS = Seq(v)
+        System.err.println(s"[chaos] SIGKILLed $v mid-stream " +
+          "(phase 2, open windows + join state + timers)")
+      })
+      val ok = report.mismatches.isEmpty && killedS.nonEmpty &&
+        report.layers.forall(_._2 > 0)
+      if (!ok) exitCode = 1
+      System.err.println(s"[chaos] streaming: ok=$ok layers=" +
+        report.layers.map { case (k, v) => s"$k=$v" }.mkString(","))
+      streamJson = s"""{"killed":[${killedS.map(jstr).mkString(",")}],""" +
+        s""""layers":{${report.layers.map { case (k, v) =>
+          s"${jstr(k)}:$v" }.mkString(",")}},""" +
+        s""""mismatches":[${report.mismatches.map(jstr).mkString(",")}],""" +
+        s""""ok":$ok}"""
+    } finally {
+      sparkC.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+
     out ++= s""""chaos":{"master":${jstr(ClusterMaster)},""" +
       s""""profile":"${if (prodProfile) "production" else "default"}",""" +
       s""""recovery":{${recoveryJson.mkString(",")}},""" +
       s""""loud_failure":$loudJson,""" +
       s""""escape_hatch":{"checkpoint_dir":${jstr(ckptDir)},""" +
-      s"${escapeJson.mkString(",")}}}"
+      s"${escapeJson.mkString(",")}}," +
+      s""""streaming":$streamJson}"""
     exitCode
   }
 

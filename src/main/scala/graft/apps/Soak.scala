@@ -280,7 +280,8 @@ object Soak {
 
   /** Process-2 work: phase-2 input (landed "during the outage"),
     * recovery from the on-disk checkpoints, drain, watermark flush. */
-  def runPhase2(spark: SparkSession, root: String): PhaseStats = {
+  def runPhase2(spark: SparkSession, root: String,
+      midPhaseHook: () => Unit = () => ()): PhaseStats = {
     write(root, "log", "f2.json", logPhase2)
     write(root, "db", "f2.json", dbPhase2)
     // the config CHANGE lands during the outage: every post-restart
@@ -290,6 +291,11 @@ object Soak {
     val qs = startAll(spark, root)
     try {
       qs.foreach(_.processAllAvailable())
+      // chaos hook (ClusterGate chaos mode): runs BETWEEN micro-batches
+      // with day-2 windows, join state and timers open — an executor
+      // SIGKILL here forces the state stores to reload on surviving/
+      // respawned executors from checkpoint + changelog
+      midPhaseHook()
       write(root, "db", "f3.json", dbPhase2b)
       qs.foreach(_.processAllAvailable())
       // two flush steps so the post-watermark finalization batch runs
@@ -317,13 +323,14 @@ object Soak {
     * during the outage → restart → flush → twin compare. The
     * two-process hard-kill variant (`main` phase1/phase2, driven by
     * scripts/soak.sh) replaces the graceful stop with Runtime.halt. */
-  def runSoak(spark: SparkSession, root: String): SoakReport = {
+  def runSoak(spark: SparkSession, root: String,
+      midPhase2Hook: () => Unit = () => ()): SoakReport = {
     val saved = stateStoreConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
     stateStoreConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val (qs1, p1) = runPhase1(spark, root)
       qs1.foreach(_.stop())
-      val p2 = runPhase2(spark, root)
+      val p2 = runPhase2(spark, root, midPhase2Hook)
       compare(spark, root).copy(phases = Seq(p1, p2))
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
