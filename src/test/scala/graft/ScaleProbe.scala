@@ -243,8 +243,16 @@ object ScaleProbe {
     * slice; the probe measures that honestly. The 100 TB device is to
     * cap the eval slice at an absolute size (truth cost is then
     * constant), not to make the truth join clever. Corpus: fixed
-    * 60-word vocabulary (so the ≤63-bit mask device is exact), ~20
-    * words per doc, every 10th trio sharing a word set. */
+    * 60-word vocabulary — FAITHFUL to the shipped documents table,
+    * whose vocabulary is 31 distinct words at every SF (measured; the
+    * bounded vocab is what makes q184's ≤63-bit mask device exact).
+    * Families are planted at ids {0,4,8} of each 40-block so members
+    * survive the 25% eval-slice filter (doc_id % 4 = 0) and both truth
+    * and pred are non-empty at any N. Note the bounded vocab also
+    * collapses the minhash value space, so the LSH pred side bucket-
+    * degenerates with the corpus — which is exactly why the measured
+    * pre-cap exponent was ~1.8 and why the fix is an absolute slice
+    * cap, not a cleverer join. */
   def lshEvalProbe(spark: SparkSession, ns: Seq[Int]): Unit = {
     var warmed = false
     ns.foreach { n =>
@@ -253,14 +261,15 @@ object ScaleProbe {
         spark.range(n).selectExpr(
           "id AS doc_id",
           // words drawn deterministically from vocab w00..w59; family
-          // trios (id%10<3) share the head's draw and append one extra
+          // trios at ids {0,4,8} of each 40-block share the head's draw
+          // (+1 extra word)
           """concat_ws(' ',
             | transform(sequence(1, 20),
             |   i -> concat('w', conv(substr(md5(concat(
-            |     CASE WHEN id % 10 < 3 THEN id - id % 10 ELSE id END,
-            |     ':', i)), 1, 4), 16, 10) % 60)),
-            | CASE WHEN id % 10 = 1 THEN 'extraone'
-            |      WHEN id % 10 = 2 THEN 'extratwo' ELSE '' END)"""
+            |     CASE WHEN id % 40 IN (0, 4, 8) THEN id - id % 40
+            |          ELSE id END, ':', i)), 1, 4), 16, 10) % 60)),
+            | CASE WHEN id % 40 = 4 THEN 'extraone'
+            |      WHEN id % 40 = 8 THEN 'extratwo' ELSE '' END)"""
             .stripMargin + " AS text",
           "'en' AS lang")
           .write.mode("overwrite").parquet(s"$dst/documents.parquet")
