@@ -175,7 +175,7 @@ object ClusterGate {
     * sorted sequence. Mirrors the driver's DuckDB compare discipline
     * (sort columns, hash values) — valid for the exact-set queries,
     * whose outputs are partition-order-independent by construction. */
-  private def fingerprint(df: DataFrame): (Long, String) = {
+  private[graft] def fingerprint(df: DataFrame): (Long, String) = {
     // ADVICE r11: string VALUES must not be able to alias a render
     // boundary — a string containing the field sep (0x01), ',' (the
     // seq/map/struct sep), a bracket, '=' or NUL (the null marker)
