@@ -251,7 +251,9 @@ object ClusterGate {
   /** Queries whose final collect has no truncated lineage anywhere on
     * its path — eligible for the recompute-and-match recovery test. */
   val RecoveryQueries: Seq[String] =
-    Seq("q04_join_inner", "q84_dwd_order_detail", "q23_word_count")
+    Seq("q04_join_inner", "q84_dwd_order_detail", "q23_word_count",
+      "q55_topk_agg",           // custom TypedImperativeAggregate buffers
+      "q13_window_tumble_10s")  // window aggregation
   /** The Mat.stable (bounded-frame) queries for (b)/(c). */
   val CheckpointQueries: Seq[String] =
     Seq("q110_minhash_dedup", "q146_bm25_topk", "q155_hybrid_rrf")
