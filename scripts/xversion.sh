@@ -18,11 +18,15 @@ REF=${1:-d9f097b}
 WT="/tmp/graft_xver_src_$REF"
 ROOT=${2:-$(mktemp -d /tmp/graft_xver.XXXXXX)}
 
-if [ ! -d "$WT/target/scala-2.13/classes" ]; then
-  git worktree add -f "$WT" "$REF" >/dev/null
+# gate the cache on a SUCCESS marker, not the classes dir: sbt writes
+# class files incrementally, so a failed compile leaves a partial dir
+# that a bare [ -d ] check would treat as a valid old build
+if [ ! -f "$WT/.compile_ok" ]; then
+  [ -d "$WT" ] || git worktree add -f "$WT" "$REF" >/dev/null
   echo "compiling $REF in $WT ..."
   (cd "$WT" && sbt -batch compile >"$WT/compile.log" 2>&1) \
     || { tail -20 "$WT/compile.log"; exit 3; }
+  touch "$WT/.compile_ok"
 fi
 
 ADD_OPENS=""

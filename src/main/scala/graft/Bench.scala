@@ -121,26 +121,23 @@ object Bench {
     // the series to default vs production, full vs partial). The
     // duplicated canary keys (front + tail, identical values) are a
     // standing design choice — every JSON parser keeps the last.
-    // full JSON string escape (ADVICE r11): a backslash or control
-    // character in the env var must not produce an invalid artifact
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // full JSON string escape (ADVICE r11; shared helper since r12): a
+    // backslash or control character in the env var must not produce
+    // an invalid artifact
     val subsetJson = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(jstr).getOrElse("false")
+      .map(Json.str).getOrElse("false")
     val profileName = if (prod) "production" else "default"
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
       s""""profile":"$profileName","subset":$subsetJson,""" +
       s""""failed":$failedJson,"sf":"$sfDir",""" +
-      f""""canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f,""" +
-      f""""canary_drift":$drift%.3f,"canary_contended":$contended,""" +
+      s""""canary_start_sec":${Json.num(canaryStart, 3)},""" +
+      s""""canary_end_sec":${Json.num(canaryEnd, 3)},""" +
+      s""""canary_drift":${Json.num(drift, 3)},"canary_contended":$contended,""" +
       s""""spread":${jmap(spread)},""" +
       s""""queries":${jmap(med)},""" +
       s""""failed_n":${failed.size},""" +
-      f""""canary_drift":$drift%.3f,"canary_contended":$contended,""" +
+      s""""canary_drift":${Json.num(drift, 3)},"canary_contended":$contended,""" +
       s""""profile":"$profileName","subset":$subsetJson,""" +
       s""""total_sec":$total}"""
     println(line)

@@ -291,6 +291,7 @@ object ClusterGate {
     val started = new java.util.concurrent.atomic.AtomicInteger(0)
     val removed = new java.util.concurrent.atomic.AtomicInteger(0)
     val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val killedAt = new java.util.concurrent.atomic.AtomicLong(Long.MaxValue)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskStart(
           t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
@@ -298,6 +299,7 @@ object ClusterGate {
             fired.compareAndSet(false, true))
           new Thread(() => {
             sigkill(victim)
+            killedAt.set(System.nanoTime())
             System.err.println(s"[chaos] SIGKILLed $victim mid-collect")
           }).start()
       override def onExecutorRemoved(
@@ -308,12 +310,20 @@ object ClusterGate {
     val r = try Right(fingerprint(df)) catch { case e: Throwable =>
       Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
     }
+    val endedAt = System.nanoTime()
     // the removal event is async: give the master a moment to report it
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     while (removed.get() == 0 && System.nanoTime() < deadline)
       Thread.sleep(500)
     spark.sparkContext.removeSparkListener(listener)
-    (r, fired.get() && !alive(victim) && removed.get() > 0)
+    // the loss only counts if the SIGKILL completed BEFORE the collect
+    // returned — otherwise the query ran undisturbed and a match would
+    // be a silent false PASS of the recovery claim (code-review r12)
+    val midQuery = killedAt.get() < endedAt
+    if (fired.get() && !midQuery)
+      System.err.println(s"[chaos] kill landed AFTER the collect — " +
+        "recovery not exercised, leg fails")
+    (r, fired.get() && midQuery && !alive(victim) && removed.get() > 0)
   }
 
   /** SIGKILL every live executor and wait until the processes are gone —
@@ -477,12 +487,7 @@ object ClusterGate {
     exitCode
   }
 
-  private def jstr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  private def jstr(s: String): String = graft.Json.str(s)
 
   case class PassResult(jvms: Seq[String],
       results: Map[String, (Either[String, (Long, String)], Double)])
@@ -540,7 +545,7 @@ object ClusterGate {
       val multiJvm = clu.jvms.size >= 2
       if (!multiJvm) exitCode = 2
       val perQuery = gateSet.map { name =>
-        val sec = f"${clu.results(name)._2}%.2f"
+        val sec = graft.Json.num(clu.results(name)._2, 2)
         (ref.results(name)._1, clu.results(name)._1) match {
           case (Right((nr, hr)), Right((nc, hc))) =>
             val ok = nr == nc && hr == hc

@@ -175,6 +175,11 @@ object Soak {
   /** Start the six concurrent queries against the two buses. */
   private def startAll(spark: SparkSession, root: String)
       : Seq[StreamingQuery] = {
+    // recentProgress is a ring buffer (default 100 entries); a phase
+    // with more micro-batches would silently undercount input_rows in
+    // phaseStats. Widen it far past anything the fixtures can produce
+    // so the throughput metric stays a TOTAL, not a window.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     import spark.implicits._
     val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
     val t = Trigger.ProcessingTime(0)
@@ -236,11 +241,15 @@ object Soak {
     * the value of the metric is its TREND, not its magnitude. */
   case class PhaseStats(phase: String, wallSec: Double,
       inputRows: Seq[(String, Long)]) {
+    // numbers via Json.num: locale-independent rendering (a JVM with
+    // a comma-decimal default locale would corrupt the artifact)
     def json: String = {
       val qs = inputRows.map { case (n, r) =>
-        f""""$n":{"input_rows":$r,"rows_per_sec":${r / math.max(wallSec, 1e-9)}%.1f}"""
+        s""""$n":{"input_rows":$r,"rows_per_sec":${
+          graft.Json.num(r / math.max(wallSec, 1e-9), 1)}}"""
       }.mkString(",")
-      f"""{"phase":"$phase%s","wall_sec":$wallSec%.2f,"queries":{$qs%s}}"""
+      s"""{"phase":"$phase","wall_sec":${graft.Json.num(wallSec, 2)},""" +
+        s""""queries":{$qs}}"""
     }
   }
 

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.queries.Mat.StableOps
+
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -376,7 +378,7 @@ object AnalyticsOps {
 
   /** q364 core over any (arm, x, y) per-user frame. */
   private[queries] def cupedOf(perIn: DataFrame): DataFrame = {
-    val per = perIn.localCheckpoint() // global moments + per-arm pass
+    val per = perIn.stable() // global moments + per-arm pass
     val g = per.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
         sum(col("x") * col("y")).as("sxy"))

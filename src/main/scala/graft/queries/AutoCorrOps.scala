@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.queries.Mat.StableOps
+
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -66,7 +68,7 @@ object AutoCorrOps {
 
   /** q360 core: ACF of a centered daily frame at lags 0..maxLag. */
   private[queries] def acfOf(ys: DataFrame, maxLag: Int): DataFrame = {
-    val y = ys.localCheckpoint() // den + both legs of the lag join
+    val y = ys.stable() // den + both legs of the lag join
     val den = y.agg(sum(col("y") * col("y")).as("den"),
       max(col("n_days")).as("n_days"))
     val ks = y.sparkSession.range(0, maxLag + 1L).select(col("id").as("k"))
@@ -90,8 +92,8 @@ object AutoCorrOps {
     * the ppm squared correlation. */
   private[queries] def xcorrOf(ysA: DataFrame, ysB: DataFrame,
       maxLag: Int): DataFrame = {
-    val a = ysA.localCheckpoint()
-    val b = ysB.localCheckpoint()
+    val a = ysA.stable()
+    val b = ysB.stable()
     val denA = a.agg(sum(col("y") * col("y")).as("den_a"))
     val denB = b.agg(sum(col("y") * col("y")).as("den_b"))
     val ks = a.sparkSession.range(-maxLag.toLong, maxLag + 1L)

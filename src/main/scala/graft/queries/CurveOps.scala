@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.queries.Mat.StableOps
+
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -38,7 +40,7 @@ object CurveOps {
   /** q295: clusters/removals as a function of the Jaccard threshold. */
   def dedupCurve(s: SparkSession, d: String): DataFrame = {
     val pairs = TextOps.ngramJaccard(s, d)
-      .localCheckpoint() // reused by all three thresholds
+      .stable() // reused by all three thresholds
     val frames = ThreshMilli.map { t =>
       val edges = pairs.filter(
         col("inter_size") * 1000 >= col("union_size") * t)
@@ -112,7 +114,7 @@ object CurveOps {
     val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
     val dw = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("word")).distinct()
-      .localCheckpoint() // pair join + per-doc counts
+      .stable() // pair join + per-doc counts
     val nw = dw.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
     val inter = dw.as("a").join(dw.as("b"),
         col("a.word") === col("b.word") &&
@@ -166,8 +168,8 @@ object CurveOps {
     import org.apache.spark.sql.expressions.Window
     def ranked(f: DataFrame) = f.withColumn("rk", row_number().over(
       Window.orderBy(col("rev").desc, col("l_partkey"))))
-    val fr = ranked(full).localCheckpoint()
-    val sr = ranked(samp).localCheckpoint()
+    val fr = ranked(full).stable()
+    val sr = ranked(samp).stable()
     val frames = Seq(10, 50, 100).map { k =>
       val a = fr.filter(col("rk") <= k).select(col("l_partkey"))
       val b = sr.filter(col("rk") <= k).select(col("l_partkey"))

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.queries.Mat.StableOps
+
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -51,7 +53,7 @@ object DensityOps {
     val cells = pts.groupBy(col("gx"), col("gy"))
       .agg(count(lit(1)).as("n"))
       .withColumn("id", (col("gx") + 500L) * 100000L + col("gy") + 500L)
-      .localCheckpoint() // consumed by core, border, and census below
+      .stable() // consumed by core, border, and census below
     val core = cells.filter(col("n") >= MinPts)
     val nbrs = (for (dx <- -1 to 1; dy <- -1 to 1
       if dx != 0 || dy != 0) yield (dx, dy))
@@ -66,7 +68,7 @@ object DensityOps {
     val comp = core.join(cc, Seq("id"), "left")
       .select(col("gx"), col("gy"), col("n"),
         coalesce(col("cluster_rep"), col("id")).as("component"))
-      .localCheckpoint() // consumed twice (core census + border probe)
+      .stable() // consumed twice (core census + border probe)
     val corePts = comp.select(col("gx"), col("gy"), col("component"),
       col("n"))
     // border: non-core cells with ≥1 core neighbor, smallest component

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.queries.Mat.StableOps
+
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -83,7 +85,7 @@ object EvalOps {
       StructField("vec_id", LongType, false),
       StructField("coverage_d2", LongType, false),
       StructField("label", IntegerType, false)))
-    val qv = qv0.localCheckpoint() // scanned k times below
+    val qv = qv0.stable() // scanned k times below
     // headOption, not (0): an empty embeddings table has no seed — the
     // greedy trace is the empty frame, not an ArrayIndexOutOfBounds
     // from the internal single-row read.
@@ -96,7 +98,7 @@ object EvalOps {
     // driver-side class (k-means centroids precedent): K rows total
     var picks = List((1L, seed.getLong(0), 0L, seed.getInt(1)))
     var center = seed.getSeq[Long](2)
-    var state = qv.withColumn("mind", d2To(center)).localCheckpoint()
+    var state = qv.withColumn("mind", d2To(center)).stable()
     for (r <- 2 to k) {
       val top = state.orderBy(col("mind").desc, col("vec_id")).limit(1)
         .select(col("vec_id"), col("label"), col("q"), col("mind"))
@@ -105,7 +107,7 @@ object EvalOps {
       center = top.getSeq[Long](2)
       if (r < k)
         state = state.withColumn("mind",
-          least(col("mind"), d2To(center))).localCheckpoint()
+          least(col("mind"), d2To(center))).stable()
     }
     s.createDataFrame(
       s.sparkContext.parallelize(
@@ -137,7 +139,7 @@ object EvalOps {
         "array_sort(collect_list(struct(pos, word))), x -> x.word), ' ')")
         .as("phrase"),
         count(lit(1)).as("plen"))
-      .localCheckpoint() // feeds occ twice (word stats + phrase score)
+      .stable() // feeds occ twice (word stats + phrase score)
     val occ = seg.join(phrases.select(col("doc_id"), col("seg"),
       col("plen")), Seq("doc_id", "seg"))
     val wscore = occ.groupBy(col("word"))
@@ -159,7 +161,7 @@ object EvalOps {
   private[queries] def ariOf(assign: DataFrame): DataFrame = {
     val cells = assign.groupBy(col("cluster"), col("label"))
       .agg(count(lit(1)).as("nij"))
-      .localCheckpoint() // bounded contingency; feeds 4 aggregates
+      .stable() // bounded contingency; feeds 4 aggregates
     val iP = cells.agg(
       sum(expr("(nij * (nij - 1)) div 2")).as("i_pairs"),
       sum(col("nij")).as("n"),
@@ -244,7 +246,7 @@ object EvalOps {
     * uncertainty term ȳ(10⁶−ȳ) — REL−RES+UNC ≈ Brier with truncation
     * drift only (both engines share every truncation). */
   private[queries] def brierOf(scored: DataFrame): DataFrame = {
-    val bk = decileBucketed(scored).localCheckpoint() // buckets + ȳ
+    val bk = decileBucketed(scored).stable() // buckets + ȳ
     val yb = bk
       .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("ksum"),
         count(lit(1)).as("nn"))
@@ -267,7 +269,7 @@ object EvalOps {
       .withColumn("res_xn",
         expr("n * (acc_ppm - ybar_ppm) * (acc_ppm - ybar_ppm)"))
       .withColumn("unc_ppm2", expr("ybar_ppm * (1000000 - ybar_ppm)"))
-      .localCheckpoint() // ≤10 rows; feeds the output AND the total
+      .stable() // ≤10 rows; feeds the output AND the total
     val total = per
       .agg(sum(col("n")).as("tn"), sum(col("conf_ppm") * col("n")).as("sc"),
         sum(col("acc_ppm") * col("n")).as("sa"),
@@ -309,7 +311,7 @@ object EvalOps {
         expr("sum_conf div n").as("conf_ppm"),
         expr("n_keep * 1000000 div n").as("acc_ppm"))
       .withColumn("gap_ppm", abs(col("acc_ppm") - col("conf_ppm")))
-      .localCheckpoint() // ≤10 rows; feeds the output AND the ECE row
+      .stable() // ≤10 rows; feeds the output AND the ECE row
     val total = buckets
       .agg(sum(col("n")).as("n"),
         sum(col("conf_ppm") * col("n")).as("sc"),

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.queries.Mat.StableOps
+
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -179,7 +181,7 @@ object GovernanceOps {
         lit(TxCorrection).as("tf"), inf.as("tt"))
     val hist = initialUntouched.unionAll(initialSuperseded)
       .unionAll(correctedClosed).unionAll(correctedOpen)
-      .localCheckpoint() // three point queries below
+      .stable() // three point queries below
     def at(label: String, tx: Long, valid: Long): DataFrame =
       hist.filter(col("tf") <= tx &&
           (col("tt").isNull || col("tt") > tx) &&

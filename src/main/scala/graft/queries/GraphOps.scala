@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.queries.Mat.StableOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -53,10 +55,10 @@ object GraphOps {
         greatest(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .stable()
     val nodes = edges.select(explode(array(col("u"), col("v"))).as("doc_id"))
       .distinct()
-      .localCheckpoint()
+      .stable()
 
     // directed both ways: one row per (node, neighbor)
     def directed(e: DataFrame): DataFrame = e
@@ -79,7 +81,7 @@ object GraphOps {
         .select(col("m").as("u"), col("nbr").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint()
+        .stable()
       val dirS = directed(afterLarge)
       val afterSmall = dirS.join(mins(dirS), Seq("x"))
         .filter(col("nbr") <= col("x"))
@@ -88,7 +90,7 @@ object GraphOps {
           .select(col("m").as("u"), col("x").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint()
+        .stable()
       // fixpoint test on the normalized edge set: same cardinality and
       // empty one-sided difference ⇒ equal sets
       converged = afterSmall.count() == edges.count() &&
@@ -128,7 +130,7 @@ object GraphOps {
   def graphStats(s: SparkSession, d: String): DataFrame = {
     val e = TextOps.ngramJaccard(s, d)
       .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint() // 3 consumers; candidate generation is the cost
+      .stable() // 3 consumers; candidate generation is the cost
     val deg = e.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
     val tri = e.as("e1")
@@ -171,13 +173,13 @@ object GraphOps {
         struct(col("doc_a").as("u"), col("doc_b").as("v")),
         struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-      .distinct().localCheckpoint()
+      .distinct().stable()
     val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+      .stable()
     val n = deg.count()
     val base = (15L * PrScale) / (100L * n)
     var ranks = deg.select(col("u").as("doc_id"),
-      lit(PrScale / n).as("rank")).localCheckpoint()
+      lit(PrScale / n).as("rank")).stable()
     for (_ <- 1 to PrIters) {
       val transfer = ranks.join(deg, ranks("doc_id") === deg("u"))
         .select(col("doc_id").as("src"), expr("rank div deg").as("t"))
@@ -186,7 +188,7 @@ object GraphOps {
         .agg(sum(col("t")).as("tin"))
         .select(col("doc_id"),
           (lit(base) + expr("(85 * tin) div 100")).as("rank"))
-        .localCheckpoint()
+        .stable()
     }
     ranks
   }
@@ -212,11 +214,11 @@ object GraphOps {
         struct(col("doc_a").as("u"), col("doc_b").as("v")),
         struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-      .distinct().localCheckpoint()
+      .distinct().stable()
     val src = edges.agg(min(col("u"))).first().getLong(0)
     var visited = edges.sparkSession.range(1)
       .select(lit(src).as("doc_id"), lit(0L).as("hops"))
-      .localCheckpoint()
+      .stable()
     var frontier = visited
     var round = 0
     while (round < BfsMaxHops && !frontier.isEmpty) {
@@ -226,8 +228,8 @@ object GraphOps {
         .select(col("v").as("doc_id")).distinct()
         .join(visited.select(col("doc_id")), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), lit(round.toLong).as("hops"))
-        .localCheckpoint()
-      visited = visited.unionAll(frontier).localCheckpoint()
+        .stable()
+      visited = visited.unionAll(frontier).stable()
     }
     visited.orderBy(col("doc_id"))
   }
@@ -263,7 +265,7 @@ object GraphOps {
         struct(col("doc_a").as("u"), col("doc_b").as("v")),
         struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-      .distinct().localCheckpoint() // deg + the moment pass
+      .distinct().stable() // deg + the moment pass
     val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     edges
       .join(deg, "u")
@@ -310,7 +312,7 @@ object GraphOps {
         col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
       .groupBy(col("x.pk").as("u"), col("y.pk").as("v"))
       .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-      .select("u", "v").localCheckpoint()
+      .select("u", "v").stable()
     var n = edges.count()
     var converged = false
     var round = 0
@@ -318,11 +320,11 @@ object GraphOps {
       val keep = edges.select(explode(array(col("u"), col("v"))).as("n"))
         .groupBy("n").agg(count(lit(1)).as("d"))
         .filter(col("d") >= CoreK).select("n")
-        .localCheckpoint()
+        .stable()
       val next = edges
         .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
-        .localCheckpoint()
+        .stable()
       val m = next.count()
       converged = m == n
       edges = next; n = m; round += 1

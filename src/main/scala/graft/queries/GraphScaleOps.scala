@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.queries.Mat.StableOps
+
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -63,11 +65,11 @@ object GraphScaleOps {
     * orientation, integer clustering coefficient. Output contract
     * identical to q174. */
   private[graft] def triangleCensusOf(pairs: DataFrame): DataFrame = {
-    val p = pairs.localCheckpoint() // deg + orientation reuse it
+    val p = pairs.stable() // deg + orientation reuse it
     val deg = p
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
-      .localCheckpoint() // orientation (×2) + the final join
+      .stable() // orientation (×2) + the final join
     val withDeg = p
       .join(deg.select(col("doc_id").as("doc_a"), col("degree").as("da")),
         "doc_a")
@@ -81,7 +83,7 @@ object GraphScaleOps {
         when(fwd, col("doc_a")).otherwise(col("doc_b")).as("src"),
         when(fwd, col("doc_b")).otherwise(col("doc_a")).as("dst"),
         when(fwd, col("db")).otherwise(col("da")).as("deg_dst"))
-      .localCheckpoint() // consumed by o1, o2 and the closing probe o3
+      .stable() // consumed by o1, o2 and the closing probe o3
     // wedge at the rank-min vertex, endpoints in rank order; the
     // closing edge {dst1, dst2}, if present, is oriented dst1 → dst2
     val tris = oriented.as("o1")
@@ -114,7 +116,7 @@ object GraphScaleOps {
     * (degree ≥ 1); bands with no graph node emit nothing. */
   private[queries] def modularityOf(pairs: DataFrame, bands: DataFrame)
       : DataFrame = {
-    val p = pairs.localCheckpoint() // m + intra + deg read it
+    val p = pairs.stable() // m + intra + deg read it
     val deg = p
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
@@ -154,10 +156,10 @@ object GraphScaleOps {
     * graphs. Early-stops on the (count, sum) fixpoint witness within
     * [[SsspRounds]]; rows carry rounds_used/converged (q340 contract). */
   private[graft] def ssspOf(edges: DataFrame, src: Long): DataFrame = {
-    val e = edges.localCheckpoint()
+    val e = edges.stable()
     var dist = e.sparkSession.range(1)
       .select(lit(src).as("part_id"), lit(0L).as("dist"))
-      .localCheckpoint()
+      .stable()
     var cnt = 1L
     var sm = 0L
     var converged = false
@@ -167,7 +169,7 @@ object GraphScaleOps {
         .select(col("v").as("part_id"), (col("dist") + col("w")).as("dist"))
       val next = dist.unionAll(relax)
         .groupBy(col("part_id")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .stable()
       val st = next.agg(count(lit(1)), sum(col("dist"))).first()
       val (nc, ns) = (st.getLong(0), st.getLong(1))
       // distances only decrease and nodes are only added, so an
@@ -199,7 +201,7 @@ object GraphScaleOps {
         struct(col("u"), col("v"), col("w")),
         struct(col("v").as("u"), col("u").as("v"), col("w")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.w").as("w"))
-      .localCheckpoint()
+      .stable()
     // headOption, not first(): a degenerate corpus (no co-purchase pair
     // with support >= 2) leaves the edge set empty — return the empty
     // result with the operator's schema instead of throwing

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.queries.Mat.StableOps
+
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -49,10 +51,10 @@ object KmeansOps {
         .as(Seq("dim", "x")))
       .select(col("vec_id"), col("dim"),
         expr("CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)").as("q"))
-      .localCheckpoint() // consumed 1 + 2·Iters times; explode once
+      .stable() // consumed 1 + 2·Iters times; explode once
     var cent = ex.filter(col("vec_id") < K)
       .select(col("vec_id").as("cell"), col("dim"), col("q").as("cval"))
-      .localCheckpoint()
+      .stable()
     var assign: DataFrame = null
     for (i <- 1 to Iters) {
       val dist = ex.join(broadcast(cent), "dim")
@@ -64,12 +66,12 @@ object KmeansOps {
         .agg(min(col("dist") * 16 + col("cell")).as("packed"))
         .select(col("vec_id"), (col("packed") % 16).as("cell"),
           expr("packed div 16").as("dist"))
-        .localCheckpoint()
+        .stable()
       if (i < Iters)
         cent = assign.join(ex, "vec_id")
           .groupBy(col("cell"), col("dim"))
           .agg(expr("sum(q) div count(1)").as("cval"))
-          .localCheckpoint()
+          .stable()
     }
     assign.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec_id"),

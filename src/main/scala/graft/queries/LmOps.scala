@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.queries.Mat.StableOps
+
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -88,7 +90,7 @@ object LmOps {
     val bg = bigrams(s, d)
     val cvw = bg.filter(col("lang") === TrainLang)
       .groupBy("v", "w").agg(count(lit(1)).as("cnt_vw"))
-      .localCheckpoint() // LM-scale; feeds cv + vsz + the scoring join
+      .stable() // LM-scale; feeds cv + vsz + the scoring join
     val cv = cvw.groupBy("v").agg(sum(col("cnt_vw")).as("cnt_v"))
     // vocabulary size = distinct words of the training slice (both
     // positions — the last word of a doc occurs only as `w`)
@@ -105,7 +107,7 @@ object LmOps {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("sum_ppm"))
       .withColumn("score_ppm", expr("sum_ppm div n_bigrams"))
       .drop("sum_ppm")
-      .localCheckpoint() // feeds the histogram AND the final bucketing
+      .stable() // feeds the histogram AND the final bucketing
     // tertile thresholds from the bounded score histogram
     val hist = scored.groupBy("score_ppm").agg(count(lit(1)).as("c"))
     val cum = hist.withColumn("cum",
@@ -184,7 +186,7 @@ object LmOps {
       val s = st.getDouble(2 * j + 1); if (s < 1e-12) 1.0 else s }
     val f = labeled.selectExpr("y" +: Feats.zipWithIndex.map { case (c, j) =>
       s"(($c - (${mu(j)})) / (${sd(j)})) AS z$j" }: _*)
-      .localCheckpoint() // one corpus pass feeds every iteration
+      .stable() // one corpus pass feeds every iteration
     val xs = "1.0" +: Feats.indices.map(j => s"z$j")
     val k = xs.length
     val ridge = 1e-4 * f.count()
@@ -274,7 +276,7 @@ object LmOps {
     * q138/kmeansTrain posture) and the sigmoid is IEEE-transcendental;
     * LmOpsSpec pins behavior on fixtures and the train slice. */
   def qualityClassifierKeep(s: SparkSession, d: String): DataFrame = {
-    val feats = docFeatures(s, d).localCheckpoint() // feeds train + apply
+    val feats = docFeatures(s, d).stable() // feeds train + apply
     val w = qualityLrTrain(feats)
     feats.withColumn("p", expr(scoreExpr(w)))
       .groupBy("source")

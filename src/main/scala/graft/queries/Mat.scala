@@ -2,32 +2,43 @@ package graft.queries
 
 import org.apache.spark.sql.DataFrame
 
-/** Conf-gated bounded-frame materialization (VERDICT r11 task 1).
+/** Conf-gated bounded-frame materialization (VERDICT r11 task 1;
+  * widened to EVERY query-pack materialization site in r12).
   *
   * The iterative/multi-consumer chains (the q110 MinHash→CC dedup, the
-  * q146/q155 BM25 doc aggregate) materialize bounded intermediate
-  * frames to truncate lineage and stop plan blow-up. The default
-  * device is `localCheckpoint()` — blocks live in executor storage,
-  * fast, no external storage needed — but it TRADES FAULT TOLERANCE
-  * FOR SPEED: lineage is truncated, so losing the executor that holds
-  * a block fails the whole job (loudly — Spark raises
-  * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND; never silent divergence —
-  * measured r11, ClusterGate production run, PLANS §round-11-late).
-  * On a re-run-tolerant batch pipeline that is the right trade; on a
+  * q146/q155 BM25 doc aggregate, the graph/suffix/k-means loops, ...)
+  * materialize bounded intermediate frames to truncate lineage and
+  * stop plan blow-up. The default device is `localCheckpoint()` —
+  * blocks live in executor storage, fast, no external storage needed —
+  * but it TRADES FAULT TOLERANCE FOR SPEED: lineage is truncated, so
+  * losing the executor that holds a block fails the whole job (loudly —
+  * Spark raises CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND; never silent
+  * divergence — measured r11 ClusterGate production run, and
+  * reproduced deliberately by the r12 chaos gate). On a
+  * re-run-tolerant batch pipeline that is the right trade; on a
   * cluster with real executor churn it is not.
   *
-  * `stable(df)` is the one switch point: with
-  * `spark.graft.reliableCheckpoint=true` (or env
+  * `stable(df)` is the one switch point, and since r12 EVERY
+  * `graft.queries` materialization routes through it (`.stable()` via
+  * [[StableOps]]): with `spark.graft.reliableCheckpoint=true` (or env
   * `SPARK_GRAFT_RELIABLE_CHECKPOINT=1` when the conf is unset) it uses
   * a RELIABLE `checkpoint()` instead — partitions written to the
   * checkpoint directory (shared storage on a real cluster: HDFS/S3;
   * here the local FS), which SURVIVES executor loss. Both forms are
   * eager and both truncate lineage, so plan shape and results are
   * identical — the conf changes only where the materialized bytes
-  * live. Verified by ClusterGate's chaos mode: an executor kill
-  * between materialization and consumption fails the default path
-  * loudly and leaves the reliable path correct (fingerprint-identical
-  * to an undisturbed local[4] run).
+  * live, at the cost of writing them to (and re-reading them from)
+  * that storage; checkpoint files also accumulate for the session
+  * (clean the dir between jobs, or enable
+  * `spark.cleaner.referenceTracking.cleanCheckpoints`). Verified by
+  * ClusterGate's chaos mode: an executor kill between materialization
+  * and consumption fails the default path loudly and leaves the
+  * reliable path correct (fingerprint-identical to an undisturbed
+  * local[4] run). Streaming-side materializations (Sinks' per-batch
+  * localCheckpoints) are NOT routed here: a micro-batch frame dies
+  * with its batch and is replayed by the checkpointed source on any
+  * failure, so the streaming recovery story never depends on these
+  * blocks.
   *
   * If no checkpoint dir is set, a temp dir is created as a
   * single-machine convenience; a real cluster MUST point
@@ -37,10 +48,15 @@ import org.apache.spark.sql.DataFrame
 object Mat {
   val ConfKey = "spark.graft.reliableCheckpoint"
 
+  /** Lenient boolean parse, identical for the conf and env paths —
+    * `spark.conf.set(ConfKey, "1")` must enable the hatch, not throw
+    * from deep inside query construction (code-review r12). */
+  private def truthy(v: String): Boolean =
+    v.equalsIgnoreCase("true") || v == "1"
+
   def reliableEnabled(df: DataFrame): Boolean =
-    df.sparkSession.conf.getOption(ConfKey).map(_.toBoolean).getOrElse(
-      sys.env.get("SPARK_GRAFT_RELIABLE_CHECKPOINT")
-        .exists(v => v == "1" || v == "true"))
+    df.sparkSession.conf.getOption(ConfKey).map(truthy).getOrElse(
+      sys.env.get("SPARK_GRAFT_RELIABLE_CHECKPOINT").exists(truthy))
 
   def stable(df: DataFrame): DataFrame =
     if (!reliableEnabled(df)) df.localCheckpoint()

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.queries.Mat.StableOps
+
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -112,7 +114,7 @@ object PackingOps {
     val docs = Tables.documents(s, d)
       .select(col("source"), col("doc_id"), wsTokens.as("toks"),
         mixPriority.as("pri"), substring(mixPriority, 1, 1).as("bucket"))
-      .localCheckpoint() // feeds the totals agg + both admission branches
+      .stable() // feeds the totals agg + both admission branches
     val wb = Window.partitionBy("source").orderBy("bucket")
     val totals = docs.groupBy("source", "bucket")
       .agg(sum(col("toks")).as("btoks"))

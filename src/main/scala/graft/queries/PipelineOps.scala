@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.queries.Mat.StableOps
+
 import graft.Tables
 import graft.functions.VecOps.{vec_dot, vec_norm}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -151,7 +153,7 @@ object PipelineOps {
         concat_ws(":", cell.cast("string"), concat(signBits.toIndexedSeq: _*))
           .as("cluster"),
         transform(col("embedding"), x => x.cast("double") / nrm).as("ne"))
-      .localCheckpoint()
+      .stable()
   }
 
   def semDedup(s: SparkSession, d: String, thr: Double = 0.45): DataFrame = {
@@ -261,7 +263,7 @@ object PipelineOps {
     * trade), ≤8 bounded training passes, then a doc_id equi-join of
     * two doc-scale frames; everything else is q119's audited plan. */
   def curatedCorpusLearned(s: SparkSession, d: String): DataFrame = {
-    val feats = LmOps.docFeatures(s, d).localCheckpoint() // train + apply
+    val feats = LmOps.docFeatures(s, d).stable() // train + apply
     val w = LmOps.qualityLrTrain(feats)
     val scored = feats.select(col("doc_id"),
       expr(LmOps.scoreExpr(w)).as("p"))

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.queries.Mat.StableOps
+
 import graft.Tables
 import graft.functions.GramOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -84,7 +86,7 @@ object SelectionOps {
     * needs survives the renormalization; the raw-count product does
     * not. */
   def dsirSelect(s: SparkSession, d: String): DataFrame = {
-    val f = feats(s, d).localCheckpoint() // feeds both histograms + scoring
+    val f = feats(s, d).stable() // feeds both histograms + scoring
     val tHist = f.filter(col("source") === TargetSrc)
       .groupBy("b").agg(count(lit(1)).as("cnt_t"))
     val rHist = f.filter(col("source") =!= TargetSrc)

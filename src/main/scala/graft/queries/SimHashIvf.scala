@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.queries.Mat.StableOps
+
 import graft.Tables
 import graft.functions.VecOps.{vec_cosine, vec_dot}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -586,7 +588,7 @@ object SimHashPairs {
   def hammingPairs(s: SparkSession, d: String): DataFrame = {
     val classes = SimHashIvf.simhash(s, d)
       .groupBy("simhash").agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .stable()
     // Hamming 0 = pairs of docs sharing a fingerprint: C(n, 2) per class.
     // `div` (integer division) — `/` would go through double and lose
     // exactness once n·(n−1) passes 2^52 on a real corpus.

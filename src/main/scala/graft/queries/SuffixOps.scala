@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.queries.Mat.StableOps
+
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -71,7 +73,7 @@ object SuffixOps {
     // size-count job over its parent, and downstream consumers
     // materialize the RDD again — without the checkpoint each of those
     // re-runs the sort
-    val snapped = df.localCheckpoint()
+    val snapped = df.stable()
     val schema = snapped.schema.add(idxCol, LongType, nullable = false)
     val rdd = snapped.rdd.zipWithIndex().map { case (row, i) =>
       Row.fromSeq(row.toSeq :+ i)
@@ -92,12 +94,12 @@ object SuffixOps {
         explode(expr("sequence(0, length(text) - 1)")).as("p"))
       .select(col("doc_id"), col("p").cast("long").as("pos"),
         expr(s"substring(text, p + 1, ${Block.toInt})").as("blk"))
-      .localCheckpoint() // used twice (alphabet + join) and for maxLen
+      .stable() // used twice (alphabet + join) and for maxLen
     val alphabet = zipOrdered(
       blocks.select("blk").distinct().orderBy("blk"), "r")
     var ranks = blocks.join(alphabet, Seq("blk"))
       .select(col("doc_id"), col("pos"), col("r"))
-      .localCheckpoint()
+      .stable()
     val maxLen = blocks.agg(max(col("pos"))).head() match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0) + 1L
@@ -119,13 +121,13 @@ object SuffixOps {
       }
       val keys = "r" +: (1L until Radix).map(k => s"r$k")
       pairs = pairs.select(col("doc_id") +: col("pos") +: keys.map(col): _*)
-        .localCheckpoint() // used twice: id assignment + the join back
+        .stable() // used twice: id assignment + the join back
       val ids = zipOrdered(
         pairs.select(keys.map(col): _*).distinct()
           .orderBy(keys.map(col): _*), "nr")
       ranks = pairs.join(ids, keys)
         .select(col("doc_id"), col("pos"), col("nr").as("r"))
-        .localCheckpoint()
+        .stable()
       len *= Radix
       levels += ((len, ranks))
     }
@@ -173,7 +175,7 @@ object SuffixOps {
     val ordered = zipOrdered(
       full.orderBy(col("r"), col("doc_id"), col("pos")), "i")
       .select(col("doc_id"), col("pos"), col("i"))
-      .localCheckpoint()
+      .stable()
     // rank-adjacent pairs, keyed by the FIRST row's index
     var pairs = ordered.join(
       ordered.select(col("doc_id").as("bdoc"), col("pos").as("bpos"),
@@ -317,7 +319,7 @@ object SuffixOps {
     val wIn = Window.partitionBy("bkt").orderBy("i")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = rows.withColumn("run_in", sum(col("brk")).over(wIn))
-      .localCheckpoint() // feeds the bucket totals AND the run join
+      .stable() // feeds the bucket totals AND the run join
     val wB = Window.orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
     val bpre = local.groupBy("bkt").agg(sum(col("brk")).as("btot"))

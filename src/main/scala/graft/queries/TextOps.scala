@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.queries.Mat.StableOps
+
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -231,7 +233,7 @@ object TextOps {
     // precisely because the frame is bounded; that precondition is
     // load-bearing for cluster performance, not just for the cache
     val kept = dropHotTokens(shingles, "shingle", dfCap)
-      .coalesce(s.sparkContext.defaultParallelism).localCheckpoint()
+      .coalesce(s.sparkContext.defaultParallelism).stable()
     val counts = kept.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val pairs = kept.as("a")
       .join(kept.as("b"),
@@ -324,7 +326,7 @@ object TextOps {
       .distinct() // identical windows at different positions collapse
     // materialize once: the sketch (hundreds of md5s + an array_sort
     // per document) otherwise re-evaluates on BOTH legs of the self-join
-    val sketch = dropHotTokens(sketch0, "wh", dfCap).localCheckpoint()
+    val sketch = dropHotTokens(sketch0, "wh", dfCap).stable()
     val a = sketch.select(col("doc_id").as("doc_a"), col("wh"))
     val b = sketch.select(col("doc_id").as("doc_b"), col("wh"))
     a.join(b, Seq("wh"))
@@ -362,7 +364,7 @@ object TextOps {
         explode(graft.functions.GramOps.gram_hashes(col("text"), 3))
           .as("shingle"))
       .distinct()
-      .localCheckpoint() // feeds rank table, arrays, and verification
+      .stable() // feeds rank table, arrays, and verification
     // canonical total order: df asc, shingle asc — bounded token domain
     val rank = shingles.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
@@ -374,7 +376,7 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("rk"))).as("rs"),
         count(lit(1)).as("n"))
-      .localCheckpoint()
+      .stable()
     val prefixes = docs.select(col("doc_id"), col("n"),
       explode(expr(
         s"slice(rs, 1, n - (($PpjoinT * n + 99) div 100) + 1)")).as("rk"))
@@ -434,7 +436,7 @@ object TextOps {
     val masks = w.join(broadcast(vocab), Seq("word"))
       .groupBy(col("doc_id"))
       .agg(sum(expr("shiftleft(1L, rank - 1)")).as("m"))
-      .localCheckpoint()
+      .stable()
     val truth = masks.as("a").join(masks.as("b"),
         col("a.doc_id") < col("b.doc_id") &&
           expr("bit_count(a.m & b.m) * 100") >=
@@ -602,7 +604,7 @@ object TextOps {
       s"""WITH wd AS (
          |  SELECT DISTINCT doc_id, word FROM (
          |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
-         |    FROM documents WHERE doc_id % 4 = 0 AND doc_id < 20000)),
+         |    FROM documents WHERE doc_id % 4 = 0 AND doc_id < $EvalSliceCap)),
          |vocab AS (
          |  SELECT word, ROW_NUMBER() OVER (ORDER BY word) AS rank
          |  FROM (SELECT DISTINCT word FROM wd)),
@@ -617,7 +619,7 @@ object TextOps {
          |    90 * CAST(bit_count(a.m | b.m) AS BIGINT)),
          |wall AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
-         |  FROM documents WHERE doc_id % 4 = 0 AND doc_id < 20000),
+         |  FROM documents WHERE doc_id % 4 = 0 AND doc_id < $EvalSliceCap),
          |vh AS MATERIALIZED (
          |  SELECT word,
          |    ${OracleHash.polySql("'s1: ' || word")} AS h1,

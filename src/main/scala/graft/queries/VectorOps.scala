@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.queries.Mat.StableOps
+
 import graft.Tables
 import graft.functions.VecOps.{vec_cosine, vec_dot, vec_norm}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -128,7 +130,7 @@ object VectorOps {
       .select(col("vec_id"), col("ne"), explode(array(bandCols: _*)).as("bb"))
       .select(col("vec_id"), col("ne"),
         col("bb.band").as("band"), col("bb.bval").as("bval"))
-      .localCheckpoint()
+      .stable()
     val a = banded.select(col("band"), col("bval"),
       col("vec_id").as("vec_a"), col("ne").as("na"))
     val b = banded.select(col("band"), col("bval"),

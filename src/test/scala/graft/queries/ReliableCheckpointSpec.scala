@@ -27,16 +27,22 @@ class ReliableCheckpointSpec extends AnyFunSuite {
     val base = queries.map(q => q -> rows(q)).toMap
     spark.conf.set(Mat.ConfKey, "true")
     try {
-      assert(spark.sparkContext.getCheckpointDir.isEmpty ||
-        spark.sparkContext.getCheckpointDir.nonEmpty) // dir state is Mat's
       queries.foreach { q =>
         val got = rows(q)
         assert(got == base(q), s"$q diverged under reliable checkpointing")
         assert(got.nonEmpty, s"$q returned no rows")
       }
-      // the reliable path actually engaged: Mat set a checkpoint dir
-      assert(spark.sparkContext.getCheckpointDir.nonEmpty,
+      // the reliable path actually engaged: checkpoint FILES exist in
+      // the dir Mat set (a dir-nonEmpty check alone could pass
+      // spuriously on the shared session — code-review r12)
+      val dir = spark.sparkContext.getCheckpointDir
+      assert(dir.nonEmpty,
         "reliable path never set a checkpoint dir — conf not honored?")
+      val files = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(new java.net.URI(dir.get).getPath))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, s"checkpoint dir ${dir.get} holds no partition " +
+        "files — checkpoint() never wrote anything")
     } finally spark.conf.unset(Mat.ConfKey)
   }
 
