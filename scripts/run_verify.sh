@@ -12,7 +12,10 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 rm -rf "$OUT"
-exec java $ADD_OPENS -Xmx8g \
+# GRAFT_CLASSES: run from a class SNAPSHOT so a recompile mid-run can't
+# mutate the classpath (the r12 lesson). GRAFT_XMX: raise for larger SFs.
+CLASSES=${GRAFT_CLASSES:-target/scala-2.13/classes}
+exec java $ADD_OPENS -Xmx"${GRAFT_XMX:-8g}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  -cp "$CLASSES:${SPARK_HOME:-/opt/spark}/jars/*" \
   graft.Verify "$SF" "$OUT" ${3:+"$3"}

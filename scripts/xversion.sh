@@ -29,17 +29,20 @@ if [ ! -f "$WT/.compile_ok" ]; then
   touch "$WT/.compile_ok"
 fi
 
+# mirror clustergate.sh's opens (incl. jdk.internal.ref — RocksDB state
+# store needs it on this Spark runtime) and honor $SPARK_HOME (ADVICE r12)
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic \
-         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+         jdk.internal.ref sun.nio.ch sun.nio.cs sun.security.action \
+         sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 run() {
   local cls="$1"; shift
   java $ADD_OPENS -Xmx4g \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-    -cp "$cls:/opt/spark/jars/*" graft.apps.Soak "$@"
+    -cp "$cls:${SPARK_HOME:-/opt/spark}/jars/*" graft.apps.Soak "$@"
 }
 
 echo "phase1 under $REF classes, root=$ROOT"

@@ -311,9 +311,12 @@ object ClusterGate {
       Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
     }
     val endedAt = System.nanoTime()
-    // the removal event is async: give the master a moment to report it
+    // the removal event is async: give the master a moment to report it —
+    // but only if the kill actually fired; a collect with fewer than
+    // KillOnTaskN tasks would otherwise burn the full deadline waiting
+    // for an event that can never come (ADVICE r12)
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-    while (removed.get() == 0 && System.nanoTime() < deadline)
+    while (fired.get() && removed.get() == 0 && System.nanoTime() < deadline)
       Thread.sleep(500)
     spark.sparkContext.removeSparkListener(listener)
     // the loss only counts if the SIGKILL completed BEFORE the collect
@@ -376,10 +379,26 @@ object ClusterGate {
       // checkpoint block, not hang or silently succeed
       val df146 = SparkEntry.queries("q146_bm25_topk")(sparkA, sfDir)
       val killedB = killAllExecutors(sparkA)
-      val loud = try { fingerprint(df146); None } catch {
-        case e: Throwable =>
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName))
-      }
+      // bounded: the pinned behavior is "fails loudly, never hangs" — if
+      // that regressed into a hang, an unguarded collect would hang the
+      // GATE itself instead of failing the leg (ADVICE r12)
+      val loudTask = java.util.concurrent.Executors.newSingleThreadExecutor()
+      val loud = try {
+        val fut = loudTask.submit(
+          new java.util.concurrent.Callable[Option[String]] {
+            def call(): Option[String] =
+              try { fingerprint(df146); None } catch {
+                case e: Throwable =>
+                  Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+              }
+          })
+        try fut.get(180, java.util.concurrent.TimeUnit.SECONDS)
+        catch { case _: java.util.concurrent.TimeoutException =>
+          fut.cancel(true)
+          Some("GATE_TIMEOUT: consume-after-total-loss hung >180s " +
+            "(the 'never hangs' pin regressed)")
+        }
+      } finally loudTask.shutdownNow()
       val failedLoudly = loud.isDefined
       val mentionsCheckpoint = loud.exists(m =>
         m.toUpperCase.contains("CHECKPOINT"))
@@ -454,23 +473,33 @@ object ClusterGate {
     try {
       val root = Files.createTempDirectory("graft_chaos_soak").toString
       var killedS = Seq.empty[String]
-      val report = graft.apps.Soak.runSoak(sparkC, root, () => {
-        val v = liveExecutors(sparkC, 2).head
-        sigkill(v)
-        killedS = Seq(v)
-        System.err.println(s"[chaos] SIGKILLed $v mid-stream " +
-          "(phase 2, open windows + join state + timers)")
-      })
-      val ok = report.mismatches.isEmpty && killedS.nonEmpty &&
-        report.layers.forall(_._2 > 0)
-      if (!ok) exitCode = 1
-      System.err.println(s"[chaos] streaming: ok=$ok layers=" +
-        report.layers.map { case (k, v) => s"$k=$v" }.mkString(","))
-      streamJson = s"""{"killed":[${killedS.map(jstr).mkString(",")}],""" +
-        s""""layers":{${report.layers.map { case (k, v) =>
-          s"${jstr(k)}:$v" }.mkString(",")}},""" +
-        s""""mismatches":[${report.mismatches.map(jstr).mkString(",")}],""" +
-        s""""ok":$ok}"""
+      // an exception from the soak (or the kill hook) must still record
+      // a FAILED leg in the artifact, not skip the write (ADVICE r12)
+      try {
+        val report = graft.apps.Soak.runSoak(sparkC, root, () => {
+          val v = liveExecutors(sparkC, 2).head
+          sigkill(v)
+          killedS = Seq(v)
+          System.err.println(s"[chaos] SIGKILLed $v mid-stream " +
+            "(phase 2, open windows + join state + timers)")
+        })
+        val ok = report.mismatches.isEmpty && killedS.nonEmpty &&
+          report.layers.forall(_._2 > 0)
+        if (!ok) exitCode = 1
+        System.err.println(s"[chaos] streaming: ok=$ok layers=" +
+          report.layers.map { case (k, v) => s"$k=$v" }.mkString(","))
+        streamJson = s"""{"killed":[${killedS.map(jstr).mkString(",")}],""" +
+          s""""layers":{${report.layers.map { case (k, v) =>
+            s"${jstr(k)}:$v" }.mkString(",")}},""" +
+          s""""mismatches":[${report.mismatches.map(jstr).mkString(",")}],""" +
+          s""""ok":$ok}"""
+      } catch { case e: Throwable =>
+        exitCode = 1
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+        System.err.println(s"[chaos] streaming: EXCEPTION $msg")
+        streamJson = s"""{"killed":[${killedS.map(jstr).mkString(",")}],""" +
+          s""""error":${jstr(msg)},"ok":false}"""
+      }
     } finally {
       sparkC.stop()
       SparkSession.clearActiveSession()

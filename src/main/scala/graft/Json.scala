@@ -18,8 +18,12 @@ object Json {
 
   /** Fixed-point number rendering, LOCALE-INDEPENDENT: the default
     * f"%.2f" interpolator uses the JVM default locale, which renders
-    * "12,34" on comma-decimal locales and corrupts the artifact. */
+    * "12,34" on comma-decimal locales and corrupts the artifact.
+    * Non-finite values render as `null` — "NaN"/"Infinity" are not
+    * JSON tokens and would make the artifact unparseable (ADVICE r12). */
   def num(v: Double, decimals: Int): String =
-    String.format(java.util.Locale.ROOT, s"%.${decimals}f",
-      Double.box(v))
+    if (java.lang.Double.isFinite(v))
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f",
+        Double.box(v))
+    else "null"
 }

@@ -234,19 +234,40 @@ object Soak {
   case class SoakReport(layers: Seq[(String, Long)], mismatches: Seq[String],
       phases: Seq[PhaseStats] = Nil)
 
-  /** Per-phase streaming throughput (VERDICT r11 task 5): input rows per
-    * query (from each query's StreamingQueryProgress) over the phase's
-    * wall time, so streaming-rate regressions become visible
-    * round-over-round the way batch ones are. The fixture is tiny —
-    * the value of the metric is its TREND, not its magnitude. */
+  /** Per-query streaming stats for one phase: total input rows plus the
+    * micro-batch duration and end-to-end latency distributions. */
+  case class QueryStats(name: String, inputRows: Long,
+      batchMs: Seq[Long], e2eMs: Seq[Long])
+
+  /** Per-phase streaming throughput (VERDICT r11 task 5) + latency
+    * (VERDICT r12 task 6): input rows per query (from each query's
+    * StreamingQueryProgress) over the phase's wall time, plus p50/p95
+    * micro-batch duration (`batchDuration`) and end-to-end latency
+    * (`durationMs["triggerExecution"]` — source fetch through sink
+    * commit, i.e. the time from a record being visible on the bus to
+    * its output landing in the sink within that batch), so streaming
+    * rate AND latency regressions become visible round-over-round the
+    * way batch ones are. The fixture is tiny — the value of these
+    * metrics is their TREND, not their magnitude. */
   case class PhaseStats(phase: String, wallSec: Double,
-      inputRows: Seq[(String, Long)]) {
+      queries: Seq[QueryStats]) {
+    private def pct(xs: Seq[Long], p: Double): Long =
+      if (xs.isEmpty) 0L
+      else {
+        val s = xs.sorted
+        s(math.max(0, math.min(s.size - 1, math.ceil(p * s.size).toInt - 1)))
+      }
     // numbers via Json.num: locale-independent rendering (a JVM with
     // a comma-decimal default locale would corrupt the artifact)
     def json: String = {
-      val qs = inputRows.map { case (n, r) =>
-        s""""$n":{"input_rows":$r,"rows_per_sec":${
-          graft.Json.num(r / math.max(wallSec, 1e-9), 1)}}"""
+      val qs = queries.map { q =>
+        s""""${q.name}":{"input_rows":${q.inputRows},"rows_per_sec":${
+          graft.Json.num(q.inputRows / math.max(wallSec, 1e-9), 1)},""" +
+          s""""batches":${q.batchMs.size},""" +
+          s""""batch_ms_p50":${pct(q.batchMs, 0.50)},""" +
+          s""""batch_ms_p95":${pct(q.batchMs, 0.95)},""" +
+          s""""e2e_ms_p50":${pct(q.e2eMs, 0.50)},""" +
+          s""""e2e_ms_p95":${pct(q.e2eMs, 0.95)}}"""
       }.mkString(",")
       s"""{"phase":"$phase","wall_sec":${graft.Json.num(wallSec, 2)},""" +
         s""""queries":{$qs}}"""
@@ -260,7 +281,11 @@ object Soak {
   private def phaseStats(phase: String, qs: Seq[StreamingQuery],
       wallSec: Double): PhaseStats =
     PhaseStats(phase, wallSec, QueryNames.zip(qs).map { case (n, q) =>
-      n -> q.recentProgress.map(_.numInputRows).sum
+      val ps = q.recentProgress.toSeq
+      QueryStats(n, ps.map(_.numInputRows).sum,
+        ps.map(_.batchDuration),
+        ps.flatMap(p => Option(p.durationMs.get("triggerExecution"))
+          .map(_.longValue)))
     })
 
   private def write(root: String, bus: String, name: String,
@@ -334,7 +359,12 @@ object Soak {
     * scripts/soak.sh) replaces the graceful stop with Runtime.halt. */
   def runSoak(spark: SparkSession, root: String,
       midPhase2Hook: () => Unit = () => ()): SoakReport = {
-    val saved = stateStoreConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    // save/restore everything the soak mutates on the shared session —
+    // including startAll's progress-ring widening, which otherwise
+    // leaks into subsequent specs (ADVICE r12)
+    val mutated = stateStoreConfs.map(_._1) :+
+      "spark.sql.streaming.numRecentProgressUpdates"
+    val saved = mutated.map(k => k -> spark.conf.getOption(k))
     stateStoreConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val (qs1, p1) = runPhase1(spark, root)

@@ -132,9 +132,17 @@ object BusinessOps {
         Window.orderBy(col("decile"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .crossJoin(broadcast(tot))
+      // ppm math in DECIMAL(38,0): cum_cents*1e7 overflows BIGINT once
+      // total revenue passes ~9e11 cents — found by the r13 sf0.1 full
+      // gate (ANSI ARITHMETIC_OVERFLOW; DuckDB silently widens to
+      // HUGEINT, which is why the sf0.01 gate never saw it). `div` on
+      // decimals is IntegralDivide → BIGINT, and all operands are
+      // positive, so truncation ≡ DuckDB's `//`
       .select(col("decile"), col("n_customers"), col("decile_cents"),
-        expr("cum_cents * 1000000 div total_cents").as("cum_gain_ppm"),
-        expr("cum_cents * 10 * 1000000 div (total_cents * decile)")
+        expr("CAST(cum_cents AS DECIMAL(38,0)) * 1000000 div total_cents")
+          .as("cum_gain_ppm"),
+        expr("CAST(cum_cents AS DECIMAL(38,0)) * 10 * 1000000" +
+          " div (CAST(total_cents AS DECIMAL(38,0)) * decile)")
           .as("lift_ppm"))
       .orderBy(col("decile"))
   }
@@ -365,9 +373,10 @@ object BusinessOps {
         |tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents
         |  FROM scored)
         |SELECT decile, n_customers, decile_cents,
-        |  CAST(cum_cents * 1000000 // total_cents AS BIGINT)
-        |    AS cum_gain_ppm,
-        |  CAST(cum_cents * 10 * 1000000 // (total_cents * decile)
+        |  CAST(CAST(cum_cents AS HUGEINT) * 1000000 // total_cents
+        |    AS BIGINT) AS cum_gain_ppm,
+        |  CAST(CAST(cum_cents AS HUGEINT) * 10 * 1000000
+        |    // (CAST(total_cents AS HUGEINT) * decile)
         |    AS BIGINT) AS lift_ppm
         |FROM cum CROSS JOIN tot ORDER BY decile""".stripMargin,
     "q196_time_to_convert" ->

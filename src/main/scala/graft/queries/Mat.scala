@@ -62,9 +62,18 @@ object Mat {
     if (!reliableEnabled(df)) df.localCheckpoint()
     else {
       val sc = df.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isEmpty)
+      if (sc.getCheckpointDir.isEmpty) {
+        // Auto-creating a driver-local temp dir is only sound when every
+        // task runs on this machine; on a real cluster executors would
+        // write their partitions to their own node-local /tmp and later
+        // reads FileNotFound. Fail fast there instead (ADVICE r12).
+        require(sc.master.startsWith("local"),
+          s"$ConfKey=true on master '${sc.master}' requires " +
+            "sparkContext.setCheckpointDir pointing at SHARED storage " +
+            "(HDFS/S3); refusing to default to a driver-local temp dir")
         sc.setCheckpointDir(java.nio.file.Files
           .createTempDirectory("graft_reliable_ckpt").toString)
+      }
       df.checkpoint()
     }
 

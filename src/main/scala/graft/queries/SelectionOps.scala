@@ -147,9 +147,25 @@ object SelectionOps {
   def bpeTrain(s: SparkSession, d: String, nMerges: Int): Seq[(String, String)] =
     bpeTrainFrom(collectVocab(s, d), nMerges)
 
-  /** One corpus-scale pass: the collected (word, frequency) vocab. */
-  private def collectVocab(s: SparkSession, d: String): Array[(String, Long)] =
+  /** Hard bound on the vocabulary shipped to the driver for BPE
+    * training/encode (VERDICT r12 task 3). SentencePiece-style trainers
+    * cap the seed vocab the same way (top-N by frequency); at 100 TB
+    * web scale the DISTINCT-word set is itself corpus-scale, so the
+    * collect must be bounded by construction, not by assumption. The
+    * cut is a `TakeOrderedAndProject` (bounded per-partition heaps +
+    * driver merge of ≤cap rows per partition), never a full sort, and
+    * the (−cnt, word) ordering keeps it fully deterministic. The cap
+    * exceeds every shipped fixture's distinct-word count (31 at every
+    * SF — measured, NOTES_r13), so tested-SF results are bit-identical
+    * with or without it (SelectionOpsSpec pins this). */
+  private[queries] val VocabCap = 65536
+
+  /** One corpus-scale pass: the collected (word, frequency) vocab,
+    * bounded to the top-`cap` words by (frequency desc, word). */
+  private[queries] def collectVocab(s: SparkSession, d: String,
+      cap: Int = VocabCap): Array[(String, Long)] =
     TextOps.words(s, d).groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("word")).limit(cap)
       .collect().map(r => (r.getString(0), r.getLong(1)))
 
   private def bpeTrainFrom(
