@@ -72,6 +72,14 @@ def main():
         flag = "PASS" if v.startswith("OK") else ("INFO" if v.startswith("ROWS_ONLY") else "FAIL")
         print(f"[{flag}] {k}: {v}")
     print(f"== {ok}/{len(results)} exact matches ==")
+    # optional CORRECTNESS-style artifact (argv[3]): per-query verdicts
+    # keyed like the driver's CORRECTNESS_rN.json, so up-SF gates can be
+    # committed and diffed round-over-round (VERDICT r12 task 1)
+    if len(sys.argv) > 3:
+        with open(sys.argv[3], "w") as f:
+            json.dump({"sf_dir": sfdir, "exact": ok, "n": len(results),
+                       "results": dict(sorted(results.items()))}, f, indent=1)
+        print(f"artifact -> {sys.argv[3]}")
 
 if __name__ == "__main__":
     main()

@@ -12,4 +12,5 @@ OUT=$(mktemp -d /tmp/graft_gate.XXXXXX)
 # inode — codegen ERRORs were invisible in every past gate log)
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} scripts/run_verify.sh "$SF" "$OUT" ${2:+"$2"} \
   > "$OUT.log" 2>&1 || { tail -20 "$OUT.log"; exit 1; }
-python3 scripts/check.py "$SF" "$OUT"
+# GATE_JSON: also write a committable CORRECTNESS-style artifact
+python3 scripts/check.py "$SF" "$OUT" ${GATE_JSON:+"$GATE_JSON"}

@@ -105,8 +105,11 @@ object BusinessOps {
       .crossJoin(broadcast(nOrders))
       .select(col("ante"), col("cons"), col("pair_n"),
         expr("pair_n * 1000000 div n_ante").as("conf_ppm"),
-        expr("pair_n * n_orders * 1000000 div (n_ante * n_cons)")
-          .as("lift_ppm"))
+        // DECIMAL(38,0): pair_n·n_orders·1e6 multiplies two corpus-scale
+        // counts and overflows BIGINT once their product passes ~9e12
+        // (the q208 r13 lesson; oracle HUGEINT in lockstep)
+        expr("CAST(pair_n AS DECIMAL(38,0)) * n_orders * 1000000" +
+          " div (n_ante * n_cons)").as("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("conf_ppm").desc,
         col("ante"), col("cons"))
       .limit(25)
@@ -342,8 +345,8 @@ object BusinessOps {
          |  HAVING COUNT(*) >= $MinSupport)
          |SELECT ante, cons, pair_n,
          |  pair_n * 1000000 // a.n_part AS conf_ppm,
-         |  pair_n * n_orders * 1000000 // (a.n_part * c.n_part)
-         |    AS lift_ppm
+         |  CAST(CAST(pair_n AS HUGEINT) * n_orders * 1000000
+         |    // (a.n_part * c.n_part) AS BIGINT) AS lift_ppm
          |FROM pairs
          |  JOIN pp a ON ante = a.pk
          |  JOIN pp c ON cons = c.pk

@@ -135,7 +135,12 @@ object CustomerValueOps {
         Window.orderBy(col("decile"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("decile"), col("n_customers"), col("rev_cents"),
-        expr("(cum_rev_cents * 1000000) div t").as("cum_share_ppm"))
+        // DECIMAL(38,0): cum cents reach the corpus total, and
+        // total_cents*1e6 overflows BIGINT past ~9e12 cents — the q208
+        // r13 lesson applied to its siblings (oracle widened to HUGEINT
+        // in lockstep; all operands positive so div ≡ //)
+        expr("(CAST(cum_rev_cents AS DECIMAL(38,0)) * 1000000) div t")
+          .as("cum_share_ppm"))
       .orderBy(col("decile"))
   }
 
@@ -321,7 +326,7 @@ object CustomerValueOps {
         |SELECT decile, n_customers, rev_cents,
         |  CAST((CAST(SUM(rev_cents) OVER (ORDER BY decile
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS BIGINT) * 1000000) // t AS BIGINT) AS cum_share_ppm
+        |    AS HUGEINT) * 1000000) // t AS BIGINT) AS cum_share_ppm
         |FROM agg ORDER BY decile""".stripMargin,
     "q247_cohort_ltv" ->
       """WITH o AS (

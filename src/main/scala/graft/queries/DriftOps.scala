@@ -79,8 +79,11 @@ object DriftOps {
       .select(col("o_orderpriority"), col("yr"), col("n_items"),
         col("n_returned"),
         expr("(n_returned * 1000000) div n_items").as("return_ppm"),
-        expr("(returned_cents * 1000000) div rev_cents")
-          .as("return_rev_ppm"))
+        // DECIMAL(38,0): a (priority, year) slice's cents are
+        // corpus-scale, and cents*1e6 overflows BIGINT past ~9e12
+        // cents (the q208 r13 lesson; oracle HUGEINT in lockstep)
+        expr("(CAST(returned_cents AS DECIMAL(38,0)) * 1000000)" +
+          " div rev_cents").as("return_rev_ppm"))
       .orderBy(col("o_orderpriority"), col("yr"))
   }
 
@@ -143,7 +146,8 @@ object DriftOps {
         |    AS BIGINT) AS n_returned,
         |  CAST((SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
         |    * 1000000) // COUNT(*) AS BIGINT) AS return_ppm,
-        |  CAST((SUM(CASE WHEN l_returnflag = 'R' THEN cents ELSE 0 END)
+        |  CAST((CAST(SUM(CASE WHEN l_returnflag = 'R' THEN cents
+        |    ELSE 0 END) AS HUGEINT)
         |    * 1000000) // SUM(cents) AS BIGINT) AS return_rev_ppm
         |FROM li JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority, year(o_orderdate)
