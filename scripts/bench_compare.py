@@ -23,8 +23,9 @@ def load_phases(p):
                 phases.append(json.loads(line[len("soak_throughput "):]))
             elif line.startswith("{"):
                 d = json.loads(line)
-                for sect in ("soak", "chaos"):
-                    t = d.get(sect, {}).get("throughput")
+                for t in (d.get("soak", {}).get("throughput"),
+                          d.get("chaos", {}).get("streaming", {})
+                           .get("throughput")):
                     if t:
                         phases.extend(t)
     return {ph["phase"]: ph for ph in phases}
@@ -32,6 +33,13 @@ def load_phases(p):
 def soak_main():
     old, new = load_phases(sys.argv[2]), load_phases(sys.argv[3])
     thr = float(sys.argv[4]) if len(sys.argv) > 4 else 20.0
+    # an input with no phases is a usage error, not a clean pass —
+    # printing 'worst regression: +0%' over zero data would green-light
+    # anything (code-review r13)
+    for side, d in (("old", old), ("new", new)):
+        if not d:
+            sys.exit(f"error: no soak_throughput phases found in the "
+                     f"{side} input")
     worst = 0.0
     for phase in sorted(set(old) | set(new)):
         o, n = old.get(phase), new.get(phase)

@@ -80,6 +80,13 @@ def main():
             json.dump({"sf_dir": sfdir, "exact": ok, "n": len(results),
                        "results": dict(sorted(results.items()))}, f, indent=1)
         print(f"artifact -> {sys.argv[3]}")
+    # exit nonzero on any FAIL row — callers (gate.sh, the ladder) gate
+    # on exit status, and a 0-exit over a VALUE_MISMATCH would
+    # green-light a correctness regression (code-review r13)
+    bad = sum(1 for v in results.values()
+              if not (v.startswith("OK") or v.startswith("ROWS_ONLY")))
+    if bad:
+        sys.exit(1)
 
 if __name__ == "__main__":
     main()

@@ -19,6 +19,10 @@ step() {
 }
 
 step test            sbt -batch test
+# a failed test step must ABORT: everything below re-stamps committable
+# artifacts, and stamping them from a build that failed its own test
+# gate would be a false green (code-review r13)
+[ "$FAIL" -eq 0 ] || { echo "=== ABORT: test step failed ==="; exit 1; }
 # class snapshot AFTER the sbt run, BEFORE everything else
 rm -rf /tmp/graft_r13_final && cp -r target/scala-2.13/classes /tmp/graft_r13_final
 

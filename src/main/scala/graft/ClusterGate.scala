@@ -492,6 +492,7 @@ object ClusterGate {
           s""""layers":{${report.layers.map { case (k, v) =>
             s"${jstr(k)}:$v" }.mkString(",")}},""" +
           s""""mismatches":[${report.mismatches.map(jstr).mkString(",")}],""" +
+          s""""throughput":[${report.phases.map(_.json).mkString(",")}],""" +
           s""""ok":$ok}"""
       } catch { case e: Throwable =>
         exitCode = 1

@@ -242,13 +242,17 @@ object Soak {
   /** Per-phase streaming throughput (VERDICT r11 task 5) + latency
     * (VERDICT r12 task 6): input rows per query (from each query's
     * StreamingQueryProgress) over the phase's wall time, plus p50/p95
-    * micro-batch duration (`batchDuration`) and end-to-end latency
-    * (`durationMs["triggerExecution"]` — source fetch through sink
-    * commit, i.e. the time from a record being visible on the bus to
-    * its output landing in the sink within that batch), so streaming
-    * rate AND latency regressions become visible round-over-round the
-    * way batch ones are. The fixture is tiny — the value of these
-    * metrics is their TREND, not their magnitude. */
+    * micro-batch duration (`batchDuration`) and `e2e_ms` =
+    * `durationMs["triggerExecution"]` — BATCH-START through SINK
+    * COMMIT, the closest end-to-end figure StreamingQueryProgress
+    * offers. Honest caveat (code-review r13): it EXCLUDES the time a
+    * record waits on the bus before its batch is scheduled, so a
+    * regression purely in inter-batch scheduling would not move it;
+    * with Trigger.ProcessingTime(0) (this soak) that gap is bounded by
+    * one trigger turnaround. Streaming rate AND latency regressions
+    * become visible round-over-round the way batch ones are. The
+    * fixture is tiny — the value of these metrics is their TREND, not
+    * their magnitude. */
   case class PhaseStats(phase: String, wallSec: Double,
       queries: Seq[QueryStats]) {
     private def pct(xs: Seq[Long], p: Double): Long =

@@ -216,11 +216,26 @@ object SelectionOps {
     * distinct word on the driver (|vocab| ≪ |corpus| always) and
     * rejoins as a broadcast map — so the expensive path is two
     * corpus-scale aggregations, no per-occurrence string work.
+    *
+    * The join is LEFT with a CHAR-LEVEL fallback (`n_tok = word
+    * length`) for words beyond the [[VocabCap]] cut — the byte/char
+    * fallback every real BPE encoder applies to out-of-vocabulary
+    * input. An inner join here would silently drop OOV occurrences
+    * from ALL THREE counts once the corpus vocabulary exceeds the cap
+    * (code-review r13); with the left join the whitespace/char counts
+    * are complete by construction at any scale. Shipped-SF results are
+    * unchanged (31-word vocab ≪ cap ⇒ no OOV rows exist).
+    *
     * Rows-only: the merge learner is not SQL-expressible (kmeansTrain
     * posture); SelectionOpsSpec proves the per-source counts equal an
-    * independent driver-side tokenization of every document. */
-  def bpeEncode(s: SparkSession, d: String): DataFrame = {
-    val vocab = collectVocab(s, d) // the ONE corpus-scale vocab pass
+    * independent driver-side tokenization of every document, and pins
+    * the OOV fallback on an over-cap fixture. */
+  def bpeEncode(s: SparkSession, d: String): DataFrame =
+    bpeEncodeCapped(s, d, VocabCap)
+
+  private[queries] def bpeEncodeCapped(s: SparkSession, d: String,
+      cap: Int): DataFrame = {
+    val vocab = collectVocab(s, d, cap) // the ONE corpus-scale vocab pass
     val merges = bpeTrainFrom(vocab, EncodeMerges)
     val vocabTokens = vocab.map { case (w, _) =>
       (w, bpeTokenize(w, merges).length.toLong) }
@@ -229,11 +244,12 @@ object SelectionOps {
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         explode(split(col("text"), " ")).as("word"))
-      .join(vt, Seq("word"))
+      .join(vt, Seq("word"), "left")
       .groupBy("source")
       .agg(count(lit(1)).as("ws_tokens"),
         sum(length(col("word"))).as("word_chars"),
-        sum(col("n_tok")).as("bpe_tokens"))
+        sum(coalesce(col("n_tok"), length(col("word")).cast("long")))
+          .as("bpe_tokens"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -132,6 +132,29 @@ class SelectionOpsSpec extends AnyFunSuite {
     assert(top3.toSeq == Seq(("bb", 9L), ("cc", 9L), ("aa", 5L)))
   }
 
+  test("bpeEncode beyond the cap: OOV words fall back to char-level, " +
+      "whitespace/char counts stay complete") {
+    // vocab: bb×9 cc×9 aa×5 zz×2 yy×2; cap 3 keeps {bb, cc, aa} — the
+    // OOV words (zz, yy) must still count in ws_tokens/word_chars and
+    // contribute length(word) BPE tokens (char-level fallback), never
+    // vanish through the join (code-review r13)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_oov").toString
+    val words = Seq.fill(9)("bb") ++ Seq.fill(9)("cc") ++
+      Seq.fill(5)("aa") ++ Seq.fill(2)("zz") ++ Seq.fill(2)("yy")
+    Seq((1L, words.mkString(" "), "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = SelectionOps.bpeEncodeCapped(spark, dir, 3).collect()
+    assert(r.length == 1)
+    val (ws, chars, bpe) = (r(0).getLong(1), r(0).getLong(2), r(0).getLong(3))
+    assert(ws == 27L, "every word counts, OOV included")
+    assert(chars == 54L)
+    // in-vocab words merge to 1 token each (aa/bb/cc learn their merge);
+    // the 4 OOV occurrences contribute 2 chars each
+    assert(bpe == 23L + 8L)
+  }
+
   test("bpeTrain on the corpus: monotone token counts, deterministic") {
     val m1 = SelectionOps.bpeTrain(spark, sf, 8)
     val m2 = SelectionOps.bpeTrain(spark, sf, 8)
