@@ -1,12 +1,21 @@
 #!/usr/bin/env python3
-"""Diff two Bench JSON lines: per-query deltas sorted by regression.
-Usage: bench_compare.py old.json new.json [threshold_pct]
-       bench_compare.py --soak old new [threshold_pct]
---soak (VERDICT r12 task 5): diff the streaming soak_throughput phases
-instead — the inputs are either ClusterGate artifacts (soak.throughput)
-or raw soak.sh logs carrying `soak_throughput {...}` lines. Reports
-per-phase wall_sec and per-query rows_per_sec plus the r13 latency keys
-(batch_ms_p50/p95, e2e_ms_p50/p95) when both sides carry them."""
+"""Diff Bench JSON lines / soak throughput artifacts, with exit-coded
+gate modes (a nonzero exit is the regression signal — callers gate on it).
+
+Usage:
+  bench_compare.py old.json new.json [threshold_pct]
+      Report-only per-query delta listing (no exit code semantics).
+  bench_compare.py --gate old1[,old2] new1[,new2] [median_thr] [big_thr]
+      VERDICT r13 task 4: best-of-two vs best-of-two per-query ratios.
+      EXITS 1 when median ratio > median_thr (default 1.25) or any query
+      with old best-of-two > 2 s regresses > big_thr (default 1.5x).
+      Feed canary-clean series only (the drift brackets in NOTES).
+  bench_compare.py --soak old new [threshold_pct]
+      VERDICT r12 task 5 + ADVICE r13: diff the streaming
+      soak_throughput phases (ClusterGate artifacts or soak.sh logs),
+      phases namespaced by section (soak/ vs chaos/ — the two sections
+      reuse phase names and must not overwrite each other). EXITS 1 when
+      the worst regression >= threshold_pct (default 20)."""
 import json, sys
 
 def load(p):
@@ -14,21 +23,31 @@ def load(p):
         return json.loads([l for l in f if l.strip().startswith("{")][-1])
 
 def load_phases(p):
-    """Phases from a ClusterGate artifact OR a soak.sh/ClusterGate log."""
-    phases = []
+    """Section-namespaced phases from a ClusterGate artifact OR a
+    soak.sh/ClusterGate log. Keys are 'soak/<phase>' / 'chaos/<phase>'
+    ('log/<phase>' for raw soak_throughput lines) so an artifact carrying
+    both sections never silently overwrites one with the other
+    (ADVICE r13)."""
+    phases = {}
+    def put(section, ph):
+        k = f"{section}/{ph['phase']}"
+        if k in phases:
+            sys.exit(f"error: duplicate phase '{k}' in {p}")
+        phases[k] = ph
     with open(p) as f:
         for line in f:
             line = line.strip()
             if line.startswith("soak_throughput "):
-                phases.append(json.loads(line[len("soak_throughput "):]))
+                put("log", json.loads(line[len("soak_throughput "):]))
             elif line.startswith("{"):
                 d = json.loads(line)
-                for t in (d.get("soak", {}).get("throughput"),
-                          d.get("chaos", {}).get("streaming", {})
-                           .get("throughput")):
-                    if t:
-                        phases.extend(t)
-    return {ph["phase"]: ph for ph in phases}
+                for section, t in (
+                        ("soak", d.get("soak", {}).get("throughput")),
+                        ("chaos", d.get("chaos", {}).get("streaming", {})
+                                   .get("throughput"))):
+                    for ph in t or []:
+                        put(section, ph)
+    return phases
 
 def soak_main():
     old, new = load_phases(sys.argv[2]), load_phases(sys.argv[3])
@@ -63,7 +82,54 @@ def soak_main():
                     cells.append(f"{k} {ov} -> {nv} ({pct:+.0f}%)")
             if cells:
                 print(f"  {q}: " + "; ".join(cells))
-    print(f"worst regression: {worst:+.0f}%")
+    print(f"worst regression: {worst:+.0f}% (threshold {thr:.0f}%)")
+    # the threshold is a GATE, not a print filter: callers (the ladder)
+    # rely on exit status (ADVICE r13)
+    if worst >= thr:
+        print("GATE FAIL: worst soak regression exceeds threshold")
+        sys.exit(1)
+
+def best_of(paths):
+    """Per-query min over one or two Bench series (best-of-two)."""
+    series = [load(p) for p in paths.split(",")]
+    out = {}
+    for s in series:
+        for q, v in s["queries"].items():
+            if v and v > 0 and (q not in out or v < out[q]):
+                out[q] = v
+    if not out:
+        sys.exit(f"error: no positive query times in {paths}")
+    return out, min(s["value"] for s in series)
+
+def gate_main():
+    old, otot = best_of(sys.argv[2])
+    new, ntot = best_of(sys.argv[3])
+    median_thr = float(sys.argv[4]) if len(sys.argv) > 4 else 1.25
+    big_thr = float(sys.argv[5]) if len(sys.argv) > 5 else 1.5
+    common = sorted(set(old) & set(new))
+    if not common:
+        sys.exit("error: no common queries between the two sides")
+    for q in sorted(set(old) ^ set(new)):
+        print(f"[info] {q}: only in {'old' if q in old else 'new'}")
+    ratios = sorted(new[q] / old[q] for q in common)
+    median = ratios[len(ratios) // 2]
+    p90 = ratios[int(len(ratios) * 0.9)]
+    big_regressions = [(q, old[q], new[q]) for q in common
+                       if old[q] > 2.0 and new[q] / old[q] > big_thr]
+    print(f"total (best): {otot:.1f}s -> {ntot:.1f}s | per-query "
+          f"best-of-N ratio median {median:.3f}, p90 {p90:.3f}, "
+          f"max {ratios[-1]:.3f} over {len(common)} queries")
+    for q, o, n in sorted(big_regressions, key=lambda r: -r[2] / r[1]):
+        print(f"[FAIL] {q}: {o:.2f}s -> {n:.2f}s ({n / o:.2f}x, "
+              f">{big_thr}x on a >2s query)")
+    fail = median > median_thr or big_regressions
+    if median > median_thr:
+        print(f"[FAIL] median ratio {median:.3f} > {median_thr}")
+    if fail:
+        print("GATE FAIL")
+        sys.exit(1)
+    print(f"GATE OK (median<= {median_thr}, no >2s query regressed "
+          f">{big_thr}x)")
 
 def main():
     old, new = load(sys.argv[1]), load(sys.argv[2])
@@ -86,5 +152,7 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--soak":
         soak_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--gate":
+        gate_main()
     else:
         main()

@@ -395,6 +395,13 @@ object ClusterGate {
         try fut.get(180, java.util.concurrent.TimeUnit.SECONDS)
         catch { case _: java.util.concurrent.TimeoutException =>
           fut.cancel(true)
+          // cancel(true) only interrupts the wrapper thread — a hung
+          // Spark collect keeps its job running, and the finally's
+          // sparkA.stop() can then block on the zombie job, hanging the
+          // gate AFTER the leg failure is recorded (ADVICE r13). Kill
+          // the jobs themselves before proceeding.
+          try sparkA.sparkContext.cancelAllJobs()
+          catch { case _: Throwable => () }
           Some("GATE_TIMEOUT: consume-after-total-loss hung >180s " +
             "(the 'never hangs' pin regressed)")
         }
