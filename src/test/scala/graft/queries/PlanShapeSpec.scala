@@ -137,4 +137,176 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     assert(globalSorts.isEmpty, plan.toString.take(4000))
   }
+
+  // ===== round-14 pins: the top-10 wall-time queries (VERDICT r13 #1) =====
+  // Each pin asserts the LOAD-BEARING plan property that makes the query's
+  // 100 TB scale story true — previously prose in PLANS.md, now failing
+  // `sbt test` on regression. Checks read the LOGICAL optimizedPlan for
+  // window/join structure (collect() is AQE-blind on the physical tree —
+  // the q135 lesson) and the physical tree STRING for join/sort/pushdown
+  // node presence (string survives AQE wrapping).
+
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit,
+    Join, LogicalPlan, Window => LWindow}
+
+  private def qe(q: String) = SparkEntry.queries(q)(spark, d).queryExecution
+
+  private def unpartWindows(plan: LogicalPlan): Seq[LWindow] =
+    plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+
+  /** Physical global sorts: SortExec prints `Sort [keys], true, 0` when
+    * global (an SMJ's per-partition sort prints `false`). */
+  private def globalSortLines(physical: String): Seq[String] =
+    physical.linesIterator
+      .filter(l => l.contains("Sort [") && l.contains("], true,")).toSeq
+
+  /** A no-condition (cross) join is admissible only when one side is
+    * provably tiny BY CONSTRUCTION: a scalar aggregate (no grouping
+    * keys) or a literal-limit frame. */
+  private def unboundedCrossJoins(plan: LogicalPlan): Seq[Join] =
+    plan.collect {
+      case j: Join if j.condition.isEmpty &&
+        !Seq(j.left, j.right).exists(_.collectFirst {
+          case a: Aggregate if a.groupingExpressions.isEmpty => ()
+          case _: GlobalLimit => ()
+        }.isDefined) => j
+    }
+
+  // --- the suffix-array family (q139/q145/q152/q280): the two-phase
+  // prefix sum must stay two-phase — the ONLY unpartitioned windows are
+  // the per-4096-bucket TOTALS pass (orders by `bkt`, input is the
+  // bucket aggregate), never a full-corpus cumsum ordered by position
+  // `i`; and the candidate machinery stays equi-join (no pair trap).
+  for (q <- Seq("q139_span_dedup_exact", "q145_span_dedup_rebuild",
+      "q152_contamination_span", "q280_contamination_compare")) {
+    test(s"$q: unpartitioned windows are bucket-totals only, no pair joins") {
+      val e = qe(q)
+      val ws = unpartWindows(e.optimizedPlan)
+      assert(ws.nonEmpty, "expected the bucket-totals window pass")
+      ws.foreach { w =>
+        val orderCols = w.orderSpec.flatMap(_.references.map(_.name)).distinct
+        assert(orderCols == Seq("bkt"),
+          s"unpartitioned window orders by ${orderCols.mkString(",")} — " +
+            "the full-corpus single-partition cumsum crept back:\n" +
+            w.toString.take(2000))
+        assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+          "bucket-totals window must read the per-bucket AGGREGATE " +
+            "(tiny), not the corpus rows:\n" + w.child.toString.take(2000))
+      }
+      val s = e.executedPlan.toString
+      assert(!s.contains("BroadcastNestedLoopJoin") &&
+        !s.contains("CartesianProduct"), s.take(4000))
+    }
+  }
+
+  test("q145/q139 push the doc cap into the parquet scan") {
+    // the caps bound the suffix corpus at the SOURCE; a scan without the
+    // pushed range reads every document before filtering
+    for ((q, cap) <- Seq("q139_span_dedup_exact" -> 100,
+        "q145_span_dedup_rebuild" -> 250)) {
+      val s = qe(q).executedPlan.toString
+      assert(s.contains(s"LessThan(doc_id,$cap)"),
+        s"$q: doc cap $cap not pushed to the scan:\n" +
+          s.linesIterator.filter(_.contains("FileScan"))
+            .mkString("\n").take(3000))
+    }
+  }
+
+  test("q280_contamination_compare: gram containment is a LEFT SEMI join, " +
+    "presentation sort only") {
+    val e = qe("q280_contamination_compare")
+    val s = e.executedPlan.toString
+    assert(s.contains("LeftSemi"), s.take(4000))
+    // the lone global sort is the ORDER BY over the <=4-row cross-tab
+    val sorts = globalSortLines(s)
+    assert(sorts.size <= 1 && sorts.forall(_.contains("gram_flag")),
+      sorts.mkString("\n"))
+  }
+
+  // --- the ER family (q251/q269): candidates must come from the
+  // prefix-16 equi-block join over DISTINCT names (vocabulary-pairs,
+  // never row-pairs), survivorship ranks only WITHIN an entity, and the
+  // only global sort is the final presentation ORDER BY on the
+  // entity-level aggregate.
+  for (q <- Seq("q251_er_pipeline", "q269_golden_record")) {
+    test(s"$q: blocked equi-join candidates, entity-partitioned windows only") {
+      val e = qe(q)
+      val s = e.executedPlan.toString
+      assert(!s.contains("BroadcastNestedLoopJoin") &&
+        !s.contains("CartesianProduct"), s.take(4000))
+      assert(unpartWindows(e.optimizedPlan).isEmpty,
+        "survivorship/rank windows must be partitioned by entity")
+      val sorts = globalSortLines(s)
+      assert(sorts.size <= 1 && sorts.forall(_.contains("entity_rep")),
+        sorts.mkString("\n"))
+    }
+  }
+
+  test("q251's candidate generator plans the name self-join as an equi-join") {
+    // the load-bearing piece lives BEHIND the closure's checkpoints in the
+    // final plan, so pin it at its own root: block key equality must reach
+    // the join (a missing equi key = all-pairs BNLJ over the vocabulary)
+    val edges = EntityResolutionOps.nameEdges(spark,
+      graft.Tables.customer(spark, d))
+    val s = edges.queryExecution.executedPlan.toString
+    assert(!s.contains("BroadcastNestedLoopJoin") &&
+      !s.contains("CartesianProduct"), s.take(4000))
+    assert(s.contains("Join") && s.contains("blk"), s.take(4000))
+  }
+
+  // --- q295: the per-threshold stats may cross-join ONLY scalar
+  // aggregates (1-row frames); the candidate pair frame underneath is
+  // q31's banded equi-join (pinned at its own root — it sits behind a
+  // checkpoint in the final plan).
+  test("q295_dedup_curve: cross joins are scalar-aggregate-bounded") {
+    val e = qe("q295_dedup_curve")
+    assert(unboundedCrossJoins(e.optimizedPlan).isEmpty,
+      e.optimizedPlan.toString.take(4000))
+    val pairs = TextOps.ngramJaccard(spark, d)
+    val ps = pairs.queryExecution.executedPlan.toString
+    assert(!ps.contains("BroadcastNestedLoopJoin") &&
+      !ps.contains("CartesianProduct"),
+      "q295's candidate pair frame lost its banded equi-join:\n" +
+        ps.take(4000))
+  }
+
+  // --- q144: rules + learned-classifier curation stays one linear pass —
+  // no joins beyond equi, no windows at all, no global sort.
+  test("q144_curated_learned: linear plan (no pair joins, no windows, " +
+    "no global sort)") {
+    val e = qe("q144_curated_learned")
+    val s = e.executedPlan.toString
+    assert(!s.contains("BroadcastNestedLoopJoin") &&
+      !s.contains("CartesianProduct"), s.take(4000))
+    assert(unpartWindows(e.optimizedPlan).isEmpty)
+    assert(globalSortLines(s).isEmpty, globalSortLines(s).mkString("\n"))
+  }
+
+  // --- q155: both retrieval arms must end in TakeOrderedAndProject
+  // heaps (plus the fused top-10) — never a global sort — and every
+  // unpartitioned rank window must read a LIMIT-bounded (<= FuseK-row)
+  // frame; the only cross join broadcasts the 1-row query embedding.
+  test("q155_hybrid_rrf: heap-bounded arms, limit-bounded rank windows") {
+    val e = qe("q155_hybrid_rrf")
+    val s = e.executedPlan.toString
+    assert("TakeOrderedAndProject".r.findAllIn(s).length >= 3, s.take(4000))
+    assert(globalSortLines(s).isEmpty, globalSortLines(s).mkString("\n"))
+    val ws = unpartWindows(e.optimizedPlan)
+    assert(ws.nonEmpty, "expected the two rank windows")
+    ws.foreach { w =>
+      assert(w.child.collectFirst { case g: GlobalLimit => g }.isDefined,
+        "rank window over an UNBOUNDED frame (the FuseK limit is gone):\n" +
+          w.child.toString.take(2000))
+    }
+    assert(unboundedCrossJoins(e.optimizedPlan).isEmpty)
+  }
+
+  // --- q67 (pinned no-BNLJ above): also pin that nothing global-sorts
+  // and no window runs unpartitioned — the simhash band join keeps the
+  // whole plan shuffle-bounded.
+  test("q67_simhash_hamming: no global sort, no unpartitioned window") {
+    val e = qe("q67_simhash_hamming")
+    assert(globalSortLines(e.executedPlan.toString).isEmpty)
+    assert(unpartWindows(e.optimizedPlan).isEmpty)
+  }
 }
