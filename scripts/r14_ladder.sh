@@ -36,6 +36,9 @@ fi
 # artifacts, and stamping them from a build that failed its own test
 # gate would be a false green (code-review r13)
 [ "$FAIL" -eq 0 ] || { echo "=== ABORT: test step failed ==="; exit 1; }
+# deep property-fuzz pass (VERDICT r13 task 3): ≥50 trials/property of
+# the stateful replay machines — the default suite runs 8
+step fuzz_deep       env GRAFT_FUZZ_N=50 sbt -batch "testOnly graft.streaming.StatefulReplayProperties"
 # the committed check counts are GENERATED from this run's summary —
 # never by hand (VERDICT r13 watch item 1)
 scripts/testcount.sh /tmp/r14/test.log | tee /tmp/r14/testcount.txt
