@@ -15,7 +15,12 @@ Usage:
       soak_throughput phases (ClusterGate artifacts or soak.sh logs),
       phases namespaced by section (soak/ vs chaos/ — the two sections
       reuse phase names and must not overwrite each other). EXITS 1 when
-      the worst regression >= threshold_pct (default 20)."""
+      the worst THROUGHPUT (rows_per_sec) or WALL (wall_sec) regression
+      >= threshold_pct (default 20). Latency percentiles are printed but
+      NOT gated: on these tiny fixtures the batch-duration distribution
+      is bimodal (empty ProcessingTime(0) ticks ~3 ms vs loaded batches
+      ~seconds), so p50/p95 flip modes run-to-run — the r14 ladder's
+      first firing of this gate was exactly that, at flat wall times."""
 import json, sys
 
 def load(p):
@@ -65,7 +70,10 @@ def soak_main():
         if o is None or n is None:
             print(f"{phase}: only in {'new' if o is None else 'old'}")
             continue
-        print(f"{phase}: wall {o['wall_sec']:.1f}s -> {n['wall_sec']:.1f}s")
+        ow, nw = o["wall_sec"], n["wall_sec"]
+        if ow:
+            worst = max(worst, (nw - ow) / ow * 100)
+        print(f"{phase}: wall {ow:.1f}s -> {nw:.1f}s")
         for q in sorted(set(o["queries"]) | set(n["queries"])):
             oq, nq = o["queries"].get(q, {}), n["queries"].get(q, {})
             cells = []
@@ -75,14 +83,17 @@ def soak_main():
                 if ov is None or nv is None or not ov:
                     continue
                 pct = (nv - ov) / ov * 100
-                # latency UP and throughput DOWN are the regressions
-                reg = -pct if k == "rows_per_sec" else pct
-                worst = max(worst, reg)
+                # only throughput gates; latency percentiles are
+                # bimodal on tiny fixtures (docstring) — report only
+                if k == "rows_per_sec":
+                    worst = max(worst, -pct)
                 if abs(pct) >= thr:
-                    cells.append(f"{k} {ov} -> {nv} ({pct:+.0f}%)")
+                    cells.append(f"{k} {ov} -> {nv} ({pct:+.0f}%)" +
+                                 ("" if k == "rows_per_sec" else " [info]"))
             if cells:
                 print(f"  {q}: " + "; ".join(cells))
-    print(f"worst regression: {worst:+.0f}% (threshold {thr:.0f}%)")
+    print(f"worst gated regression (throughput/wall): {worst:+.0f}% "
+          f"(threshold {thr:.0f}%)")
     # the threshold is a GATE, not a print filter: callers (the ladder)
     # rely on exit status (ADVICE r13)
     if worst >= thr:

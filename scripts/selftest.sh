@@ -99,19 +99,28 @@ EOF
 expect 0 bench_gate_ok python3 scripts/bench_compare.py --gate "$T/b_fast.json" "$T/b_fast.json"
 expect 1 bench_gate_slow python3 scripts/bench_compare.py --gate "$T/b_fast.json" "$T/b_slow.json"
 
-# --- bench_compare --soak: a synthetic throughput collapse must exit 1
+# --- bench_compare --soak: a synthetic throughput collapse must exit 1,
+#     a wall blow-up must exit 1, but a latency-percentile-only swing is
+#     REPORT-ONLY (bimodal on tiny fixtures — adjudicated when this gate
+#     first fired in the r14 ladder at flat wall times)
 python3 - "$T" <<'EOF'
 import json, sys
 t = sys.argv[1]
-def art(rps):
+def art(rps, wall=10.0, p95=100):
     return {"soak": {"throughput": [
-        {"phase": "phase1", "wall_sec": 10.0,
-         "queries": {"s1": {"rows_per_sec": rps, "batch_ms_p95": 100}}}]}}
+        {"phase": "phase1", "wall_sec": wall,
+         "queries": {"s1": {"rows_per_sec": rps, "batch_ms_p95": p95}}}]}}
 json.dump(art(1000), open(f"{t}/s_old.json", "w"))
 json.dump(art(400), open(f"{t}/s_new.json", "w"))
+json.dump(art(1000, wall=25.0), open(f"{t}/s_wall.json", "w"))
+json.dump(art(1000, p95=90000), open(f"{t}/s_lat.json", "w"))
 EOF
 expect 0 soak_gate_ok python3 scripts/bench_compare.py --soak "$T/s_old.json" "$T/s_old.json" 20
 expect 1 soak_gate_reg python3 scripts/bench_compare.py --soak "$T/s_old.json" "$T/s_new.json" 20
+expect 1 soak_gate_wall python3 scripts/bench_compare.py --soak "$T/s_old.json" "$T/s_wall.json" 20
+expect 0 soak_gate_latency_info python3 scripts/bench_compare.py --soak "$T/s_old.json" "$T/s_lat.json" 20
+grep -q "batch_ms_p95 100 -> 90000" "$T/soak_gate_latency_info.log" || {
+  echo "[FAIL] latency swing not reported"; FAIL=1; }
 # duplicate phase within one section must be a hard error, not a merge
 python3 - "$T" <<'EOF'
 import json, sys
