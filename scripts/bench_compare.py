@@ -64,11 +64,22 @@ def soak_main():
         if not d:
             sys.exit(f"error: no soak_throughput phases found in the "
                      f"{side} input")
+    # fail-closed on shape mismatches (code-review r14): disjoint key
+    # sets (e.g. a raw log's 'log/' namespace vs an artifact's 'soak/')
+    # would otherwise compare NOTHING and print +0%; and a phase that
+    # ran in the old side but wrote nothing new is a regression, not a
+    # footnote
+    if not set(old) & set(new):
+        sys.exit(f"error: no common phases (old: {sorted(old)}, "
+                 f"new: {sorted(new)}) — compare like-shaped inputs "
+                 f"(both artifacts or both logs)")
+    gone = sorted(set(old) - set(new))
     worst = 0.0
     for phase in sorted(set(old) | set(new)):
         o, n = old.get(phase), new.get(phase)
         if o is None or n is None:
-            print(f"{phase}: only in {'new' if o is None else 'old'}")
+            print(f"{phase}: only in {'new' if o is None else 'old'}" +
+                  ("" if o is None else " [FAIL: phase vanished]"))
             continue
         ow, nw = o["wall_sec"], n["wall_sec"]
         if ow:
@@ -96,6 +107,9 @@ def soak_main():
           f"(threshold {thr:.0f}%)")
     # the threshold is a GATE, not a print filter: callers (the ladder)
     # rely on exit status (ADVICE r13)
+    if gone:
+        print(f"GATE FAIL: phases vanished from the new run: {gone}")
+        sys.exit(1)
     if worst >= thr:
         print("GATE FAIL: worst soak regression exceeds threshold")
         sys.exit(1)
@@ -120,8 +134,15 @@ def gate_main():
     common = sorted(set(old) & set(new))
     if not common:
         sys.exit("error: no common queries between the two sides")
-    for q in sorted(set(old) ^ set(new)):
-        print(f"[info] {q}: only in {'old' if q in old else 'new'}")
+    # a query that ran in the old series but failed/vanished in the new
+    # one is the WORST regression, not an info line (code-review r14):
+    # best_of drops zero/failed times, so old−new = broke-or-disappeared
+    broke = sorted(set(old) - set(new))
+    for q in broke:
+        print(f"[FAIL] {q}: ran in old ({old[q]:.2f}s best) but failed "
+              f"or vanished in new")
+    for q in sorted(set(new) - set(old)):
+        print(f"[info] {q}: only in new")
     ratios = sorted(new[q] / old[q] for q in common)
     median = ratios[len(ratios) // 2]
     p90 = ratios[int(len(ratios) * 0.9)]
@@ -133,7 +154,7 @@ def gate_main():
     for q, o, n in sorted(big_regressions, key=lambda r: -r[2] / r[1]):
         print(f"[FAIL] {q}: {o:.2f}s -> {n:.2f}s ({n / o:.2f}x, "
               f">{big_thr}x on a >2s query)")
-    fail = median > median_thr or big_regressions
+    fail = median > median_thr or big_regressions or broke
     if median > median_thr:
         print(f"[FAIL] median ratio {median:.3f} > {median_thr}")
     if fail:

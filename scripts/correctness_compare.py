@@ -10,7 +10,9 @@ Accepts all three artifact shapes:
 
 Transitions and their treatment:
  - green→red   (hash_match true → false/err)        FAIL (exit 1)
- - green→gone  (query disappeared from the new run)  FAIL (exit 1)
+ - ANY→gone    (query disappeared from the new run)  FAIL (exit 1) —
+   a vanished query silently shrinks the denominator (the q70 lesson),
+   whatever its prior state (code-review r14)
  - rows_only→red (err beyond no_oracle)              FAIL (exit 1)
  - red→green / added / rows-only↔rows-only           reported, exit 0
 """
@@ -49,8 +51,7 @@ def main():
     for q in sorted(old):
         os_, nv = state(old[q]), new.get(q)
         if nv is None:
-            (failures if os_ == "green" else infos).append(
-                f"{q}: {os_} -> GONE (missing from new run)")
+            failures.append(f"{q}: {os_} -> GONE (missing from new run)")
             continue
         ns = state(nv)
         if os_ == "green" and ns != "green":

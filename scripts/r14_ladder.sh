@@ -37,11 +37,16 @@ fi
 # gate would be a false green (code-review r13)
 [ "$FAIL" -eq 0 ] || { echo "=== ABORT: test step failed ==="; exit 1; }
 # deep property-fuzz pass (VERDICT r13 task 3): ≥50 trials/property of
-# the stateful replay machines — the default suite runs 8
+# the stateful replay machines — the default suite runs 8. A deep-fuzz
+# failure must abort like a test failure: everything below stamps
+# committable artifacts (code-review r14)
 step fuzz_deep       env GRAFT_FUZZ_N=50 sbt -batch "testOnly graft.streaming.StatefulReplayProperties"
+[ "$FAIL" -eq 0 ] || { echo "=== ABORT: deep fuzz failed ==="; exit 1; }
 # the committed check counts are GENERATED from this run's summary —
-# never by hand (VERDICT r13 watch item 1)
-scripts/testcount.sh /tmp/r14/test.log | tee /tmp/r14/testcount.txt
+# never by hand (VERDICT r13 watch item 1); exit-checked, the count line
+# is a committed claim (code-review r14)
+scripts/testcount.sh /tmp/r14/test.log | tee /tmp/r14/testcount.txt \
+  || { echo "=== testcount FAILED ==="; FAIL=1; }
 # class snapshot AFTER the sbt run, BEFORE everything else
 rm -rf /tmp/graft_r14_final && cp -r target/scala-2.13/classes /tmp/graft_r14_final
 

@@ -83,6 +83,17 @@ expect 1 cc_green_to_red python3 scripts/correctness_compare.py "$T/cc_old.json"
 # green->gone (query vanished) must also fail
 echo '{"q_other": {"hash_match": true, "err": null}}' > "$T/cc_gone.json"
 expect 1 cc_green_to_gone python3 scripts/correctness_compare.py "$T/cc_old.json" "$T/cc_gone.json"
+# ANY->gone must fail, not just green->gone: a vanished rows-only query
+# shrinks the denominator just as silently (code-review r14)
+python3 - "$T" <<'EOF'
+import json, sys
+t = sys.argv[1]
+ro = {"q1": {"hash_match": None, "err": "no_oracle"},
+      "q2": {"hash_match": True, "err": None}}
+json.dump(ro, open(f"{t}/cc_ro.json", "w"))
+json.dump({"q2": ro["q2"]}, open(f"{t}/cc_ro_gone.json", "w"))
+EOF
+expect 1 cc_rows_only_gone python3 scripts/correctness_compare.py "$T/cc_ro.json" "$T/cc_ro_gone.json"
 # legacy r13 GATE_JSON shape must parse (real committed artifact)
 expect 0 cc_legacy python3 scripts/correctness_compare.py CORRECTNESS_sf01_r13.json CORRECTNESS_sf01_r13.json
 
@@ -98,6 +109,16 @@ json.dump(slow, open(f"{t}/b_slow.json", "w"))
 EOF
 expect 0 bench_gate_ok python3 scripts/bench_compare.py --gate "$T/b_fast.json" "$T/b_fast.json"
 expect 1 bench_gate_slow python3 scripts/bench_compare.py --gate "$T/b_fast.json" "$T/b_slow.json"
+# a query that ran in old but failed/vanished in new must FAIL the gate
+# (best_of drops zero/failed times — code-review r14)
+python3 - "$T" <<'EOF'
+import json, sys
+t = sys.argv[1]
+broke = {"metric": "st", "value": 7.0, "unit": "sec",
+         "queries": {"qa": 3.0, "qb": 1.0, "qc": 0}, "sf": 0.1}
+json.dump(broke, open(f"{t}/b_broke.json", "w"))
+EOF
+expect 1 bench_gate_broke python3 scripts/bench_compare.py --gate "$T/b_fast.json" "$T/b_broke.json"
 
 # --- bench_compare --soak: a synthetic throughput collapse must exit 1,
 #     a wall blow-up must exit 1, but a latency-percentile-only swing is
@@ -121,6 +142,24 @@ expect 1 soak_gate_wall python3 scripts/bench_compare.py --soak "$T/s_old.json" 
 expect 0 soak_gate_latency_info python3 scripts/bench_compare.py --soak "$T/s_old.json" "$T/s_lat.json" 20
 grep -q "batch_ms_p95 100 -> 90000" "$T/soak_gate_latency_info.log" || {
   echo "[FAIL] latency swing not reported"; FAIL=1; }
+# a phase that vanished from the new run must FAIL; disjoint key sets
+# (raw log vs artifact namespaces) must hard-error, not compare nothing
+# (code-review r14)
+python3 - "$T" <<'EOF'
+import json, sys
+t = sys.argv[1]
+two = {"soak": {"throughput": [
+    {"phase": "phase1", "wall_sec": 10.0, "queries": {}},
+    {"phase": "phase2", "wall_sec": 10.0, "queries": {}}]}}
+one = {"soak": {"throughput": [
+    {"phase": "phase1", "wall_sec": 10.0, "queries": {}}]}}
+json.dump(two, open(f"{t}/s_two.json", "w"))
+json.dump(one, open(f"{t}/s_one.json", "w"))
+with open(f"{t}/s_rawlog.txt", "w") as f:
+    f.write('soak_throughput {"phase": "phase1", "wall_sec": 10.0, "queries": {}}\n')
+EOF
+expect 1 soak_phase_gone python3 scripts/bench_compare.py --soak "$T/s_two.json" "$T/s_one.json" 20
+expect 1 soak_disjoint_shapes python3 scripts/bench_compare.py --soak "$T/s_rawlog.txt" "$T/s_one.json" 20
 # duplicate phase within one section must be a hard error, not a merge
 python3 - "$T" <<'EOF'
 import json, sys
@@ -129,6 +168,13 @@ with open(f"{t}/s_dup.json", "w") as f:
     f.write('{"soak": {"throughput": [{"phase": "p", "wall_sec": 1, "queries": {}}, {"phase": "p", "wall_sec": 2, "queries": {}}]}}')
 EOF
 expect 1 soak_dup_phase python3 scripts/bench_compare.py --soak "$T/s_dup.json" "$T/s_dup.json"
+
+# --- testcount: a log without the sbt summary must exit 1 WITH its
+#     diagnostic (the set -e assignment trap — code-review r14)
+echo "no summary here" > "$T/bad_test.log"
+expect 1 testcount_bad scripts/testcount.sh "$T/bad_test.log"
+grep -q "no sbt summary" "$T/testcount_bad.log" || {
+  echo "[FAIL] testcount_bad: diagnostic missing"; FAIL=1; }
 
 # --- ladder abort rail: an injected failing first step must abort the
 #     ladder BEFORE any artifact-stamping step runs (code-review r13)

@@ -146,8 +146,8 @@ class PlanShapeSpec extends AnyFunSuite {
   // the q135 lesson) and the physical tree STRING for join/sort/pushdown
   // node presence (string survives AQE wrapping).
 
-  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit,
-    Join, LogicalPlan, Window => LWindow}
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate,
+    GlobalLimit, Join, LogicalPlan, UnaryNode, Window => LWindow}
 
   private def qe(q: String) = SparkEntry.queries(q)(spark, d).queryExecution
 
@@ -160,16 +160,27 @@ class PlanShapeSpec extends AnyFunSuite {
     physical.linesIterator
       .filter(l => l.contains("Sort [") && l.contains("], true,")).toSeq
 
-  /** A no-condition (cross) join is admissible only when one side is
-    * provably tiny BY CONSTRUCTION: a scalar aggregate (no grouping
-    * keys) or a literal-limit frame. */
+  /** A plan provably tiny BY CONSTRUCTION: a scalar aggregate or a
+    * literal limit at its ROOT (modulo unary wrappers that cannot grow
+    * the row count — Generate excluded: explode can blow a tiny frame
+    * up), or a join of two tiny inputs. Root-anchored on purpose: a
+    * GlobalLimit buried under a corpus-scale join (e.g.
+    * big.join(x.limit(10))) must NOT qualify (code-review r14). */
+  private def provablyTiny(p: LogicalPlan): Boolean = p match {
+    case a: Aggregate if a.groupingExpressions.isEmpty => true
+    case _: GlobalLimit => true
+    case j: Join => provablyTiny(j.left) && provablyTiny(j.right)
+    case _: Generate => false
+    case u: UnaryNode => provablyTiny(u.child)
+    case _ => false
+  }
+
+  /** A no-condition (cross) join is admissible only when one ENTIRE
+    * side is provably tiny by construction. */
   private def unboundedCrossJoins(plan: LogicalPlan): Seq[Join] =
     plan.collect {
       case j: Join if j.condition.isEmpty &&
-        !Seq(j.left, j.right).exists(_.collectFirst {
-          case a: Aggregate if a.groupingExpressions.isEmpty => ()
-          case _: GlobalLimit => ()
-        }.isDefined) => j
+        !provablyTiny(j.left) && !provablyTiny(j.right) => j
     }
 
   // --- the suffix-array family (q139/q145/q152/q280): the two-phase
@@ -294,8 +305,9 @@ class PlanShapeSpec extends AnyFunSuite {
     val ws = unpartWindows(e.optimizedPlan)
     assert(ws.nonEmpty, "expected the two rank windows")
     ws.foreach { w =>
-      assert(w.child.collectFirst { case g: GlobalLimit => g }.isDefined,
-        "rank window over an UNBOUNDED frame (the FuseK limit is gone):\n" +
+      assert(provablyTiny(w.child),
+        "rank window over an UNBOUNDED frame (the FuseK limit is gone " +
+          "or no longer bounds the window input):\n" +
           w.child.toString.take(2000))
     }
     assert(unboundedCrossJoins(e.optimizedPlan).isEmpty)
