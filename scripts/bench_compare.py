@@ -74,6 +74,7 @@ def soak_main():
                  f"new: {sorted(new)}) — compare like-shaped inputs "
                  f"(both artifacts or both logs)")
     gone = sorted(set(old) - set(new))
+    gone_queries = []
     worst = 0.0
     for phase in sorted(set(old) | set(new)):
         o, n = old.get(phase), new.get(phase)
@@ -86,6 +87,14 @@ def soak_main():
             worst = max(worst, (nw - ow) / ow * 100)
         print(f"{phase}: wall {ow:.1f}s -> {nw:.1f}s")
         for q in sorted(set(o["queries"]) | set(n["queries"])):
+            # a query that reported throughput in the old run but wrote
+            # nothing in the new one stopped reporting — gate it like a
+            # vanished phase, don't let the ov/nv None-skip below pass
+            # it silently (ADVICE r14)
+            if q in o["queries"] and q not in n["queries"]:
+                print(f"  {q}: [FAIL: query vanished from phase]")
+                gone_queries.append(f"{phase}/{q}")
+                continue
             oq, nq = o["queries"].get(q, {}), n["queries"].get(q, {})
             cells = []
             for k in ("rows_per_sec", "batch_ms_p50", "batch_ms_p95",
@@ -109,6 +118,10 @@ def soak_main():
     # rely on exit status (ADVICE r13)
     if gone:
         print(f"GATE FAIL: phases vanished from the new run: {gone}")
+        sys.exit(1)
+    if gone_queries:
+        print(f"GATE FAIL: queries vanished from surviving phases: "
+              f"{gone_queries}")
         sys.exit(1)
     if worst >= thr:
         print("GATE FAIL: worst soak regression exceeds threshold")
@@ -144,7 +157,12 @@ def gate_main():
     for q in sorted(set(new) - set(old)):
         print(f"[info] {q}: only in new")
     ratios = sorted(new[q] / old[q] for q in common)
-    median = ratios[len(ratios) // 2]
+    # true median: average the two middle elements for even-length lists
+    # (the upper-middle alone was slightly stricter near the threshold —
+    # ADVICE r14)
+    mid = len(ratios) // 2
+    median = ratios[mid] if len(ratios) % 2 else \
+        (ratios[mid - 1] + ratios[mid]) / 2
     p90 = ratios[int(len(ratios) * 0.9)]
     big_regressions = [(q, old[q], new[q]) for q in common
                        if old[q] > 2.0 and new[q] / old[q] > big_thr]

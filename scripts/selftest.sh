@@ -168,6 +168,48 @@ with open(f"{t}/s_dup.json", "w") as f:
     f.write('{"soak": {"throughput": [{"phase": "p", "wall_sec": 1, "queries": {}}, {"phase": "p", "wall_sec": 2, "queries": {}}]}}')
 EOF
 expect 1 soak_dup_phase python3 scripts/bench_compare.py --soak "$T/s_dup.json" "$T/s_dup.json"
+# a QUERY that vanished from a surviving phase must fail like a
+# vanished phase — the per-metric None-skip used to pass it (ADVICE r14)
+python3 - "$T" <<'EOF'
+import json, sys
+t = sys.argv[1]
+noq = {"soak": {"throughput": [
+    {"phase": "phase1", "wall_sec": 10.0, "queries": {}}]}}
+json.dump(noq, open(f"{t}/s_qgone.json", "w"))
+EOF
+expect 1 soak_query_gone python3 scripts/bench_compare.py --soak "$T/s_old.json" "$T/s_qgone.json" 20
+
+# --- bench_compare --gate: true median for even-length ratio lists —
+#     ratios [1,1,1.3,1.3] has true median 1.15 < 1.25; the old
+#     upper-middle pick (1.3) would have failed this (ADVICE r14)
+python3 - "$T" <<'EOF'
+import json, sys
+t = sys.argv[1]
+old = {"metric": "st", "value": 6.0, "unit": "sec",
+       "queries": {"qa": 1.0, "qb": 1.0, "qc": 2.0, "qd": 2.0}, "sf": 0.1}
+new = dict(old, value=7.2,
+           queries={"qa": 1.0, "qb": 1.0, "qc": 2.6, "qd": 2.6})
+json.dump(old, open(f"{t}/b_med_old.json", "w"))
+json.dump(new, open(f"{t}/b_med_new.json", "w"))
+EOF
+expect 0 bench_gate_true_median python3 scripts/bench_compare.py --gate "$T/b_med_old.json" "$T/b_med_new.json"
+
+# --- coverage_check (r15): stale citation, red citation, and uncited
+#     registry key must each exit 1; a consistent pair must pass
+printf 'map cites q01 and the range q02–q03\n' > "$T/cov.md"
+cat > "$T/cov_art.json" <<'EOF'
+{"q01_a": {"hash_match": true, "err": null},
+ "q02_b": {"hash_match": true, "err": null},
+ "q03_c": {"hash_match": null, "err": "no_oracle"}}
+EOF
+expect 0 coverage_green python3 scripts/coverage_check.py "$T/cov.md" "$T/cov_art.json"
+printf 'map cites q01 q02 q03 and the STALE q99\n' > "$T/cov_stale.md"
+expect 1 coverage_stale python3 scripts/coverage_check.py "$T/cov_stale.md" "$T/cov_art.json"
+sed 's/"q02_b": {"hash_match": true/"q02_b": {"hash_match": false/' \
+  "$T/cov_art.json" > "$T/cov_red.json"
+expect 1 coverage_red python3 scripts/coverage_check.py "$T/cov.md" "$T/cov_red.json"
+printf 'map cites only q01\n' > "$T/cov_uncited.md"
+expect 1 coverage_uncited python3 scripts/coverage_check.py "$T/cov_uncited.md" "$T/cov_art.json"
 
 # --- testcount: a log without the sbt summary must exit 1 WITH its
 #     diagnostic (the set -e assignment trap — code-review r14)
@@ -175,6 +217,10 @@ echo "no summary here" > "$T/bad_test.log"
 expect 1 testcount_bad scripts/testcount.sh "$T/bad_test.log"
 grep -q "no sbt summary" "$T/testcount_bad.log" || {
   echo "[FAIL] testcount_bad: diagnostic missing"; FAIL=1; }
+# a PARTIAL summary (totals present, 'Failed N' pattern absent) must
+# error out, not emit a line ending in ', failures' (ADVICE r14)
+printf 'Total number of tests run: 10\nPassed: Total 10\n' > "$T/partial_test.log"
+expect 1 testcount_partial scripts/testcount.sh "$T/partial_test.log"
 
 # --- ladder abort rail: an injected failing first step must abort the
 #     ladder BEFORE any artifact-stamping step runs (code-review r13)

@@ -12,6 +12,9 @@ TOTAL=$(grep -oE 'Passed: Total [0-9]+' "$LOG" | tail -1 | grep -oE '[0-9]+' || 
 ST=$(grep -oE 'Total number of tests run: [0-9]+' "$LOG" | tail -1 | grep -oE '[0-9]+' || true)
 SUITES=$(grep -oE 'Suites: completed [0-9]+' "$LOG" | tail -1 | grep -oE '[0-9]+' || true)
 FAILED=$(grep -oE 'Passed: Total [0-9]+, Failed [0-9]+' "$LOG" | tail -1 | grep -oE '[0-9]+$' || true)
-[ -n "$TOTAL" ] && [ -n "$ST" ] || { echo "error: no sbt summary lines in $LOG" >&2; exit 1; }
+# FAILED is part of the guard (ADVICE r14): a partial summary that
+# matched TOTAL/ST but not the 'Failed N' pattern would otherwise emit
+# a malformed line ending in ', failures'
+[ -n "$TOTAL" ] && [ -n "$ST" ] && [ -n "$FAILED" ] || { echo "error: no sbt summary lines in $LOG" >&2; exit 1; }
 SC=$((TOTAL - ST))
 echo "$TOTAL checks ($ST ScalaTest${SUITES:+ across $SUITES suites} + $SC ScalaCheck properties), $FAILED failures"
