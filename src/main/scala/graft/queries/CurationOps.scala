@@ -234,10 +234,14 @@ object CurationOps {
         md5(col("text")).as("h"))
     val banned = docs.filter(col("source") === "src0").select("h").distinct()
     val bf = bannedBloom(banned, fpp)
-    // null-safe: a null text hashes to a null h, and
-    // mightContainString(null) throws — a null-text doc is provably
-    // not on the blocklist (the oracle's NOT EXISTS keeps it too)
-    val mightBeBanned = udf((x: String) => x != null && bf.mightContainString(x))
+    // native codegen'd probe (graft.functions.BloomMightContain) — the
+    // last per-row Scala UDF on a query path, ported in r15. Null-safe
+    // by the expression's contract: a null text hashes to a null h and
+    // probes FALSE (provably not on the blocklist — the oracle's NOT
+    // EXISTS keeps it too), never null
+    val mightBeBanned =
+      (c: org.apache.spark.sql.Column) =>
+        graft.functions.BloomOps.might_contain(s, bf, c)
     val clean = docs.filter(!mightBeBanned(col("h")))
     val cleared = docs.filter(mightBeBanned(col("h")))
       .join(banned, Seq("h"), "left_anti")

@@ -87,6 +87,32 @@ class QuotaBloomSpec extends AnyFunSuite {
     assert(rate <= 3 * fpp, s"realized fpp $rate should be ≈ $fpp")
   }
 
+  test("q126 probes through the native expression — no ScalaUDF in the plan") {
+    // the r15 port (VERDICT r14 #4): the Bloom probe is a codegen'd
+    // Catalyst expression, not a per-row Scala lambda. Pin both
+    // directions: no ScalaUDF anywhere in the optimized plan, and the
+    // native BloomMightContain present — so a convenience revert to
+    // udf(...) fails the suite.
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    val qe = CurationOps.bloomBlocklist(spark, sf).queryExecution
+    val exprs = qe.optimizedPlan.flatMap(_.expressions)
+    val udfs = exprs.flatMap(_.collect { case u: ScalaUDF => u })
+    assert(udfs.isEmpty, s"ScalaUDF crept back into q126: $udfs")
+    val native = exprs.flatMap(_.collect {
+      case b: graft.functions.BloomMightContain => b })
+    assert(native.nonEmpty, "native BloomMightContain missing from plan")
+    // and the generated code must actually COMPILE: run once with
+    // codegen fallback disabled so a doGenCode bug is a test failure,
+    // not a silent interpreted fallback
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try CurationOps.bloomBlocklist(spark, sf).collect()
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("q126 null text is kept, not NPE'd") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_blk2").toString
