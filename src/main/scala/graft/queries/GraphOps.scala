@@ -304,27 +304,47 @@ object GraphOps {
     * fixpoint, so the first round with an unchanged count IS the
     * fixpoint round. Output: core members + their core-internal
     * degree + the budget columns. */
-  def kcoreCensus(s: SparkSession, d: String): DataFrame = {
+  /** The repeat co-purchase edge list (q198's pair frame with a ≥2
+    * support floor), pre-checkpoint — exposed so PlanShapeSpec can pin
+    * the self-join as an EQUI-join on the order key (the `pk <` range
+    * half is a post-join filter; a BNLJ here would be the all-pairs
+    * trap at 100 TB). */
+  private[queries] def repeatCoPurchaseEdges(s: SparkSession, d: String)
+      : DataFrame = {
     val lp = graft.Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    var edges = lp.as("x").join(lp.as("y"),
+    lp.as("x").join(lp.as("y"),
         col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
       .groupBy(col("x.pk").as("u"), col("y.pk").as("v"))
       .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-      .select("u", "v").stable()
+      .select("u", "v")
+  }
+
+  /** One peel round: degree aggregate over the current edge list, then
+    * two LEFT-SEMI equi-joins keeping only edges whose BOTH endpoints
+    * still clear the degree floor. Named (vs inlined in the loop) so
+    * the per-round plan shape is pinnable — the loop's 100 TB story is
+    * "each round is one shuffle-agg + two semi-joins on a SHRINKING
+    * frame", and a rewrite to inner-join+distinct or a nested-loop
+    * membership probe would break exactly that. */
+  private[queries] def peelRound(edges: DataFrame): DataFrame = {
+    val keep = edges.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .filter(col("d") >= CoreK).select("n")
+      .stable()
+    edges
+      .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+      .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+  }
+
+  def kcoreCensus(s: SparkSession, d: String): DataFrame = {
+    var edges = repeatCoPurchaseEdges(s, d).stable()
     var n = edges.count()
     var converged = false
     var round = 0
     while (!converged && round < CorePeelRounds) {
-      val keep = edges.select(explode(array(col("u"), col("v"))).as("n"))
-        .groupBy("n").agg(count(lit(1)).as("d"))
-        .filter(col("d") >= CoreK).select("n")
-        .stable()
-      val next = edges
-        .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
-        .stable()
+      val next = peelRound(edges).stable()
       val m = next.count()
       converged = m == n
       edges = next; n = m; round += 1

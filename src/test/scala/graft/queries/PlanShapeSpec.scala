@@ -146,6 +146,7 @@ class PlanShapeSpec extends AnyFunSuite {
   // the q135 lesson) and the physical tree STRING for join/sort/pushdown
   // node presence (string survives AQE wrapping).
 
+  import org.apache.spark.sql.catalyst.expressions.IntegerLiteral
   import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate,
     GlobalLimit, Join, LogicalPlan, UnaryNode, Window => LWindow}
 
@@ -168,7 +169,10 @@ class PlanShapeSpec extends AnyFunSuite {
     * big.join(x.limit(10))) must NOT qualify (code-review r14). */
   private def provablyTiny(p: LogicalPlan): Boolean = p match {
     case a: Aggregate if a.groupingExpressions.isEmpty => true
-    case _: GlobalLimit => true
+    // "literal limit" means LITERAL AND SMALL: a limit(10_000_000) side
+    // is not a scalar-attachment frame — only genuinely tiny literal
+    // limits admit a condition-free join (ADVICE r14)
+    case GlobalLimit(IntegerLiteral(n), _) if n <= 4096 => true
     case j: Join => provablyTiny(j.left) && provablyTiny(j.right)
     case _: Generate => false
     case u: UnaryNode => provablyTiny(u.child)
@@ -320,5 +324,92 @@ class PlanShapeSpec extends AnyFunSuite {
     val e = qe("q67_simhash_hamming")
     assert(globalSortLines(e.executedPlan.toString).isEmpty)
     assert(unpartWindows(e.optimizedPlan).isEmpty)
+  }
+
+  // ===== round-15 pins: the rest of the >2 s tier (VERDICT r14 #5) =====
+
+  import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, LeftSemi}
+  import org.apache.spark.sql.catalyst.plans.logical.HintInfo
+  import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST => BHint}
+
+  // q84_dwd_order_detail: the 4-table order-detail wide row. The 100 TB
+  // story is a LEFT-DEEP, FACT-FIRST hand-ordered join chain (detail ⋈
+  // info ⋈ act ⋈ cou ⋈ dic) with the dic join DECLARED broadcast — at
+  // sf0.001 AQE broadcasts everything, so the pin reads the logical
+  // structure, not the physical strategy picks.
+  test("q84_dwd_order_detail: left-deep fact-first joins, dic declared broadcast") {
+    val e = qe("q84_dwd_order_detail")
+    val joins = e.optimizedPlan.collect { case j: Join => j }
+    assert(joins.size == 4, s"expected the 4-join chain, got ${joins.size}")
+    // left-deep: no join's RIGHT side contains another join — the fact
+    // stream stays on the left, dims attach one at a time
+    joins.foreach { j =>
+      assert(j.right.collect { case x: Join => x }.isEmpty,
+        "join tree is not left-deep (a dim side grew a join):\n" +
+          j.right.toString.take(1500))
+    }
+    // innermost join (detail ⋈ info) is INNER; the three dim attaches
+    // are LEFT OUTER (absence of an activity/coupon/dic row must not
+    // drop the fact row)
+    assert(joins.count(_.joinType == Inner) == 1 &&
+      joins.count(_.joinType == LeftOuter) == 3,
+      s"join types drifted: ${joins.map(_.joinType)}")
+    // the dic attach is DECLARED broadcast (the outermost join's build
+    // side carries the hint) — broadcast by hint, not by AQE luck
+    val root = joins.head
+    assert(root.hint.rightHint.exists(_.strategy.contains(BHint)),
+      s"dic join lost its broadcast hint: ${root.hint}")
+    val s = e.executedPlan.toString
+    assert(!s.contains("BroadcastNestedLoopJoin") &&
+      !s.contains("CartesianProduct"), s.take(4000))
+  }
+
+  // q340_kcore_census: iterative peeling. The final plan is
+  // checkpoint-truncated, so pin the two production building blocks
+  // directly: the pair-frame self-join must be an EQUI-join on the
+  // order key, and one peel round must be exactly two LEFT-SEMI
+  // equi-joins — a rewrite to inner-join+distinct or a nested-loop
+  // membership probe breaks the per-round cost model.
+  test("q340_kcore_census: pair frame is an equi self-join, no BNLJ") {
+    val e = graft.queries.GraphOps.repeatCoPurchaseEdges(spark, d)
+      .queryExecution
+    val s = e.executedPlan.toString
+    assert(!s.contains("BroadcastNestedLoopJoin") &&
+      !s.contains("CartesianProduct"), s.take(4000))
+    val joins = e.optimizedPlan.collect { case j: Join => j }
+    assert(joins.size == 1 && joins.head.joinType == Inner,
+      s"expected the single inner self-join: ${joins.map(_.joinType)}")
+  }
+
+  test("q340_kcore_census: a peel round is two left-semi equi-joins") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("u", "v")
+    val e = graft.queries.GraphOps.peelRound(edges).queryExecution
+    val semis = e.optimizedPlan.collect {
+      case j: Join if j.joinType == LeftSemi => j }
+    assert(semis.size == 2,
+      s"peel round must keep both endpoint filters as LEFT SEMI joins: " +
+        e.optimizedPlan.toString.take(2000))
+    val s = e.executedPlan.toString
+    assert(!s.contains("BroadcastNestedLoopJoin") &&
+      !s.contains("CartesianProduct"), s.take(4000))
+  }
+
+  // q57/q107 (dedup clusters): below the driver cutoff the final frame
+  // is a local union-find result, so pin the CANDIDATE chain — the
+  // ngramJaccard pair generation must stay equi-join-blocked (no
+  // all-pairs/nested-loop shape) in both the uncapped and the
+  // df-capped (100 TB) configuration.
+  for ((label, cap) <- Seq(("q57 uncapped", Int.MaxValue),
+      ("q107 dfCap=3", 3))) {
+    test(s"dedup-cluster candidates ($label): equi-join-blocked, no BNLJ") {
+      val e = graft.queries.TextOps.ngramJaccard(spark, d, cap)
+        .queryExecution
+      val s = e.executedPlan.toString
+      assert(!s.contains("BroadcastNestedLoopJoin") &&
+        !s.contains("CartesianProduct"), s.take(4000))
+      assert(unboundedCrossJoins(e.optimizedPlan).isEmpty)
+    }
   }
 }
