@@ -22,6 +22,11 @@ run() {
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.apps.Soak "$@"
 }
+runc() {
+  java $ADD_OPENS -Xmx4g \
+    -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.apps.CorpusSoak "$@"
+}
 if [ "${1:-}" = "--inproc" ]; then
   shift
   run "$@"
@@ -29,4 +34,10 @@ else
   ROOT=${1:-$(mktemp -d /tmp/graft_soak.XXXXXX)}
   run phase1 "$ROOT"
   run phase2 "$ROOT"
+  # the lambda-compaction leg (VERDICT r14 task 2): CorpusApp ingest
+  # hard-killed and recovered in a fresh JVM, then the q110 MinHash
+  # compaction chain over the landed corpus ≡ the same chain over the
+  # batch twin (exit 1 inside corpus2 on any mismatch)
+  runc corpus1 "$ROOT"
+  runc corpus2 "$ROOT"
 fi
