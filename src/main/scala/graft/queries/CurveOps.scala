@@ -37,11 +37,25 @@ object CurveOps {
   // all-zero curve at sf0.01 and rejected (the q237 vacuity rule).
   private val ThreshMilli = Seq(5L, 15L, 25L)
 
-  /** q295: clusters/removals as a function of the Jaccard threshold. */
+  /** q295: clusters/removals as a function of the Jaccard threshold.
+    * The three per-threshold star closures are INDEPENDENT iterative
+    * loops whose cost is job-latency, not data (each round is a tiny
+    * checkpoint + convergence action) — so they run on a 3-thread pool
+    * and their rounds interleave on the idle cores (guide §2.6,
+    * overlap independent jobs; Spark's scheduler is thread-safe and
+    * FIFO back-fills). Results are identical: each thread builds its
+    * own frame, the union after the join is deterministic. */
   def dedupCurve(s: SparkSession, d: String): DataFrame = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val pairs = TextOps.ngramJaccard(s, d)
       .stable() // reused by all three thresholds
-    val frames = ThreshMilli.map { t =>
+    val pool =
+      java.util.concurrent.Executors.newFixedThreadPool(ThreshMilli.size)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+    val frames = ThreshMilli.map { t => Future {
       val edges = pairs.filter(
         col("inter_size") * 1000 >= col("union_size") * t)
       val cc = GraphOps.largeSmallStar(s,
@@ -52,8 +66,10 @@ object CurveOps {
         .select(lit(t).as("thresh_milli"), col("n_edges"),
           col("n_docs"), col("n_clusters"),
           (col("n_docs") - col("n_clusters")).as("n_removed"))
-    }
-    frames.reduce(_ unionAll _).orderBy(col("thresh_milli"))
+    } }
+    val built = frames.map(Await.result(_, Duration.Inf))
+    built.reduce(_ unionAll _).orderBy(col("thresh_milli"))
+    } finally pool.shutdown()
   }
 
   /** q296: source × pooled-diversity-quintile doc counts. */

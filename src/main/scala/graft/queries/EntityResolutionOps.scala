@@ -41,8 +41,18 @@ object EntityResolutionOps {
   private[queries] def nameEdges(s: SparkSession, raw: DataFrame)
       : DataFrame = {
     graft.functions.EditDistOps.register(s)
+    // The match stage is CPU-quadratic WITHIN a block (≈ B²/2 banded-DP
+    // calls per B-name block) while its shuffle payload is vocabulary-
+    // sized — exactly the shape AQE's byte-based coalescing collapses to
+    // one task (measured r15: the whole 740k-call match ran single-task
+    // behind a sub-MB exchange). Pin the probe side's width with an
+    // explicit block-keyed repartition (user-specified numPartitions is
+    // exempt from AQE coalescing); block-keyed so a block's pairs stay
+    // co-partitioned, core-count-scaled so the pin is cluster-adaptive,
+    // never a local[32] constant (guide §2.5: CPU skew, not byte skew).
     val names = raw.select(col("c_name")).distinct()
       .select(col("c_name"), substring(col("c_name"), 1, 16).as("blk"))
+      .repartition(s.sparkContext.defaultParallelism, col("blk"))
     names.as("a").join(names.as("b"),
         col("a.blk") === col("b.blk") && col("a.c_name") < col("b.c_name"))
       .filter(
@@ -130,6 +140,9 @@ object EntityResolutionOps {
           " AS BIGINT), c_custkey)").as("bal"))
       .select(col("c_name"), substring(col("c_name"), 1, 16).as("blk"),
         col("nat"), col("seg"), col("bal"))
+      // same CPU-parallelism pin as nameEdges: the blocked match stage
+      // must not coalesce to one task behind a sub-MB exchange
+      .repartition(s.sparkContext.defaultParallelism, col("blk"))
     val cand = attrs.as("a").join(attrs.as("b"),
         col("a.blk") === col("b.blk") && col("a.c_name") < col("b.c_name"))
       .select(

@@ -56,9 +56,12 @@ object GraphOps {
       .filter(col("u") =!= col("v"))
       .distinct()
       .stable()
+    // nodes reads the INITIAL checkpointed edge frame and is consumed
+    // exactly once (the final left join), so it needs no checkpoint of
+    // its own — the eager stable() here was one wasted job per closure
+    // call (and q295 calls the closure three times) (r15)
     val nodes = edges.select(explode(array(col("u"), col("v"))).as("doc_id"))
       .distinct()
-      .stable()
 
     // directed both ways: one row per (node, neighbor)
     def directed(e: DataFrame): DataFrame = e
@@ -74,14 +77,28 @@ object GraphOps {
 
     var converged = false
     var round = 0
+    // fixpoint bookkeeping (r15): carry the previous round's cardinality
+    // instead of re-counting the already-checkpointed frame every round
+    // (one action saved per round), and test set equality with a single
+    // LEFT ANTI join — both frames are distinct by construction, so
+    // "same cardinality ∧ empty one-sided anti" ⇔ equal sets, without
+    // EXCEPT's extra de-dup aggregate. Short-circuit keeps the anti-join
+    // off every non-final round (cardinality still shrinking).
+    var n = edges.count()
     while (!converged && round < MaxRounds) {
+      // afterLarge is NOT checkpointed (r15): its three same-round
+      // consumers (dirS's join probe + the two mins(dirS) legs) all read
+      // it through the SAME distinct/groupBy exchanges, which Spark
+      // de-duplicates via ReusedExchange inside the one afterSmall job —
+      // the eager materialization here was a whole extra job per round.
+      // Lineage still truncates every round at afterSmall.stable(), so
+      // plan depth stays O(1) per round, not compounding.
       val dirL = directed(edges)
       val afterLarge = dirL.join(mins(dirL), Seq("x"))
         .filter(col("nbr") > col("x"))
         .select(col("m").as("u"), col("nbr").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .stable()
       val dirS = directed(afterLarge)
       val afterSmall = dirS.join(mins(dirS), Seq("x"))
         .filter(col("nbr") <= col("x"))
@@ -91,11 +108,11 @@ object GraphOps {
         .filter(col("u") =!= col("v"))
         .distinct()
         .stable()
-      // fixpoint test on the normalized edge set: same cardinality and
-      // empty one-sided difference ⇒ equal sets
-      converged = afterSmall.count() == edges.count() &&
-        afterSmall.except(edges).isEmpty
+      val m = afterSmall.count()
+      converged = m == n &&
+        afterSmall.join(edges, Seq("u", "v"), "left_anti").isEmpty
       edges = afterSmall
+      n = m
       round += 1
     }
     if (!converged)
@@ -229,7 +246,10 @@ object GraphOps {
         .join(visited.select(col("doc_id")), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), lit(round.toLong).as("hops"))
         .stable()
-      visited = visited.unionAll(frontier).stable()
+      // every frontier is checkpointed above, so the growing union is a
+      // cheap view over materialized blocks — re-checkpointing the WHOLE
+      // visited set each round re-wrote O(V) rows per hop (r15)
+      visited = visited.unionAll(frontier)
     }
     visited.orderBy(col("doc_id"))
   }

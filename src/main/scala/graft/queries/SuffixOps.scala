@@ -3,9 +3,10 @@ package graft.queries
 import graft.queries.Mat.StableOps
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Distributed suffix arrays — the EXACT substring-dedup scale path.
   *
@@ -15,29 +16,26 @@ import org.apache.spark.sql.types.LongType
   * array over the corpus. This pack builds one distributively:
   *
   *  - [[suffixRanks]] (q136): the lexicographic rank of every suffix of
-  *    every (capped) document, by radix-4 prefix doubling: an initial
-  *    dense rank of the 8-char block at every position, then
-  *    ⌈log₄(maxlen/8)⌉ rounds, each ONE distributed sort of
-  *    (rank, rank@+L, rank@+2L, rank@+3L) tuples plus equi-joins to
-  *    pull the offset ranks (prefix length ×4 per round — half the
-  *    shuffle passes of the classic ×2 scheme, the k-ary trade from
-  *    the distributed suffix-sorting literature). No suffix string is
-  *    ever materialized: the corpus stays (doc, pos, 8-byte rank) rows
-  *    through every round. The oracle materializes the suffix STRINGS
+  *    every (capped) document, by radix-k prefix doubling (k = Radix):
+  *    an initial dense rank of the 8-char block at every position,
+  *    then ⌈log_k(maxlen/8)⌉ rounds, each ONE distributed sort of
+  *    (rank, rank@+L, …, rank@+(k−1)L) tuples, the offset ranks pulled
+  *    by ONE lead() window pass per round (positions are contiguous
+  *    per doc, so rank@+jL is exactly the lead(j·L) row). No suffix
+  *    string is ever materialized: the corpus stays (doc, pos, 8-byte
+  *    rank) rows through every round. The oracle materializes the
+  *    suffix STRINGS
   *    and window-sorts them (`dense_rank OVER (ORDER BY substr(text,
   *    pos+1))`) — same answer, opposite algorithm, which is what makes
   *    the check meaningful.
   *  - [[longestRepeat]] (q137): per document, the length of the longest
   *    substring that occurs ≥ 2 times in the (capped) corpus with an
   *    occurrence in this document — max LCP between rank-adjacent
-  *    suffixes. LCP = greedy lifting over the retained levels
-  *    (descending; up to 3 adds per level = the base-4 digits, 1 at
-  *    the top), then a ≤7-char residual comparison against the
-  *    broadcast document texts (the level-8 rank at the final offset
-  *    is known unequal, so the first mismatch lies within the next 8
-  *    chars). Clamped by remaining document length because equal
-  *    TRUNCATED ranks mean fully-equal suffixes, where the true LCP is
-  *    min(len).
+  *    suffixes. LCP = one direct `lcp_len` code-point walk per
+  *    adjacent pair against the doc-capped BROADCAST texts (the same
+  *    frame the old residual comparison read; the walk stops at the
+  *    shorter suffix, which is exactly the min(len) clamp equal
+  *    truncated ranks used to need).
   *
   * Ranks are dense (0-based contiguous): each round assigns new ranks
   * by globally sorting the DISTINCT rank tuples and zipping indices in
@@ -58,80 +56,165 @@ object SuffixOps {
   private val RebuildCap = 250 // q145: the full-text rebuild runs wider
   private val MinRep = 20L // span length a dedup pass would act on
   private val Block = 8L // initial rank granularity (chars)
-  private val Radix = 4L // prefix-length multiplier per round
+  // Prefix-length multiplier per round. The k-ary trade from the
+  // distributed suffix-sorting literature: each round sorts (r, r@+L,
+  // …, r@+(k−1)L) tuples, so prefix length grows ×k per round and the
+  // round count is ⌈log_k(maxlen/Block)⌉ — at k=16 the bench corpora
+  // (maxlen 577) close in 2 rounds where the classic ×2 scheme needs 7
+  // and the previous ×4 needed 4. Each round is a FIXED pipeline of
+  // shuffles (window + distinct + sort + join-back) whose latency, not
+  // bandwidth, dominates below cluster scale, so fewer-wider rounds win
+  // twice: 8× fewer round-trips than ×2 at only 2× the tuple bytes
+  // (16 longs vs 4 per row) through the distinct/sort (r15, guide §2.2
+  // "fewer, larger" applied to rounds).
+  private val Radix = 8L
 
   private def docsCapped(s: SparkSession, d: String, cap: Int): DataFrame =
     Tables.documents(s, d)
       .filter(col("doc_id") < cap && length(col("text")) > 0)
 
   /** Append a contiguous 0-based index in the DataFrame's CURRENT order
-    * (call on a just-sorted frame): `zipWithIndex` numbers partitions
-    * in order, and a range-shuffled sort leaves partitions globally
-    * ordered, so the indices are the global sort ranks. */
+    * (call on a just-sorted frame): a range-shuffled sort leaves
+    * partitions globally ordered, so global index = rows in earlier
+    * partitions + local row number.
+    *
+    * Stays entirely in Tungsten/codegen (r15): the old `rdd.zipWithIndex`
+    * device deserialized every row to external Rows and re-encoded them
+    * through a non-codegen RDD scan — a fixed per-call tax paid ~7 times
+    * per suffix query. Here the local row number is recovered from
+    * `monotonically_increasing_id` (= partitionId·2³³ + local row) and
+    * the per-partition offsets come from one bounded count pass — one
+    * row per PARTITION (shuffle-width-bounded, never data-sized), the
+    * same driver-side scan zipWithIndex itself ran internally. */
   private def zipOrdered(df: DataFrame, idxCol: String): DataFrame = {
-    // snapshot the sorted partitions first: zipWithIndex runs an extra
-    // size-count job over its parent, and downstream consumers
-    // materialize the RDD again — without the checkpoint each of those
-    // re-runs the sort
+    // snapshot the sorted partitions first: the counts pass runs an
+    // extra job over the parent, and downstream consumers materialize
+    // the frame again — without the checkpoint each re-runs the sort
     val snapped = df.stable()
-    val schema = snapped.schema.add(idxCol, LongType, nullable = false)
-    val rdd = snapped.rdd.zipWithIndex().map { case (row, i) =>
-      Row.fromSeq(row.toSeq :+ i)
-    }
-    snapped.sparkSession.createDataFrame(rdd, schema)
+    val counts = snapped.groupBy(spark_partition_id().as("_pid")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offRows = new java.util.ArrayList[Row](counts.length)
+    counts.foreach { case (pid, c) => offRows.add(Row(pid, acc)); acc += c }
+    val offs = snapped.sparkSession.createDataFrame(offRows, StructType(Seq(
+      StructField("_pid", IntegerType, nullable = false),
+      StructField("_off", LongType, nullable = false))))
+    val cols = snapped.columns.map(col)
+    snapped
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lrow", monotonically_increasing_id() -
+        (spark_partition_id().cast("long") * lit(1L << 33)))
+      .join(broadcast(offs), Seq("_pid"))
+      .select(cols :+ (col("_off") + col("_lrow")).as(idxCol): _*)
   }
 
-  /** All levels: (L, dense rank of the length-L truncated prefix of
-    * every suffix), L = Block, Block·Radix, … ≥ maxlen. The last
-    * level's ranks are the full suffix ranks. Each level is
-    * localCheckpointed — the loop is iterative and the lineage must
-    * not compound (kmeansTrain rule). */
-  private[queries] def suffixLevels(
-      s: SparkSession, d: String, cap: Int = DocCap): Seq[(Long, DataFrame)] = {
+  /** Initial state shared by both doubling paths: the level-Block
+    * (doc_id, pos, r) ranks (NOT checkpointed — single-plan consumers
+    * re-read the checkpointed `blocks` through one cheap hash join)
+    * and the corpus maxLen. */
+  private def blockRanks(
+      s: SparkSession, d: String, cap: Int): (DataFrame, Long) = {
     val docs = docsCapped(s, d, cap)
     val blocks = docs
       .select(col("doc_id"), col("text"),
         explode(expr("sequence(0, length(text) - 1)")).as("p"))
       .select(col("doc_id"), col("p").cast("long").as("pos"),
         expr(s"substring(text, p + 1, ${Block.toInt})").as("blk"))
-      .stable() // used twice (alphabet + join) and for maxLen
+      .stable() // read 4×: alphabet, the rank join (2 jobs), maxLen
     val alphabet = zipOrdered(
       blocks.select("blk").distinct().orderBy("blk"), "r")
-    var ranks = blocks.join(alphabet, Seq("blk"))
+    val ranks = blocks.join(alphabet, Seq("blk"))
       .select(col("doc_id"), col("pos"), col("r"))
-      .stable()
     val maxLen = blocks.agg(max(col("pos"))).head() match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0) + 1L
     }
+    (ranks, maxLen)
+  }
+
+  /** One doubling round's sort tuple: (doc_id, pos, r, r@+L, …,
+    * r@+(Radix−1)L) — lexicographic order of the key columns is the
+    * order of the length-L·Radix truncated suffixes. r@+kL is the rank
+    * of the SAME doc's row at pos+kL — and every position
+    * 0..len(doc)−1 is present, so that row is exactly the lead(k·L)
+    * row under (partition by doc, order by pos): ONE window pass (one
+    * exchange + sort) computes all Radix−1 offset columns where the
+    * former per-offset left self-joins paid Radix−1 shuffle joins per
+    * round for the identical values (r15, guide §2.4). */
+  private def roundTuple(ranks: DataFrame, len: Long)
+      : (DataFrame, Seq[String]) = {
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val offCols = (1L until Radix).map { k =>
+      coalesce(lead(col("r"), (k * len).toInt).over(wDoc), lit(-1L))
+        .as(s"r$k")
+    }
+    val keys = "r" +: (1L until Radix).map(k => s"r$k")
+    (ranks.select(col("doc_id") +: col("pos") +: col("r") +: offCols: _*),
+      keys)
+  }
+
+  /** Dense re-rank of a round tuple: distinct tuples globally sorted
+    * and zipped, joined back. Equal tuples keep equal ranks, so
+    * identical cross-doc truncated suffixes tie exactly like the
+    * oracle's dense_rank. */
+  private def densify(pairs: DataFrame, keys: Seq[String]): DataFrame = {
+    val ids = zipOrdered(
+      pairs.select(keys.map(col): _*).distinct()
+        .orderBy(keys.map(col): _*), "nr")
+    pairs.join(ids, keys)
+      .select(col("doc_id"), col("pos"), col("nr").as("r"))
+  }
+
+  /** All levels: (L, dense rank of the length-L truncated prefix of
+    * every suffix), L = Block, Block·Radix, … ≥ maxlen. The last
+    * level's ranks are the full suffix ranks. INTERMEDIATE levels are
+    * localCheckpointed — the loop is iterative and the lineage must
+    * not compound (kmeansTrain rule); the FINAL level is left lazy
+    * (every caller consumes it exactly once, so an eager
+    * materialization there was a whole wasted pass, r15). */
+  private[queries] def suffixLevels(
+      s: SparkSession, d: String, cap: Int = DocCap): Seq[(Long, DataFrame)] = {
+    var (ranks, maxLen) = blockRanks(s, d, cap)
     val levels = Seq.newBuilder[(Long, DataFrame)]
-    levels += ((Block, ranks))
     var len = Block
+    if (len < maxLen) ranks = ranks.stable() // loop input: 2 consumers/round
+    levels += ((Block, ranks))
     while (len < maxLen) {
-      // (r, r@+L, r@+2L, r@+3L): the base-4 digit block of the next level
-      var pairs = ranks
-      (1L until Radix).foreach { k =>
-        val off = ranks.select(col("doc_id").as("odoc"),
-          col("pos").as("opos"), col("r").as(s"r$k"))
-        pairs = pairs.join(off,
-          col("odoc") === col("doc_id") &&
-            col("opos") === col("pos") + lit(k * len), "left")
-          .drop("odoc", "opos")
-          .withColumn(s"r$k", coalesce(col(s"r$k"), lit(-1L)))
-      }
-      val keys = "r" +: (1L until Radix).map(k => s"r$k")
-      pairs = pairs.select(col("doc_id") +: col("pos") +: keys.map(col): _*)
-        .stable() // used twice: id assignment + the join back
-      val ids = zipOrdered(
-        pairs.select(keys.map(col): _*).distinct()
-          .orderBy(keys.map(col): _*), "nr")
-      ranks = pairs.join(ids, keys)
-        .select(col("doc_id"), col("pos"), col("nr").as("r"))
-        .stable()
+      val (pairs, keys) = roundTuple(ranks, len)
       len *= Radix
+      val next = densify(pairs, keys)
+      ranks = if (len < maxLen) next.stable() else next
       levels += ((len, ranks))
     }
     levels.result()
+  }
+
+  /** The suffix ORDER without the final dense re-rank: the last
+    * round's tuple is already order-isomorphic to the full suffix
+    * comparison (equal tuples ⇔ equal suffixes, −1 padding sorts
+    * shorter-suffix-first like both engines), so the span family —
+    * which only consumes the ORDER — sorts by the tuple directly and
+    * skips the last distinct/sort/zip/join-back entirely (r15).
+    * Returns (doc_id, pos, i): i = 0-based suffix order index. */
+  private def orderedSuffixes(
+      s: SparkSession, d: String, cap: Int): DataFrame = {
+    var (ranks, maxLen) = blockRanks(s, d, cap)
+    var len = Block
+    if (len >= maxLen) // single-block corpus: the block rank IS the order
+      return zipOrdered(
+        ranks.orderBy(col("r"), col("doc_id"), col("pos")), "i")
+        .select(col("doc_id"), col("pos"), col("i"))
+    ranks = ranks.stable()
+    while (len * Radix < maxLen) {
+      val (pairs, keys) = roundTuple(ranks, len)
+      len *= Radix
+      ranks = densify(pairs, keys).stable()
+    }
+    val (pairs, keys) = roundTuple(ranks, len)
+    zipOrdered(
+      pairs.orderBy(keys.map(col) ++ Seq(col("doc_id"), col("pos")): _*),
+      "i")
+      .select(col("doc_id"), col("pos"), col("i"))
   }
 
   /** q136: (doc_id, pos, srank) — 1-based dense lexicographic rank of
@@ -146,20 +229,6 @@ object SuffixOps {
     suffixLevels(s, d, cap).last._2
       .select(col("doc_id"), col("pos"), (col("r") + 1L).as("srank"))
 
-  /** ≤(Block−1)-char LCP extension by direct text comparison at offset
-    * `off`: the level-Block ranks at this offset are known unequal, so
-    * the first mismatch is within the next Block chars. 1-based char
-    * j of the suffix tail is string position pos + off + j. */
-  private def residual(): Column = {
-    def ch(t: String, p: String, j: Int): String =
-      s"substring($t, CAST($p + off + $j AS INT), 1)"
-    val cases = (1 to (Block - 1).toInt).map { j =>
-      s"WHEN ${ch("atext", "apos", j)} <> ${ch("btext", "bpos", j)} " +
-        s"OR ${ch("atext", "apos", j)} = '' THEN ${j - 1}"
-    }.mkString(" ")
-    expr(s"CASE $cases ELSE ${Block - 1} END").cast("long")
-  }
-
   /** q137: per capped doc, the longest repeated span touching it and
     * how many of its positions start a repeat ≥ MinRep chars (the rows
     * a span-dedup pass like q133 would rewrite). */
@@ -167,57 +236,44 @@ object SuffixOps {
     longestRepeatAt(s, d, DocCap)
 
   /** Shared core of q137/q139: the suffix order (doc_id, pos, i) and
-    * the LCP `l` between rank-adjacent rows i and i+1. */
+    * the LCP `l` between rank-adjacent rows i and i+1.
+    *
+    * The LCP is computed DIRECTLY (r15): one `lcp_len` code-point walk
+    * per adjacent pair over the same doc-capped broadcast texts the old
+    * ≤7-char residual comparison already read. The former greedy
+    * rank-lifting (2 shuffle joins per base-4 digit ≈ 26 joins at the
+    * bench caps) priced each pair at O(log maxlen) JOIN PASSES to save
+    * per-pair compute; at any cap where the texts broadcast — the
+    * standing posture of this pack — the O(lcp) walk is strictly
+    * cheaper and is the formulation of the published method (Lee et
+    * al. 2022). Equal-suffix clamping is inherent: the walk stops at
+    * the shorter suffix's end, which is exactly min(len) — the case
+    * the lifting handled with an explicit `least`. */
   private def orderedLcps(
       s: SparkSession, d: String, cap: Int): (DataFrame, DataFrame) = {
-    val levels = suffixLevels(s, d, cap)
-    val full = levels.last._2
-    val ordered = zipOrdered(
-      full.orderBy(col("r"), col("doc_id"), col("pos")), "i")
-      .select(col("doc_id"), col("pos"), col("i"))
-      .stable()
+    graft.functions.LcpOps.register(s)
+    val ordered = orderedSuffixes(s, d, cap).stable()
     // rank-adjacent pairs, keyed by the FIRST row's index
-    var pairs = ordered.join(
+    val pairs = ordered.join(
       ordered.select(col("doc_id").as("bdoc"), col("pos").as("bpos"),
         (col("i") - 1L).as("i")),
       Seq("i"))
       .select(col("i"), col("doc_id").as("adoc"), col("pos").as("apos"),
-        col("bdoc"), col("bpos"), lit(0L).as("off"))
-    // greedy lifting, highest level first: up to Radix−1 adds per level
-    // (the base-4 digits), 1 at the top (lcp < maxlen ≤ top). One fused
-    // plan per level — every rk input is already checkpointed.
-    val steps = levels.reverse.zipWithIndex.flatMap { case ((l, rk), ix) =>
-      Seq.fill(if (ix == 0) 1 else (Radix - 1).toInt)((l, rk))
-    }
-    steps.foreach { case (len, rk) =>
-      val ra = rk.select(col("doc_id").as("xad"), col("pos").as("xap"),
-        col("r").as("ar"))
-      val rb = rk.select(col("doc_id").as("xbd"), col("pos").as("xbp"),
-        col("r").as("br"))
-      pairs = pairs
-        .join(ra, col("xad") === col("adoc") &&
-          col("xap") === col("apos") + col("off"), "left")
-        .join(rb, col("xbd") === col("bdoc") &&
-          col("xbp") === col("bpos") + col("off"), "left")
-        .withColumn("off", when(col("ar").isNotNull &&
-          col("ar") === col("br"), col("off") + len).otherwise(col("off")))
-        .select("i", "adoc", "apos", "bdoc", "bpos", "off")
-    }
-    val texts = docsCapped(s, d, cap)
-      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("dlen"))
+        col("bdoc"), col("bpos"))
+    val texts = docsCapped(s, d, cap).select(col("doc_id"), col("text"))
     val lcps = pairs
       .join(broadcast(texts.select(col("doc_id").as("adoc"),
-        col("text").as("atext"), col("dlen").as("alen"))), Seq("adoc"))
+        col("text").as("atext"))), Seq("adoc"))
       .join(broadcast(texts.select(col("doc_id").as("bdoc"),
-        col("text").as("btext"), col("dlen").as("blen"))), Seq("bdoc"))
-      .select(col("i"),
-        least(col("off") + residual(), col("alen") - col("apos"),
-          col("blen") - col("bpos")).as("l"))
+        col("text").as("btext"))), Seq("bdoc"))
+      .select(col("i"), graft.functions.LcpOps.lcp_len(
+        col("atext"), col("apos"), col("btext"), col("bpos")).as("l"))
     // lcps is consumed twice by every caller (lnext + shifted lprev)
-    // but is deliberately NOT checkpointed: the duplicate lifting
-    // subtrees schedule concurrently inside one job, while an eager
-    // checkpoint serializes two jobs — measured 4.2 → 5.9 s at sf0.1
-    // (the q132 localCheckpoint lesson again; see PLANS.md)
+    // but is deliberately NOT checkpointed: the duplicate subtrees
+    // schedule concurrently inside one job, while an eager checkpoint
+    // serializes two jobs — measured 4.2 → 5.9 s at sf0.1 on the
+    // lifting form (the q132 localCheckpoint lesson; see PLANS.md),
+    // and the subtree is now just the adjacency join + broadcasts.
     (ordered, lcps)
   }
 
