@@ -17,6 +17,43 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scan-width repair for a CPU-HEAVY consumer (optimization guide
+    * §2.5, "input skew: one huge unsplittable file … repartition
+    * immediately after the read"): the bench parquet files are written
+    * as a SINGLE row group, so a scan — and any expensive projection
+    * fused into it (envelope map building, winnow sketches) — runs as
+    * ONE task however many cores the session has. Round-robin the read
+    * across the default parallelism, but ONLY when the table actually
+    * is below one scan split (size < spark.sql.files.maxPartitionBytes,
+    * resolved via the Hadoop FS API so HDFS/S3 behave identically); a
+    * table past one split width keeps its natural scan parallelism and
+    * pays no extra exchange. Deliberately NOT applied in [[load]]: an
+    * r15 full-tail A/B measured a blanket repartition as a net loss
+    * (every cheap query pays one extra exchange; only scans that feed
+    * real per-row CPU win), so only the measured CPU-bound call sites
+    * opt in. */
+  def loadWide(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val df = load(spark, dir, name)
+    val bytes = sizeCache.computeIfAbsent(path, _ => {
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val st = fs.getFileStatus(p)
+        // a directory table (the 100 TB layout) is taken as "large":
+        // its scan parallelism comes from its many files/row groups
+        if (st.isDirectory) Long.MaxValue else st.getLen
+      } catch { case _: Throwable => Long.MaxValue }
+    }).longValue()
+    if (bytes < spark.sessionState.conf.filesMaxPartitionBytes)
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
+  }
+
+  /** path → file length; metadata only, resolved once per table. */
+  private val sizeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

@@ -57,7 +57,11 @@ object DwdPack {
   // ---- q84: order_detail wide row (J1 inner + J2 left×2 + J3 dic) ----
 
   private def orderDetailEnvelopes(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
+    // loadWide: the envelope build materializes a 12-entry string map
+    // per lineitem row (+ date formatting) — per-row CPU a single-row-
+    // group scan serializes onto one task (the 2.0 s job of q84's
+    // 3.2 s wall, r15); see Tables.loadWide
+    val li = Tables.loadWide(s, d, "lineitem")
     val k = col("l_orderkey")
     val detailId = (k * 10 + col("l_linenumber")).cast("string")
     val detail = li.select(envelope("order_detail",

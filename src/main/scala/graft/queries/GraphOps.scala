@@ -349,10 +349,14 @@ object GraphOps {
     * frame", and a rewrite to inner-join+distinct or a nested-loop
     * membership probe would break exactly that. */
   private[queries] def peelRound(edges: DataFrame): DataFrame = {
+    // not checkpointed (r15): both semi-join probes read `keep` through
+    // the same explode/groupBy exchange (ReusedExchange) inside the ONE
+    // job that materializes the round, so the eager stable() here was a
+    // whole extra job per peel round; the caller checkpoints each
+    // round's output, which is where the lineage truncates.
     val keep = edges.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
       .filter(col("d") >= CoreK).select("n")
-      .stable()
     edges
       .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
       .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")

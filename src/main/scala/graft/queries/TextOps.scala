@@ -324,9 +324,17 @@ object TextOps {
       .select(col("doc_id"),
         explode(winnowSketchCol(s, 5)).as("wh"))
       .distinct() // identical windows at different positions collapse
-    // materialize once: the sketch (hundreds of md5s + an array_sort
-    // per document) otherwise re-evaluates on BOTH legs of the self-join
-    val sketch = dropHotTokens(sketch0, "wh", dfCap).stable()
+    // materialize once: the sketch (hundreds of window hashes + an
+    // array_sort per document) otherwise re-evaluates on BOTH legs of
+    // the self-join. Partitioned BY THE JOIN KEY at core-count width
+    // before the checkpoint (r15): the hash self-join is CPU-quadratic
+    // within a bucket while its shuffle payload is sketch-sized, so
+    // AQE's byte-based coalescing ran the whole pair enumeration as one
+    // task (measured 1.9 s of the query's 2.9 s); co-partitioning both
+    // legs also removes the join's own exchanges (the q251 lesson).
+    val sketch = dropHotTokens(sketch0, "wh", dfCap)
+      .repartition(s.sparkContext.defaultParallelism, col("wh"))
+      .stable()
     val a = sketch.select(col("doc_id").as("doc_a"), col("wh"))
     val b = sketch.select(col("doc_id").as("doc_b"), col("wh"))
     a.join(b, Seq("wh"))
